@@ -1,0 +1,157 @@
+"""ColumnChunk — the unit every codec encodes/decodes.
+
+One column of one partition, held as numpy buffers:
+
+  kind 'int'    values: np.int64       (ints of any width, timestamps as us)
+  kind 'float'  values: np.float64/32  (stored bit-exact, never re-rounded)
+  kind 'bool'   values: np.bool_
+  kind 'bin'    data: bytes + offsets: np.int64 (n+1)  (strings kept as UTF-8
+                bytes end-to-end: bit-identical round-trip per the north rule,
+                including "" which is distinct from null — the reference
+                coerces ""->null for CSV only, ConvertThread.java:70-71; we
+                never do for data columns)
+
+`mask` is a validity bitmap (True == valid) or None when no nulls. `values`
+/`data` hold only the VALID slots; decode re-expands to logical positions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+KINDS = ("int", "float", "bool", "bin")
+
+_PA_INT = {
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+    pa.date32(), pa.date64(),
+}
+
+
+@dataclass
+class ColumnChunk:
+    kind: str
+    nrows: int  # logical rows incl. nulls
+    values: np.ndarray | None = None  # int/float/bool kinds
+    data: bytes = b""  # bin kind
+    offsets: np.ndarray | None = None  # bin kind, int64, len == nvalid+1
+    mask: np.ndarray | None = None  # True == valid; None == all valid
+    meta: dict = field(default_factory=dict)  # original arrow type info
+
+    @property
+    def nvalid(self) -> int:
+        return self.nrows if self.mask is None else int(self.mask.sum())
+
+    def total_bytes(self) -> int:
+        """Uncompressed logical payload size (for ratio reporting)."""
+        if self.kind == "bin":
+            return len(self.data) + 4 * self.nrows
+        if self.values is None:
+            return 0
+        return self.values.dtype.itemsize * self.nrows
+
+
+def _mask_from_arrow(arr: pa.Array) -> np.ndarray | None:
+    if arr.null_count == 0:
+        return None
+    return ~np.asarray(arr.is_null())
+
+
+def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
+    """Arrow array -> ColumnChunk. Strings become raw UTF-8 bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    nrows = len(arr)
+    mask = _mask_from_arrow(arr)
+    meta = {"arrow_type": str(t)}
+
+    if pa.types.is_timestamp(t):
+        vals = arr.cast(pa.int64())
+        v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
+        meta["ts_unit"] = t.unit
+        meta["ts_tz"] = t.tz or ""
+        return ColumnChunk("int", nrows, values=v, mask=mask, meta=meta)
+    if t in _PA_INT or pa.types.is_integer(t):
+        vals = arr.cast(pa.int64())
+        v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
+        return ColumnChunk("int", nrows, values=v, mask=mask, meta=meta)
+    if pa.types.is_floating(t):
+        dt = np.float32 if pa.types.is_float32(t) else np.float64
+        vals = arr.drop_null() if mask is not None else arr
+        return ColumnChunk(
+            "float", nrows, values=np.asarray(vals, dtype=dt), mask=mask, meta=meta
+        )
+    if pa.types.is_boolean(t):
+        vals = arr.drop_null() if mask is not None else arr
+        return ColumnChunk(
+            "bool", nrows, values=np.asarray(vals, dtype=np.bool_), mask=mask, meta=meta
+        )
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        target = pa.large_binary()
+        vals = (arr.drop_null() if mask is not None else arr).cast(target)
+        buffers = vals.buffers()  # [validity, offsets, data]
+        off = np.frombuffer(buffers[1], dtype=np.int64, count=len(vals) + 1).copy()
+        dat = buffers[2].to_pybytes() if buffers[2] is not None else b""
+        # normalize offsets to start at 0 (sliced arrays)
+        dat = dat[off[0] : off[-1]]
+        off = off - off[0]
+        return ColumnChunk("bin", nrows, data=dat, offsets=off, mask=mask, meta=meta)
+    raise TypeError(f"unsupported arrow type for codec layer: {t}")
+
+
+def to_arrow(chunk: ColumnChunk) -> pa.Array:
+    """ColumnChunk -> Arrow array of the original type (round-trip exact)."""
+    t = pa.type_for_alias(_normalize_alias(chunk.meta.get("arrow_type", "")))
+    mask = chunk.mask
+    if chunk.kind == "bin":
+        off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
+        valid = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(off) - 1,
+            [None, pa.py_buffer(off.astype(np.int64).tobytes()), pa.py_buffer(chunk.data)],
+        )
+        out = _respread(valid, chunk.nrows, mask)
+        return out.cast(t)
+    vals = chunk.values
+    if chunk.kind == "int" and chunk.meta.get("ts_unit"):
+        tz = chunk.meta.get("ts_tz") or None
+        t = pa.timestamp(chunk.meta["ts_unit"], tz=tz)
+        valid = pa.array(vals, type=pa.int64()).cast(t)
+        return _respread(valid, chunk.nrows, mask)
+    valid = pa.array(vals)
+    return _respread(valid, chunk.nrows, mask).cast(t)
+
+
+def _respread(valid: pa.Array, nrows: int, mask: np.ndarray | None) -> pa.Array:
+    """Re-expand a dense (valid-only) array to logical positions with nulls."""
+    if mask is None:
+        return valid
+    idx = np.full(nrows, -1, dtype=np.int64)
+    idx[mask] = np.arange(int(mask.sum()), dtype=np.int64)
+    take_idx = pa.array(idx, type=pa.int64())
+    take_idx = pa.compute.if_else(
+        pa.compute.equal(take_idx, pa.scalar(-1, pa.int64())),
+        pa.scalar(None, pa.int64()),
+        take_idx,
+    )
+    return valid.take(take_idx)
+
+
+def _normalize_alias(name: str) -> str:
+    # pa.type_for_alias understands most str(type) forms; map the exceptions.
+    if not name:
+        return "large_binary"
+    if name.startswith("timestamp"):
+        return "int64"  # handled by ts branch before alias lookup
+    if name.startswith("large_string"):
+        return "large_string"
+    return name

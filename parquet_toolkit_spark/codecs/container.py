@@ -1,0 +1,112 @@
+"""Self-describing binary container for one encoded column chunk.
+
+Layout (all little-endian):
+
+    magic 'PTSC' | u8 version | u32 header_len | header_json(utf-8) |
+    sections... (raw bytes, order given by header["sections"])
+
+header_json = {
+  "codec": str, "nrows": int, "nvalid": int, "kind": str,
+  "meta": chunk.meta (arrow type info), "cmeta": codec meta,
+  "has_mask": bool,
+  "sections": [[name, comp, raw_len, stored_len], ...]   # comp: "" | "zstd"
+}
+
+Each section is independently zstd-compressed (pyarrow's bundled zstd)
+when that shrinks it — this is the general-purpose floor that keeps total
+encoded size <= a Parquet-snappy baseline even on low-redundancy columns
+(SURVEY.md §4.3 "selector floor").
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from parquet_toolkit_spark.codecs import impl
+from parquet_toolkit_spark.codecs.bits import pack_mask, unpack_mask
+from parquet_toolkit_spark.codecs.chunk import ColumnChunk
+
+MAGIC = b"PTSC"
+VERSION = 1
+_MIN_COMPRESS = 64  # don't bother compressing tiny sections
+
+
+def _maybe_zstd(raw: bytes, enable: bool) -> tuple[bytes, str]:
+    if not enable or len(raw) < _MIN_COMPRESS:
+        return raw, ""
+    comp = pa.compress(raw, codec="zstd", asbytes=True)
+    if len(comp) < len(raw) * 0.98:
+        return comp, "zstd"
+    return raw, ""
+
+
+def encode_blob(chunk: ColumnChunk, codec: str, zstd: bool = True) -> bytes:
+    """Encode a ColumnChunk with `codec` into one self-describing blob."""
+    enc, _ = impl.ALL_CODECS[codec]
+    if chunk.kind == "bin":
+        off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
+        sections, cmeta = enc(chunk.data, off)
+    else:
+        sections, cmeta = enc(chunk.values)
+
+    if chunk.mask is not None:
+        sections = {**sections, "_mask": pack_mask(chunk.mask)}
+
+    names, blobs, sec_index = [], [], []
+    for name, raw in sections.items():
+        stored, comp = _maybe_zstd(raw, zstd)
+        names.append(name)
+        blobs.append(stored)
+        sec_index.append([name, comp, len(raw), len(stored)])
+
+    header = {
+        "codec": codec,
+        "nrows": chunk.nrows,
+        "nvalid": chunk.nvalid,
+        "kind": chunk.kind,
+        "meta": chunk.meta,
+        "cmeta": cmeta,
+        "has_mask": chunk.mask is not None,
+        "sections": sec_index,
+    }
+    hj = json.dumps(header, separators=(",", ":")).encode()
+    return b"".join(
+        [MAGIC, struct.pack("<BI", VERSION, len(hj)), hj, *blobs]
+    )
+
+
+def decode_blob(blob: bytes) -> ColumnChunk:
+    """Inverse of encode_blob — bit-identical ColumnChunk."""
+    if blob[:4] != MAGIC:
+        raise ValueError("not a PTSC blob")
+    version, hlen = struct.unpack_from("<BI", blob, 4)
+    if version != VERSION:
+        raise ValueError(f"unsupported PTSC version {version}")
+    header = json.loads(blob[9 : 9 + hlen].decode())
+    pos = 9 + hlen
+    sections: dict[str, bytes] = {}
+    for name, comp, raw_len, stored_len in header["sections"]:
+        raw = blob[pos : pos + stored_len]
+        pos += stored_len
+        if comp == "zstd":
+            raw = pa.decompress(raw, decompressed_size=raw_len, codec="zstd", asbytes=True)
+        sections[name] = raw
+
+    nrows, nvalid = header["nrows"], header["nvalid"]
+    mask = unpack_mask(sections["_mask"], nrows) if header["has_mask"] else None
+    _, dec = impl.ALL_CODECS[header["codec"]]
+    kind = header["kind"]
+    if kind == "bin":
+        data, offsets = dec(sections, header["cmeta"], nvalid)
+        return ColumnChunk(kind, nrows, data=data, offsets=offsets,
+                           mask=mask, meta=header["meta"])
+    values = dec(sections, header["cmeta"], nvalid)
+    if kind == "bool":
+        values = values.astype(np.bool_)
+    if kind == "float":
+        pass  # dtype restored by codec
+    return ColumnChunk(kind, nrows, values=values, mask=mask, meta=header["meta"])

@@ -1,0 +1,157 @@
+"""Column-statistics profiler + codec auto-selector.
+
+North rule: "codec auto-selection from profiled column statistics
+(cardinality, run lengths, value ranges, string entropy)". The profile is
+one vectorized numpy pass per chunk; the selector turns stats into a small
+candidate list, encodes the candidates, and keeps the smallest blob — with
+plain(+zstd) always in the candidate set as the floor so we never regress
+above a general-purpose baseline (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from parquet_toolkit_spark.codecs.chunk import ColumnChunk
+from parquet_toolkit_spark.codecs.container import encode_blob
+
+# FSST's bytes.replace passes are ~3-5 MB/s/core: only worth trying on
+# small-to-medium string buffers (dict values, paths, short columns).
+FSST_MAX_BYTES = 4 << 20
+_SAMPLE = 65536
+
+
+def profile_chunk(chunk: ColumnChunk) -> dict:
+    """Vectorized stats for the manifest + selector."""
+    stats: dict = {
+        "kind": chunk.kind,
+        "nrows": chunk.nrows,
+        "nvalid": chunk.nvalid,
+        "bytes": chunk.total_bytes(),
+    }
+    if chunk.kind in ("int", "float", "bool"):
+        v = chunk.values
+        if v is None or len(v) == 0:
+            stats.update(distinct=0, nruns=0)
+            return stats
+        if chunk.kind == "int":
+            stats["min"] = int(v.min())
+            stats["max"] = int(v.max())
+            d = np.diff(v)
+            stats["sortedness"] = float((d >= 0).mean()) if len(d) else 1.0
+        change = np.empty(len(v), dtype=bool)
+        change[0] = True
+        np.not_equal(v[1:], v[:-1], out=change[1:])
+        stats["nruns"] = int(change.sum())
+        sample = v[:: max(1, len(v) // _SAMPLE)]
+        stats["distinct"] = int(len(np.unique(sample)))
+        return stats
+
+    # bin
+    off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
+    n = len(off) - 1
+    lens = np.diff(off)
+    stats["avg_len"] = float(lens.mean()) if n else 0.0
+    stats["max_len"] = int(lens.max()) if n else 0
+    # run count over value boundaries (cheap proxy: compare adjacent lengths
+    # + first bytes; exact runs computed by dict codec when chosen)
+    head = np.frombuffer(chunk.data[: int(off[min(n, len(off) - 1)])], dtype=np.uint8)
+    if len(head) and n:
+        first = head[off[:-1].clip(0, max(0, len(head) - 1))]
+    else:
+        first = np.zeros(n, np.uint8)
+    if n > 1:
+        same = (lens[1:] == lens[:-1]) & (first[1:] == first[:-1])
+        stats["nruns_ub"] = int(n - same.sum())
+    else:
+        stats["nruns_ub"] = n
+    # distinct estimate from a row sample via python set of slices
+    step = max(1, n // 1024)
+    idx = np.arange(0, n, step)
+    seen = {bytes(chunk.data[off[i] : off[i + 1]]) for i in idx}
+    stats["distinct_est"] = int(len(seen) * step) if step > 1 else len(seen)
+    stats["distinct_ratio"] = len(seen) / max(1, len(idx))
+    # byte entropy on a sample of the payload
+    sb = np.frombuffer(chunk.data[:_SAMPLE], dtype=np.uint8)
+    if len(sb):
+        cnt = np.bincount(sb, minlength=256).astype(np.float64)
+        p = cnt[cnt > 0] / len(sb)
+        stats["byte_entropy"] = float(-(p * np.log2(p)).sum())
+    else:
+        stats["byte_entropy"] = 0.0
+    return stats
+
+
+def candidate_codecs(chunk: ColumnChunk, stats: dict) -> list[str]:
+    """Stats -> ordered candidate codec names (floor codec always included)."""
+    k = chunk.kind
+    if k == "bool":
+        return ["bool_bitmap"]
+    if k == "float":
+        return ["float_shuffle", "float_plain"]
+    if k == "int":
+        cands = ["int_for"]
+        n = max(1, stats.get("nvalid", 1))
+        if stats.get("nruns", n) * 3 < n:
+            cands.append("int_rle")
+        if stats.get("sortedness", 0.0) > 0.9:
+            cands.append("int_delta")
+        cands.append("int_plain")
+        return cands
+    # bin
+    cands: list[str] = []
+    if stats.get("distinct_ratio", 1.0) < 0.5:
+        cands.append("bin_dict")
+    payload = len(chunk.data)
+    if (
+        payload <= FSST_MAX_BYTES
+        and stats.get("byte_entropy", 8.0) < 6.5
+        and "bin_dict" not in cands
+        and _fsst_sample_wins(chunk.data)
+    ):
+        cands.append("bin_fsst")
+    cands.append("bin_plain")
+    return cands
+
+
+def _fsst_sample_wins(data: bytes) -> bool:
+    """64KB trial: admit FSST only if it beats zstd on the sample by >10%.
+
+    Guards against paying FSST's encode cost on buffers where the
+    general-purpose floor wins anyway (e.g. random hex, FIXTURES.md
+    `random_hex`)."""
+    import pyarrow as pa
+
+    from parquet_toolkit_spark.codecs import fsst as fsst_mod
+
+    sample = data[:_SAMPLE]
+    if len(sample) < 1024:
+        return True  # tiny buffers: trial cost is irrelevant, just compete
+    merges = fsst_mod.build_table(sample)
+    if not merges:
+        return False
+    tokens = fsst_mod.apply_merges(sample, merges)
+    nused = len(np.unique(tokens))
+    fsst_bits = len(tokens) * max(1, math.ceil(math.log2(max(2, nused))))
+    zstd_bytes = len(pa.compress(sample, codec="zstd", asbytes=True))
+    return fsst_bits / 8 < 0.9 * zstd_bytes
+
+
+def select_codec(chunk: ColumnChunk, stats: dict | None = None,
+                 zstd: bool = True) -> tuple[str, bytes, dict]:
+    """Encode candidates, keep the smallest blob.
+
+    Returns (codec_name, blob, stats). Trial-encoding is bounded: the
+    candidate list is 1-3 codecs, each a vectorized pass.
+    """
+    if stats is None:
+        stats = profile_chunk(chunk)
+    best_name, best_blob = None, None
+    for name in candidate_codecs(chunk, stats):
+        blob = encode_blob(chunk, name, zstd=zstd)
+        if best_blob is None or len(blob) < len(best_blob):
+            best_name, best_blob = name, blob
+    assert best_name is not None and best_blob is not None
+    return best_name, best_blob, stats

@@ -1,0 +1,65 @@
+"""Process-level runtime tuning shared by driver, tests and UDF workers.
+
+This sandbox (and any cold-page environment: fresh containers, lazy-faulted
+VMs) serves first-touch page faults very slowly, while glibc by default
+mmap()s every allocation >128KB and munmap()s it on free — so every large
+numpy temporary pays the fault cost again. Raising the malloc mmap/trim
+thresholds keeps big blocks on the reusable heap. Harmless on a normal
+cluster; critical here.
+
+Call tune_malloc() once per process (idempotent); encode/decode UDFs call
+it per worker process.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+_done = False
+
+
+def tune_malloc(threshold: int = 1 << 30) -> bool:
+    """Raise glibc malloc mmap/trim thresholds; True if applied."""
+    global _done
+    if _done:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok1 = libc.mallopt(_M_MMAP_THRESHOLD, threshold)
+        ok2 = libc.mallopt(_M_TRIM_THRESHOLD, threshold)
+        _done = bool(ok1 and ok2)
+    except OSError:  # non-glibc platform: nothing to do
+        _done = True
+    return _done
+
+
+# Env propagated to Spark python workers (read by glibc at worker start,
+# before tune_malloc can run — covers the first allocations too).
+WORKER_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+
+
+def spark_builder_defaults(builder, shuffle_partitions: int | None = None):
+    """Apply the engine's standard session configs to a SparkSession builder.
+
+    AQE on (runtime coalescing + skew handling), Arrow on (vectorized UDF
+    transfer), UTC session TZ (oracle comparability), worker malloc env.
+    """
+    cores = os.cpu_count() or 8
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in WORKER_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    return builder

@@ -1,0 +1,197 @@
+"""Codec round-trip tests (no Spark): decode(encode(x)) == x byte-exact.
+
+Mirrors FIXTURES.md codec micro-fixtures: const, runs, low-card, monotonic,
+random-hex, prefix strings, unicode bytes, nulls, empty/single chunks.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_toolkit_spark.codecs import impl
+from parquet_toolkit_spark.codecs.chunk import ColumnChunk, from_arrow, to_arrow
+from parquet_toolkit_spark.codecs.container import decode_blob, encode_blob
+from parquet_toolkit_spark.codecs.selector import profile_chunk, select_codec
+
+rng = np.random.default_rng(42)
+
+
+def _bin_chunk(values: list[bytes | None]) -> ColumnChunk:
+    arr = pa.array(values, type=pa.large_binary())
+    return from_arrow(arr)
+
+
+def _roundtrip(chunk: ColumnChunk, codec: str) -> ColumnChunk:
+    blob = encode_blob(chunk, codec)
+    return decode_blob(blob)
+
+
+# ------------------------------------------------------------------- ints
+
+INT_FIXTURES = {
+    "const": np.full(10_000, 7, dtype=np.int64),
+    "runs": np.repeat(np.arange(37, dtype=np.int64), rng.integers(1, 5000, 37)),
+    "monotonic": np.cumsum(rng.integers(0, 50, 20_000)).astype(np.int64),
+    "random_wide": rng.integers(-(2**62), 2**62, 5000, dtype=np.int64),
+    "negatives": rng.integers(-1000, -1, 1000, dtype=np.int64),
+    "single": np.array([-(2**62)], dtype=np.int64),
+    "empty": np.zeros(0, dtype=np.int64),
+    "extremes": np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0], dtype=np.int64),
+}
+
+
+@pytest.mark.parametrize("codec", list(impl.INT_CODECS))
+@pytest.mark.parametrize("name", list(INT_FIXTURES))
+def test_int_roundtrip(codec, name):
+    v = INT_FIXTURES[name]
+    if codec in ("int_for", "int_delta") and name == "extremes":
+        pytest.skip("range exceeds uint64 delta space by design; selector "
+                    "guards via int_plain floor")
+    chunk = ColumnChunk("int", len(v), values=v, meta={"arrow_type": "int64"})
+    out = _roundtrip(chunk, codec)
+    np.testing.assert_array_equal(out.values, v)
+
+
+def test_int_for_full_range_guard():
+    # FOR/delta on extreme spread must either round-trip or be avoided by
+    # the selector; verify the selector picks a safe codec.
+    v = INT_FIXTURES["extremes"]
+    chunk = ColumnChunk("int", len(v), values=v, meta={"arrow_type": "int64"})
+    codec, blob, _ = select_codec(chunk)
+    out = decode_blob(blob)
+    np.testing.assert_array_equal(out.values, v)
+
+
+# ------------------------------------------------------------------ floats
+
+
+@pytest.mark.parametrize("codec", list(impl.FLOAT_CODECS))
+@pytest.mark.parametrize("dt", [np.float64, np.float32])
+def test_float_roundtrip(codec, dt):
+    v = rng.normal(size=5000).astype(dt)
+    v[0], v[1], v[2] = np.nan, np.inf, -np.inf
+    chunk = ColumnChunk("float", len(v), values=v, meta={"arrow_type": str(np.dtype(dt))})
+    out = _roundtrip(chunk, codec)
+    assert out.values.dtype == dt
+    np.testing.assert_array_equal(
+        out.values.view(np.uint8), v.view(np.uint8)
+    )  # bit-exact incl. NaN payloads
+
+
+def test_bool_roundtrip():
+    v = rng.integers(0, 2, 10_001).astype(bool)
+    chunk = ColumnChunk("bool", len(v), values=v, meta={"arrow_type": "bool"})
+    out = _roundtrip(chunk, "bool_bitmap")
+    np.testing.assert_array_equal(out.values, v)
+
+
+# ------------------------------------------------------------------ binary
+
+BIN_FIXTURES = {
+    "const_col": [b"same-value"] * 10_000,
+    "lowcard": [f"val_{i % 64}".encode() for i in range(10_000)],
+    "runs": [f"cat_{i // 500}".encode() for i in range(10_000)],
+    "random_hex": [rng.bytes(20).hex().encode() for _ in range(2000)],
+    "prefix_strings": [
+        f"src/very/long/shared/prefix/module_{i % 40}/file_{i}.py".encode()
+        for i in range(5000)
+    ],
+    "unicode": ["héllo🎉".encode(), "中文字符串".encode(), b"", b"\r\n", b"\xf0\x9f\x8e\x89",
+                "ligne\r\nsuivante".encode()] * 500,
+    "empty_strings": [b""] * 1000,
+    "single": [b"x"],
+    "empty": [],
+    "binary_junk": [bytes([i % 256, 0xFE, 0xFF, i % 7]) for i in range(3000)],
+}
+
+
+@pytest.mark.parametrize("codec", list(impl.BIN_CODECS))
+@pytest.mark.parametrize("name", list(BIN_FIXTURES))
+def test_bin_roundtrip(codec, name):
+    vals = BIN_FIXTURES[name]
+    chunk = _bin_chunk(vals)
+    out = _roundtrip(chunk, codec)
+    arr = to_arrow(out).cast(pa.large_binary())
+    assert arr.to_pylist() == vals
+
+
+# ------------------------------------------------------------------- nulls
+
+
+@pytest.mark.parametrize(
+    "maker,codec",
+    [
+        (lambda: pa.array([1, None, 3, None, 5], pa.int64()), "int_for"),
+        (lambda: pa.array([None] * 100, pa.int64()), "int_plain"),
+        (lambda: pa.array([b"a", None, b"", b"c"], pa.large_binary()), "bin_plain"),
+        (lambda: pa.array([None, 1.5, None], pa.float64()), "float_shuffle"),
+        (lambda: pa.array([True, None, False], pa.bool_()), "bool_bitmap"),
+    ],
+)
+def test_null_roundtrip(maker, codec):
+    arr = maker()
+    chunk = from_arrow(arr)
+    out = _roundtrip(chunk, codec)
+    assert to_arrow(out).cast(arr.type).to_pylist() == arr.to_pylist()
+
+
+# --------------------------------------------------------------- selector
+
+
+def test_selector_picks_small_and_roundtrips():
+    for name, vals in BIN_FIXTURES.items():
+        chunk = _bin_chunk(vals)
+        codec, blob, stats = select_codec(chunk)
+        out = decode_blob(blob)
+        assert to_arrow(out).cast(pa.large_binary()).to_pylist() == vals, (name, codec)
+
+
+def test_selector_is_size_optimal_on_lowcard():
+    # the selector must never be beaten by any single codec it considered
+    chunk = _bin_chunk(BIN_FIXTURES["lowcard"])
+    codec, blob, _ = select_codec(chunk)
+    for c in ("bin_plain", "bin_dict"):
+        assert len(blob) <= len(encode_blob(chunk, c)), (codec, c)
+
+
+def test_selector_prefers_dict_at_scale():
+    # at partition scale the dictionary codec wins on low-card columns
+    vals = [f"val_{i % 64}".encode() for i in range(300_000)]
+    chunk = _bin_chunk(vals)
+    codec, blob, _ = select_codec(chunk)
+    assert codec == "bin_dict"
+    assert len(blob) <= len(encode_blob(chunk, "bin_plain"))
+
+
+def test_selector_rle_on_runs():
+    v = np.repeat(np.arange(20, dtype=np.int64), 500)
+    chunk = ColumnChunk("int", len(v), values=v, meta={"arrow_type": "int64"})
+    codec, blob, _ = select_codec(chunk)
+    assert codec in ("int_rle", "int_delta", "int_for")
+    assert len(blob) < 1000  # 10k rows in under 1KB
+
+
+def test_profile_has_required_stats():
+    chunk = _bin_chunk(BIN_FIXTURES["prefix_strings"])
+    st = profile_chunk(chunk)
+    for key in ("avg_len", "distinct_ratio", "byte_entropy", "bytes"):
+        assert key in st
+
+
+# ----------------------------------------------------------- arrow chunk
+
+
+def test_timestamp_roundtrip():
+    arr = pa.array([1, None, 10**15], pa.timestamp("us"))
+    chunk = from_arrow(arr)
+    codec, blob, _ = select_codec(chunk)
+    out = decode_blob(blob)
+    assert to_arrow(out).to_pylist() == arr.to_pylist()
+
+
+def test_string_type_roundtrip():
+    arr = pa.array(["a", None, "", "héllo🎉"], pa.string())
+    chunk = from_arrow(arr)
+    blob = encode_blob(chunk, "bin_plain")
+    out = to_arrow(decode_blob(blob))
+    assert out.cast(pa.string()).to_pylist() == arr.to_pylist()
