@@ -1,0 +1,124 @@
+"""Layout engine: merge/compact, sort-by-key, split-by-size — the three
+core behaviors of the reference toolkit, re-expressed as Spark plans.
+
+Reference parity map (SURVEY.md §2):
+  compact()      = SimpleParquetMerger / SimpleMultithreadedParquetMerger
+                   (merge/SimpleMultithreadedParquetMerger.java:281-349
+                   bin-packs input files to ~128MB chunks; here Catalyst's
+                   file-scan coalescing + a size-targeted repartition do it)
+  sort_by_key()  = SimpleParquetSorter / AdvancedParquetSorter /
+                   BigParquetSorter (the SQLite ORDER BY spill engine,
+                   sort/SortDataFactory.java:84-99, is exactly Spark's
+                   range-partition + external sort)
+  split_by_size()= SimpleParquetSplitter / MultithreadedParquetSplitter
+                   (the 50k-record size probe, split/
+                   MultithreadedParquetSplitter.java:152-170, becomes a
+                   sampled avg(octet_length) estimate)
+
+All functions are declarative DataFrame plans: predicate pushdown, column
+pruning and AQE re-planning apply for free; nothing is collected on the
+driver except O(1) scalars (row counts, sampled averages).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 << 20  # reference default chunk/row-group size
+
+
+def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 50_000) -> float:
+    """Sampled average serialized row width (uncompressed payload bytes).
+
+    Spark-native version of the reference's probe: it writes the first 50k
+    records to a temp file and divides (MultithreadedParquetSplitter.java:
+    152-170). We instead sum octet_length over a row sample — no temp file,
+    no driver materialization beyond one scalar.
+    """
+    width_cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        t = f.dataType.simpleString()
+        if t in ("string", "binary"):
+            width_cols.append(F.coalesce(F.octet_length(c.cast("binary")), F.lit(0)))
+        elif t in ("double", "bigint", "timestamp", "timestamp_ntz"):
+            width_cols.append(F.lit(8))
+        elif t in ("float", "int", "date"):
+            width_cols.append(F.lit(4))
+        elif t == "boolean":
+            width_cols.append(F.lit(1))
+        else:  # arrays/structs: approximate via json rendering width
+            width_cols.append(F.coalesce(F.octet_length(F.to_json(c)), F.lit(8)))
+    row_w = sum(width_cols[1:], width_cols[0])
+    sample = df.select(row_w.alias("w")).limit(sample_rows)
+    avg = sample.agg(F.avg("w")).first()[0]
+    return float(avg or 1.0)
+
+
+def _target_file_counts(df: DataFrame, target_bytes: int,
+                        sample_rows: int = 50_000) -> tuple[int, int]:
+    """(n_partitions, max_records_per_file) for a target output size."""
+    bpr = estimate_bytes_per_row(df, sample_rows)
+    n_rows = df.count()
+    total = bpr * n_rows
+    n_parts = max(1, math.ceil(total / target_bytes))
+    max_records = max(1, int(target_bytes / max(bpr, 1.0)))
+    return n_parts, max_records
+
+
+def compact(spark: SparkSession, in_path: str | list[str], out_path: str,
+            target_bytes: int = DEFAULT_TARGET_BYTES,
+            compression: str = "snappy") -> dict:
+    """Merge many small parquet files into ~target_bytes outputs.
+
+    UNION-ALL multiset semantics (same as record-by-record copy in
+    SimpleMergeThread.java:97-207); empty input files are skipped by the
+    scan automatically (M6 parity).
+    """
+    df = spark.read.parquet(*([in_path] if isinstance(in_path, str) else in_path))
+    n_parts, max_records = _target_file_counts(df, target_bytes)
+    (
+        df.repartition(n_parts)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records)
+        .parquet(out_path)
+    )
+    return {"n_partitions": n_parts, "max_records_per_file": max_records}
+
+
+def sort_by_key(spark: SparkSession, in_path: str | list[str], out_path: str,
+                keys: list[str], target_bytes: int = DEFAULT_TARGET_BYTES,
+                compression: str = "snappy",
+                descending: bool = False) -> dict:
+    """Globally sort by `keys` into ~target_bytes files.
+
+    Typed native ordering (documented divergence: the reference compares
+    the string rendering of keys, SortThread.java:37, and hard-errors on
+    null keys, DMCMemoryData.java:68-70; we use Catalyst ordering with
+    NULLS FIRST).
+    """
+    df = spark.read.parquet(*([in_path] if isinstance(in_path, str) else in_path))
+    n_parts, max_records = _target_file_counts(df, target_bytes)
+    cols = [F.col(k).desc() if descending else F.col(k).asc() for k in keys]
+    (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records)
+        .parquet(out_path)
+    )
+    return {"n_partitions": n_parts, "max_records_per_file": max_records}
+
+
+def split_by_size(spark: SparkSession, in_path: str | list[str], out_path: str,
+                  target_bytes: int, compression: str = "snappy") -> dict:
+    """Split large file(s) into <= target_bytes outputs (P1/P2 parity).
+
+    Unlike the reference (refuses when input <= chunk size,
+    SimpleParquetSplitter.java:89-91) this is a no-op-safe repartition."""
+    return compact(spark, in_path, out_path, target_bytes, compression)

@@ -1,0 +1,131 @@
+"""End-to-end encode/decode pipeline tests: the north-rule invariants.
+
+- per-row sha256(content) equality after encode->decode (bit-identical)
+- compressed size <= parquet-snappy baseline on the same layout
+- checkpoint-resume: kill after k partitions, rerun, only pending re-encode
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_toolkit_spark.datagen import write_corpus
+from parquet_toolkit_spark.operators.encode import (
+    decode_pipeline,
+    encode_partitions,
+    encode_pipeline,
+    encoded_size_report,
+    layout_stage,
+    read_manifest,
+    verify_roundtrip,
+)
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    # stable path so write_corpus's marker caching works within the session
+    out = str(d / "files")
+    write_corpus(out, N_ROWS, n_files=24, avg_content_bytes=600)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus_dir):
+    return spark.read.parquet(corpus_dir)
+
+
+def test_encode_pipeline_roundtrip(spark, corpus_df, tmp_path):
+    enc = str(tmp_path / "enc")
+    man = encode_pipeline(spark, corpus_df, enc, target_bytes=1 << 20, run_id="t1")
+    assert man is not None
+    cols = {r.column for r in man.select("column").distinct().collect()}
+    assert cols == {"repo", "path", "commit", "lang", "content"}
+
+    decoded = decode_pipeline(spark, enc)
+    res = verify_roundtrip(corpus_df, decoded)
+    assert res["ok"], res
+    assert res["rows"] == N_ROWS
+
+
+def test_encoded_size_beats_parquet_snappy(spark, corpus_df, tmp_path):
+    enc = str(tmp_path / "enc2")
+    encode_pipeline(spark, corpus_df, enc, target_bytes=1 << 20, run_id="t2")
+    rep = encoded_size_report(spark, enc)
+    assert rep["ratio"] < 1.0
+    # baseline: the same rows written as snappy parquet
+    base_dir = str(tmp_path / "base")
+    corpus_df.write.mode("overwrite").option("compression", "snappy").parquet(base_dir)
+    base_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(base_dir, "*.parquet"))
+    )
+    assert rep["bytes_out"] <= base_bytes, (rep, base_bytes)
+
+
+def test_checkpoint_resume(spark, corpus_df, tmp_path):
+    staging = str(tmp_path / "staging")
+    enc = str(tmp_path / "enc3")
+    n_parts = layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
+    assert n_parts >= 3, "need several partitions for a meaningful resume test"
+
+    # run 1 "crashes" after 2 partitions
+    man1 = encode_partitions(spark, staging, enc, run_id="run1", fail_after=2)
+    done1 = {r.pid for r in man1.select("pid").distinct().collect()}
+    assert len(done1) == 2
+
+    # run 2 resumes: completes the rest, does NOT touch run1's partitions
+    man2 = encode_partitions(spark, staging, enc, run_id="run2", resume=True)
+    by_run = {
+        (r.pid, r.run_id)
+        for r in man2.select("pid", "run_id").distinct().collect()
+    }
+    runs_of_done1 = {run for pid, run in by_run if pid in done1}
+    assert runs_of_done1 == {"run1"}, "committed partitions must not re-encode"
+    all_pids = {pid for pid, _ in by_run}
+    assert len(all_pids) == n_parts
+
+    # and the resumed store still decodes bit-identical
+    decoded = decode_pipeline(spark, enc)
+    res = verify_roundtrip(corpus_df, decoded)
+    assert res["ok"], res
+
+    # run 3: nothing pending -> no-op
+    man3 = encode_partitions(spark, staging, enc, run_id="run3", resume=True)
+    assert man3.where(F.col("run_id") == "run3").count() == 0
+
+
+def test_staged_layout_is_sorted_and_sized(spark, corpus_df, tmp_path):
+    staging = str(tmp_path / "staging2")
+    layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
+    staged = spark.read.parquet(staging)
+    assert staged.count() == N_ROWS
+    # within every pid, rows are sorted by (repo, path, commit)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("repo", "path", "commit")
+    checked = (
+        staged.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "key", F.concat_ws("\x00", "repo", "path", "commit")
+        )
+        .withColumn("prev", F.lag("key").over(Window.partitionBy("pid").orderBy("rn")))
+        .where(F.col("prev").isNotNull() & (F.col("prev") > F.col("key")))
+    )
+    assert checked.count() == 0
+
+
+def test_manifest_stats_are_populated(spark, corpus_df, tmp_path):
+    enc = str(tmp_path / "enc4")
+    man = encode_pipeline(spark, corpus_df, enc, target_bytes=1 << 20, run_id="t4")
+    row = man.where(F.col("column") == "content").first()
+    assert row.codec in ("bin_plain", "bin_fsst", "bin_dict")
+    assert row.bytes_out > 0 and row.bytes_in > 0
+    assert len(row.checksum) == 64
+    import json
+
+    stats = json.loads(row.stats_json)
+    assert "byte_entropy" in stats and "distinct_ratio" in stats
