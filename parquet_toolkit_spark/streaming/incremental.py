@@ -1,0 +1,81 @@
+"""Incremental encode: new parquet files appearing in a landing directory
+are encoded into the blob store as they arrive.
+
+The reference is batch-only (SURVEY.md §2.8); this is the Spark-native
+extension the north star anticipates ("incremental encode of new
+partitions maps to readStream + foreachBatch"). Each micro-batch becomes
+one or more encoded pids appended to the store; the manifest stays
+consistent because _write_encoded rebuilds it from the blob store.
+
+Pid allocation: micro-batch pids continue after the current manifest max
+(batch 0 starts at 0), so streamed partitions never collide with batch
+ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_toolkit_spark.operators.encode import (
+    ENCODED_SCHEMA,
+    _encode_pdf,
+    _schema_map,
+    _write_encoded,
+    read_manifest,
+)
+
+
+def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
+                       schema_ddl: str, checkpoint_dir: str,
+                       run_id: str = "stream",
+                       rows_per_pid: int = 250_000,
+                       available_now: bool = True):
+    """Start (and with available_now=True, drain) an incremental encode.
+
+    Returns the StreamingQuery (already stopped if available_now)."""
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        man = read_manifest(spark, enc_dir)
+        base_pid = 0
+        if man is not None:
+            base_pid = (man.agg(F.max("pid")).first()[0] or 0) + 1
+        schema_map = _schema_map(batch_df)
+        n = batch_df.count()
+        n_parts = max(1, (n + rows_per_pid - 1) // rows_per_pid)
+        laid = batch_df.repartition(n_parts)
+
+        def encode_iter(batches):
+            from pyspark import TaskContext
+
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            pid = base_pid + TaskContext.get().partitionId()
+            yield _encode_pdf(pdf, pid, schema_map, f"{run_id}-e{epoch_id}")
+
+        encoded = laid.mapInPandas(encode_iter, ENCODED_SCHEMA)
+        _write_encoded(spark, encoded, enc_dir, schema_map, append_pids=True)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,212 @@
+"""Text / dedup / similarity / multimodal function tests with python or
+DuckDB oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_toolkit_spark.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_count_matches_python(spark):
+    cases = ["a b  c", "", "   ", "one", "x\ty\nz", "  lead trail  "]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r[0] for r in df.select(text.token_count(F.col("t"))).collect()]
+    want = [len(c.split()) for c in cases]
+    assert got == want
+
+
+def test_lang_id_on_obvious_text(spark):
+    rows = [
+        ("the cat and the dog is here of course", "en"),
+        ("der Hund und die Katze ist hier", "de"),
+        ("le chat et les chiens est ici", "fr"),
+        ("el gato que los perros es aqui", "es"),
+        ("这是一个的测试在这里了", "zh"),
+        ("zzz qqq", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r[0] for r in df.select(text.lang_id(F.col("t"))).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_rolling_hash_matches_python_oracle(spark, docs):
+    sample = docs.limit(20).select("doc_id", "text",
+                                   text.rolling_hash(F.col("text")).alias("h"))
+    rows = sample.collect()
+
+    def py_hash(t: str) -> int:
+        h = 14695981039346656037
+        for b in t.encode("utf-8"):
+            h = (h * 1099511628211 + b) % (1 << 64)
+        return h if h < (1 << 63) else h - (1 << 64)
+
+    for r in rows:
+        assert r.h == py_hash(r.text), r.doc_id
+
+
+def test_quality_score_deterministic_and_bounded(spark, docs):
+    scored = docs.select(text.quality_score(F.col("text")).alias("q"))
+    stats = scored.agg(F.min("q"), F.max("q")).first()
+    assert 0 <= stats[0] <= stats[1] <= 100
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_counts(spark):
+    rows = [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa"), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.keep_id: r.n_dupes for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1, 5: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight under bright stars")
+    rows = [(1, base), (2, base + " extra"), (3, "completely different text "
+            "about spark dataframes and columnar encodings with zstd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, k=16, bands=8, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_minhash_jaccard_matches_python(spark):
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "w1 w2 w3 w4 w5 w6 zz yy"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, k=16, bands=16, shingle_n=3,
+                                    threshold=0.0).collect()
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+
+    ga, gb = grams(a), grams(b)
+    want = len(ga & gb) / len(ga | gb)
+    assert len(pairs) == 1
+    assert abs(pairs[0].jaccard - want) < 1e-9
+
+
+def test_simhash_near_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = base.replace("tok7", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.simhash_near_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_prefix_blocked(spark):
+    t1 = "shared prefix here then body one two three four five"
+    t2 = "shared prefix here then body one two three four SIX"
+    t3 = "unrelated start entirely different body"
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)],
+                               "doc_id long, text string")
+    got = dedup.ngram_jaccard_pairs(df, threshold=0.3, prefix_chars=16).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    got = similarity.ann_bruteforce_topk(emb, queries, k=5).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        cos = Mn @ Mn[qi]
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        want = [int(ids[i]) for i in order]
+        mine = [r.neighbor_id for r in sorted(
+            (x for x in got if x.query_id == q), key=lambda x: x.rank)]
+        assert mine == want, (q, mine, want)
+
+
+def test_lsh_ann_recall_reasonable(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.ann_bruteforce_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.2, recall  # 4 planes / 64-dim gaussian: coarse but useful
+    # every approx hit must come from the query's own bucket - sanity: no dups
+    assert len(approx_set) == len(approx)
+
+
+def test_embedding_near_pairs_self_consistency(spark, emb):
+    # plant an exact duplicate vector
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    df = emb.union(dup)
+    pairs = similarity.embedding_near_pairs(df, tau=0.999999).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    first_id = emb.first().vec_id
+    assert (first_id, first_id + 100000) in ids
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_features_and_frames(spark):
+    from parquet_toolkit_spark.functions import multimodal as mm
+
+    media = mm.make_media_df(spark, n=30)
+    feats = mm.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(len(r.sha256) == 64 for r in rows)
+    # deterministic: same payload -> same feature
+    again = {r.media_id: r.feature for r in mm.extract_features(media, dim=8).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+    frames = mm.sample_frames(media, every_ms=10000)
+    vids = media.where(F.col("kind") == "video/mp4").count()
+    assert frames.select("media_id").distinct().count() == vids
+
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"xx", "image/png")
+
+
+def test_skew_salted_agg_matches_plain(spark):
+    from parquet_toolkit_spark.datagen import gen_source_code_files
+    from parquet_toolkit_spark.operators.skew import repo_stats
+
+    t = gen_source_code_files(3000, seed=7)
+    df = spark.createDataFrame(t.to_pandas())
+    got = {r.repo: (r.n_files, r.content_bytes) for r in repo_stats(df).collect()}
+    want_df = df.groupBy("repo").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(F.col("content").cast("binary"))).alias("b"),
+    )
+    want = {r.repo: (r.n, r.b) for r in want_df.collect()}
+    assert got == want

@@ -1,0 +1,153 @@
+"""CSV ingest, schema-group merge, quarantine, incremental-encode tests
+(reference fixtures F1/F4 shapes from FIXTURES.md)."""
+
+import gzip
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_toolkit_spark.sources import csv_ingest, parquet_tools
+
+
+def test_csv_typed_conversion(spark, tmp_path):
+    csv = tmp_path / "typed.csv"
+    csv.write_text(
+        "id;cnt;ratio;price;flag;note\n"
+        "1;100;0.5;9.99;true;hello\n"
+        "2;;1.5;0.01;false;\n"  # empty cells -> null (ConvertThread parity)
+        "3;300;2.5;1.25;true;käse🎉\n"
+    )
+    df = csv_ingest.csv_to_df(
+        spark, str(csv),
+        field_types={"id": "int", "cnt": "long", "ratio": "float",
+                     "price": "double", "flag": "boolean", "note": "string"},
+        delimiter=";",
+    )
+    rows = df.orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert rows[1].cnt is None and rows[1].note is None
+    assert rows[2].note == "käse🎉"
+    assert dict(df.dtypes)["price"] == "double"
+
+
+def test_csv_gzip_and_headerless(spark, tmp_path):
+    gz = tmp_path / "data.csv.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("a,1\nb,2\n")
+    df = csv_ingest.csv_to_df(spark, str(gz), header=False,
+                              column_names=["name", "val"])
+    assert {(r.name, r.val) for r in df.collect()} == {("a", "1"), ("b", "2")}
+
+
+def test_csv_custom_quote(spark, tmp_path):
+    csv = tmp_path / "alarms.csv"
+    csv.write_text("c1,c2\n^x,y^,z\n")  # reference Main.java quote char '^'
+    df = csv_ingest.csv_to_df(spark, str(csv), quote="^")
+    row = df.first()
+    assert row.c1 == "x,y" and row.c2 == "z"
+
+
+@pytest.fixture()
+def mixed_folder(tmp_path):
+    """FIXTURES.md F1: three schemas + empty + corrupt + hidden + non-parquet."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    v1 = pa.table({"id": pa.array([1, 2], pa.int64()),
+                   "name": pa.array(["a", None], pa.string())})
+    v2 = pa.table({"id": pa.array([3], pa.int64()),
+                   "name": pa.array(["c"], pa.string()),
+                   "added_col": pa.array(["x"], pa.string())})
+    v3 = pa.table({"id": pa.array(["s1"], pa.string()),
+                   "name": pa.array(["d"], pa.string())})
+    for i in range(4):
+        pq.write_table(v1, d / f"v1_{i}.parquet")
+    for i in range(3):
+        pq.write_table(v2, d / f"v2_{i}.parquet")
+    pq.write_table(v3, d / "v3_0.parquet")
+    pq.write_table(v1.slice(0, 0), d / "empty.parquet")  # zero rows
+    (d / "broken.parquet").write_bytes(b"PAR1 this is not really parquet")
+    (d / "_hidden.parquet").write_bytes(b"x")
+    (d / "data.txt").write_text("not parquet")
+    (d / "leftover_merger_.parq").write_bytes(b"x")
+    return str(d)
+
+
+def test_listing_predicate(mixed_folder):
+    files = parquet_tools.list_parquet_files(mixed_folder)
+    names = {os.path.basename(f) for f in files}
+    assert "_hidden.parquet" not in names
+    assert "data.txt" not in names
+    assert "leftover_merger_.parq" not in names
+    assert "broken.parquet" in names  # listed; quarantined later by footer probe
+
+
+def test_schema_groups_and_quarantine(mixed_folder):
+    files = parquet_tools.list_parquet_files(mixed_folder)
+    groups, broken = parquet_tools.schema_groups(files)
+    assert len(groups) == 3  # v1 (+empty slice shares v1 schema), v2, v3
+    assert [os.path.basename(b) for b in broken] == ["broken.parquet"]
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == [1, 3, 5]  # v3=1, v2=3, v1=4+empty
+
+
+def test_merge_schema_groups(spark, mixed_folder, tmp_path):
+    out = str(tmp_path / "merged")
+    report = parquet_tools.merge_schema_groups(spark, mixed_folder, out)
+    assert report["n_groups"] == 3
+    assert len(report["outputs"]) == 3
+    total = 0
+    for o in report["outputs"]:
+        total += spark.read.parquet(o["path"]).count()
+    assert total == 4 * 2 + 3 * 1 + 1  # v1 rows + v2 rows + v3 rows
+
+
+def test_read_with_quarantine(spark, mixed_folder):
+    df, broken = parquet_tools.read_with_quarantine(spark, mixed_folder)
+    assert len(broken) == 1
+    assert df.count() >= 1  # reads the largest-schema group subset it can
+
+
+def test_footer_row_counts(mixed_folder):
+    files = [f for f in parquet_tools.list_parquet_files(mixed_folder)
+             if "v1_0" in f]
+    counts = parquet_tools.footer_row_counts(files)
+    (rg, rows), = counts.values()
+    assert rows == 2 and rg >= 1
+
+
+def test_incremental_encode_stream(spark, tmp_path):
+    from parquet_toolkit_spark.datagen import gen_source_code_files
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        read_manifest,
+    )
+    from parquet_toolkit_spark.streaming.incremental import incremental_encode
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    enc = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ckpt")
+    t = gen_source_code_files(500, seed=9)
+    pq.write_table(t, landing / "batch0.parquet")
+
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    incremental_encode(spark, str(landing), enc, ddl, ckpt, run_id="s1")
+    man = read_manifest(spark, enc)
+    assert man.count() == 5  # 5 columns x 1 pid
+
+    # second file arrives -> only it is encoded (new pid, run s2)
+    t2 = gen_source_code_files(300, seed=10)
+    pq.write_table(t2, landing / "batch1.parquet")
+    incremental_encode(spark, str(landing), enc, ddl, ckpt, run_id="s2")
+    man = read_manifest(spark, enc)
+    pids = {r.pid for r in man.select("pid").distinct().collect()}
+    assert len(pids) == 2
+    runs = {r.run_id.split("-")[0] for r in man.select("run_id").distinct().collect()}
+    assert runs == {"s1", "s2"}
+
+    decoded = decode_pipeline(spark, enc)
+    assert decoded.count() == 800
