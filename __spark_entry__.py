@@ -1,38 +1,548 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: encode->decode the documents table through the
+                 columnar engine and return the per-column manifest with a
+                 bit-identical-decode flag.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); each callable: (spark, sf_dir) -> DF.
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Column names/values
+                 match exactly (aggregates use exact decimal arithmetic
+                 then cast to double; timestamps rendered as strings; float
+                 outputs avoided or rounded identically on both sides).
+
+Queries without an oracle entry (hash-seeded LSH/minhash/simhash, the
+resumable encode) get the driver's rows-only check and are covered by
+python-oracle pytests instead (tests/test_functions.py, test_encode_pipeline.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_toolkit_spark.runtime import tune_malloc  # noqa: E402
+
+tune_malloc()
+
+_TMP = "/tmp/ptsk_queries"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode sf0.001 documents through the columnar engine, decode, verify
+    per-row sha256 fidelity; return the manifest joined with the verdict."""
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        verify_roundtrip,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = os.path.join(_TMP, "entry_enc")
+    man = encode_pipeline(
+        spark, docs, enc_dir, target_bytes=4 << 20, run_id="entry",
+        range_keys=("source", "doc_id"), sort_keys=("source", "doc_id"),
+    )
+    decoded = decode_pipeline(spark, enc_dir)
+    res = verify_roundtrip(docs, decoded, key_cols=("doc_id",), content_col="text")
+    return (
+        man.select("pid", "column", "codec", "nrows", "bytes_in", "bytes_out")
+        .withColumn("ratio", F.round(F.col("bytes_out") / F.col("bytes_in"), 4))
+        .withColumn("decode_bit_identical", F.lit(bool(res["ok"])))
+        .orderBy("pid", "column")
+    )
+
+
+# ------------------------------------------------- layout / toolkit parity
+
+_LI_COLS = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus"
+)
+
+
+def _li_with_ship_str(df: DataFrame) -> DataFrame:
+    return df.select(
+        *[c.strip() for c in _LI_COLS.split(",")],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate_s"),
+    )
+
+
+_LI_ORACLE_PROJ = (
+    f"SELECT {_LI_COLS}, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS "
+    "l_shipdate_s FROM lineitem"
+)
+
+
+def q_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2: scatter lineitem into many small files, compact to ~4MB
+    outputs, read back — multiset must be preserved."""
+    from parquet_toolkit_spark.operators.layout import compact
+
+    li = _t(spark, sf_dir, "lineitem")
+    small = os.path.join(_TMP, "merge_small")
+    out = os.path.join(_TMP, "merge_out")
+    li.repartition(40).write.mode("overwrite").parquet(small)  # many-small shape
+    compact(spark, small, out, target_bytes=4 << 20)
+    return _li_with_ship_str(spark.read.parquet(out))
+
+
+def q_sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3: global typed sort by (l_orderkey, l_linenumber); multiset
+    preserved (sortedness asserted in tests/test_layout.py)."""
+    from parquet_toolkit_spark.operators.layout import sort_by_key
+
+    out = os.path.join(_TMP, "sort_out")
+    sort_by_key(spark, f"{sf_dir}/lineitem.parquet", out,
+                keys=["l_orderkey", "l_linenumber"], target_bytes=4 << 20)
+    return _li_with_ship_str(spark.read.parquet(out))
+
+
+def q_split_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: size-targeted split with the sampled bytes/row probe."""
+    from parquet_toolkit_spark.operators.layout import split_by_size
+
+    out = os.path.join(_TMP, "split_out")
+    split_by_size(spark, f"{sf_dir}/lineitem.parquet", out, target_bytes=1 << 20)
+    return _li_with_ship_str(spark.read.parquet(out))
+
+
+_CSV_ROWS = [
+    (1, 100, "alpha"), (2, None, "beta"), (3, 300, None), (4, 42, "käse🎉"),
+]
+
+
+def q_csv_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C3: typed CSV -> parquet with ''->null parity."""
+    from parquet_toolkit_spark.sources.csv_ingest import convert_csv
+
+    os.makedirs(_TMP, exist_ok=True)
+    src = os.path.join(_TMP, "typed.csv")
+    with open(src, "w") as fh:
+        fh.write("id;cnt;note\n")
+        for i, c, n in _CSV_ROWS:
+            fh.write(f"{i};{'' if c is None else c};{'' if n is None else n}\n")
+    out = os.path.join(_TMP, "csv_out")
+    convert_csv(spark, src, out, delimiter=";",
+                field_types={"id": "int", "cnt": "long", "note": "string"})
+    return spark.read.parquet(out)
+
+
+_CSV_ORACLE = (
+    "SELECT * FROM (VALUES (1, 100, 'alpha'), (2, NULL, 'beta'), "
+    "(3, 300, NULL), (4, 42, 'käse🎉')) t(id, cnt, note)"
+)
+
+
+# -------------------------------------------------------- encode pipeline
+
+
+def q_encode_roundtrip_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant as a driver-checked query: encode+decode the
+    documents table, emit sha256 of every DECODED text — must equal the
+    oracle's sha256 of the ORIGINAL text per doc_id."""
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = os.path.join(_TMP, "roundtrip_enc")
+    encode_pipeline(spark, docs, enc_dir, target_bytes=4 << 20, run_id="q",
+                    range_keys=("source", "doc_id"),
+                    sort_keys=("source", "doc_id"))
+    decoded = decode_pipeline(spark, enc_dir)
+    return decoded.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
+def q_encode_manifest_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest lineage: every column's encoded row count == table rows."""
+    from parquet_toolkit_spark.operators.encode import encode_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = os.path.join(_TMP, "coverage_enc")
+    man = encode_pipeline(spark, docs, enc_dir, target_bytes=4 << 20, run_id="q2",
+                          range_keys=("source", "doc_id"),
+                          sort_keys=("source", "doc_id"))
+    return (
+        man.groupBy("column").agg(F.sum("nrows").alias("total_rows"))
+        .orderBy("column")
+    )
+
+
+# ----------------------------------------------------- analytics breadth
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(28,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderstatus", "o_orderkey", "rk")
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 4)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ------------------------------------------------------------------ text
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_q"),
+        text.fingerprint_sha256(F.col("text")).alias("text_sha"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    s = text.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["en"].cast("long").alias("score_en"),
+        s["de"].cast("long").alias("score_de"),
+        text.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.dedup import normalized_dedup
+
+    return normalized_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, prefix_chars=24
+    ).select("id_a", "id_b")  # ids only: float-free compare
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=16, bands=8, threshold=0.5
+    ).select("id_a", "id_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    ).select("id_a", "id_b")
+
+
+# ------------------------------------------------------------ similarity
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.similarity import ann_bruteforce_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ann_bruteforce_topk(emb, queries, k=5)
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact variant (full pairwise) — oracle-comparable; the LSH-blocked
+    scale path is q_embedding_near_pairs_lsh (rows-only)."""
+    from parquet_toolkit_spark.functions.similarity import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b",
+                     cosine_col(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= 0.4)
+        .select("id_a", "id_b")
+    )
+
+
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_toolkit_spark.functions.similarity import embedding_near_pairs
+
+    return embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), tau=0.4, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------- tables
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "merge_compact": q_merge_compact,
+        "sort_by_key": q_sort_by_key,
+        "split_by_size": q_split_by_size,
+        "csv_convert": q_csv_convert,
+        "encode_roundtrip_sha": q_encode_roundtrip_sha,
+        "encode_manifest_coverage": q_encode_manifest_coverage,
+        "q1_pricing_summary": q1_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "join_agg": q_join_agg,
+        "events_hourly": q_events_hourly,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "exact_dedup": q_exact_dedup,
+        "normalized_dedup": q_normalized_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKCNT = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def _occ_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{esc}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    padded = "(' ' || text || ' ')"
+    scores = {
+        "en": " + ".join(_occ_sql(padded, m) for m in [" the ", " and ", " of ", " is "]),
+        "de": " + ".join(_occ_sql(padded, m) for m in [" der ", " und ", " die ", " ist "]),
+        "fr": " + ".join(_occ_sql(padded, m) for m in [" le ", " et ", " les ", " est "]),
+        "es": " + ".join(_occ_sql(padded, m) for m in [" el ", " que ", " los ", " es "]),
+        "zh": " + ".join(_occ_sql("text", m) for m in ["的", "是", "在", "了"]),
+    }
+    return scores
+
+
+def _lang_id_sql() -> str:
+    s = _lang_scores_sql()
+    best = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']}, {s['zh']})"
+    return (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        f"WHEN ({s['en']}) = {best} THEN 'en' "
+        f"WHEN ({s['de']}) = {best} THEN 'de' "
+        f"WHEN ({s['fr']}) = {best} THEN 'fr' "
+        f"WHEN ({s['es']}) = {best} THEN 'es' "
+        f"WHEN ({s['zh']}) = {best} THEN 'zh' ELSE 'und' END"
+    )
+
+
+def _norm_sql() -> str:
+    x = "lower(text)"
+    for p in list(".,;:!?'\"()"):
+        esc = p.replace("'", "''")
+        x = f"replace({x}, '{esc}', '')"
+    return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+
+_PUNCT_SQL = " + ".join(
+    _occ_sql("text", p) for p in list(".,;:!?'\"()[]{}")
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s = _lang_scores_sql()
+    quality = (
+        "round(least(length(text)/500.0, 1.0)*40.0 "
+        f"+ least(({_PUNCT_SQL})/greatest(length(text),1)*400.0, 30.0) "
+        f"+ least(({_occ_sql('text', ' ')})/greatest(length(text),1)*150.0, 30.0), 4)"
+    )
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(len(words)-1, 1)), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))"
+    )
+    return {
+        "merge_compact": _LI_ORACLE_PROJ,
+        "sort_by_key": _LI_ORACLE_PROJ,
+        "split_by_size": _LI_ORACLE_PROJ,
+        "csv_convert": _CSV_ORACLE,
+        "encode_roundtrip_sha":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "encode_manifest_coverage": (
+            "SELECT c AS column, (SELECT count(*) FROM documents) AS total_rows "
+            "FROM (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), "
+            "('text')) t(c) ORDER BY c"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) "
+            "AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"
+        ),
+        "topk_per_group": (
+            "SELECT o_orderstatus, o_orderkey, rk FROM ("
+            "SELECT o_orderstatus, o_orderkey, ROW_NUMBER() OVER ("
+            "PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC"
+            ") AS rk FROM orders) WHERE rk <= 3"
+        ),
+        "join_agg": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "text_stats": (
+            f"SELECT doc_id, CAST({_TOKCNT} AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_q, "
+            "sha256(text) AS text_sha FROM documents"
+        ),
+        "lang_id": (
+            f"SELECT doc_id, CAST({s['en']} AS BIGINT) AS score_en, "
+            f"CAST({s['de']} AS BIGINT) AS score_de, "
+            f"{_lang_id_sql()} AS pred_lang FROM documents"
+        ),
+        "quality": f"SELECT doc_id, {quality} AS quality FROM documents",
+        "exact_dedup": (
+            "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id, "
+            "COUNT(*) AS n_dupes FROM documents GROUP BY 1"
+        ),
+        "normalized_dedup": (
+            f"SELECT sha256({_norm_sql()}) AS norm_sha, MIN(doc_id) AS keep_id, "
+            f"COUNT(*) AS n_dupes FROM documents GROUP BY {_norm_sql()}"
+        ),
+        "ngram_jaccard": (
+            "WITH g AS (SELECT doc_id, substring(text, 1, 24) AS pfx, "
+            "CASE WHEN length(trim(text)) = 0 THEN [] "
+            "WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3 THEN [] "
+            f"ELSE {grams} END AS sh "
+            "FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words "
+            "FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
+            "/ greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.2"
+        ),
+        "ann_topk": (
+            "SELECT query_id, neighbor_id, rk AS rank FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC"
+            ") AS rk "
+            "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 "
+            "AND c.vec_id <> q.vec_id) WHERE rk <= 5"
+        ),
+        "embedding_near_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        # minhash_lsh / simhash_pairs / embedding_near_pairs_lsh: hash-seeded,
+        # not portably SQL-expressible -> rows-only check + python oracles in
+        # tests/test_functions.py
+    }

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""spark-submit entry for the scaling protocol (BASELINE.md §B).
+
+    spark-submit --master local[N] --py-files dist/parquet_toolkit_spark.zip \
+        bench/encode_bench.py --staging DIR --out DIR --runs 3
+
+Encodes the staged corpus `--runs` times (resume off, fresh output each
+run) and prints one JSON line: {"cores": N, "walls": [...], "gb": G,
+"gbps_median": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--staging", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=0)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from parquet_toolkit_spark.runtime import spark_builder_defaults, tune_malloc
+
+    tune_malloc()
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder
+    if args.cores:
+        builder = builder.master(f"local[{args.cores}]")
+    spark = (
+        spark_builder_defaults(builder, shuffle_partitions=args.cores or None)
+        .config("spark.driver.memory", "10g")
+        .config("spark.driver.extraJavaOptions", "-Xms10g -XX:+UseParallelGC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = int(spark.sparkContext.defaultParallelism)
+
+    from parquet_toolkit_spark.operators.encode import encode_partitions
+
+    staged_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(args.staging, "pid=*", "*"))
+    )
+
+    walls = []
+    man = None
+    for i in range(args.runs):
+        shutil.rmtree(args.out, ignore_errors=True)
+        t0 = time.time()
+        man = encode_partitions(spark, args.staging, args.out,
+                                run_id=f"scale{i}", resume=False)
+        walls.append(round(time.time() - t0, 2))
+    from pyspark.sql import functions as F
+
+    row = man.agg(F.sum("bytes_in")).first()
+    gb = (row[0] or 0) / 1e9
+    med = statistics.median(walls)
+    print(json.dumps({
+        "cores": cores,
+        "walls": walls,
+        "gb_in": round(gb, 3),
+        "staged_gb": round(staged_bytes / 1e9, 3),
+        "wall_median": med,
+        "gbps_median": round(gb / med, 4),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-KINDS = ("int", "float", "bool", "bin")
+KINDS = ("int", "float", "bool", "bin", "flist")  # flist: list<numeric>
 
 _PA_INT = {
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
@@ -51,6 +51,8 @@ class ColumnChunk:
             return len(self.data) + 4 * self.nrows
         if self.values is None:
             return 0
+        if self.kind == "flist":
+            return self.values.dtype.itemsize * len(self.values) + 4 * self.nrows
         return self.values.dtype.itemsize * self.nrows
 
 
@@ -90,6 +92,23 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
         return ColumnChunk(
             "bool", nrows, values=np.asarray(vals, dtype=np.bool_), mask=mask, meta=meta
         )
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        child = t.value_type
+        if not (pa.types.is_floating(child) or pa.types.is_integer(child)):
+            raise TypeError(f"unsupported list child type for codec layer: {t}")
+        vals = arr.drop_null() if mask is not None else arr
+        if pa.types.is_fixed_size_list(t):
+            vals = vals.cast(pa.list_(child))
+        vals = vals.cast(pa.large_list(child))
+        bufs = vals.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(vals) + 1).copy()
+        flat = vals.values
+        dt = np.dtype(child.to_pandas_dtype())
+        v = np.asarray(flat, dtype=dt)[off[0] : off[-1]].copy()
+        off = off - off[0]
+        meta["list_child"] = str(child)
+        return ColumnChunk("flist", nrows, values=v, offsets=off, mask=mask,
+                           meta=meta)
     if (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
@@ -110,8 +129,20 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
 
 def to_arrow(chunk: ColumnChunk) -> pa.Array:
     """ColumnChunk -> Arrow array of the original type (round-trip exact)."""
-    t = pa.type_for_alias(_normalize_alias(chunk.meta.get("arrow_type", "")))
     mask = chunk.mask
+    if chunk.kind == "flist":
+        child = pa.type_for_alias(chunk.meta["list_child"])
+        off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
+        flat = pa.array(chunk.values, type=child)
+        valid = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), flat
+        )
+        out = _respread(valid, chunk.nrows, mask)
+        orig = chunk.meta.get("arrow_type", "")
+        if orig.startswith("large_list"):
+            return out
+        return out.cast(pa.list_(child))
+    t = pa.type_for_alias(_normalize_alias(chunk.meta.get("arrow_type", "")))
     if chunk.kind == "bin":
         off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
         valid = pa.LargeBinaryArray.from_buffers(

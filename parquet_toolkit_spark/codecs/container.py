@@ -50,6 +50,9 @@ def encode_blob(chunk: ColumnChunk, codec: str, zstd: bool = True) -> bytes:
     if chunk.kind == "bin":
         off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
         sections, cmeta = enc(chunk.data, off)
+    elif chunk.kind == "flist":
+        off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
+        sections, cmeta = enc(chunk.values, off)
     else:
         sections, cmeta = enc(chunk.values)
 
@@ -103,6 +106,10 @@ def decode_blob(blob: bytes) -> ColumnChunk:
     if kind == "bin":
         data, offsets = dec(sections, header["cmeta"], nvalid)
         return ColumnChunk(kind, nrows, data=data, offsets=offsets,
+                           mask=mask, meta=header["meta"])
+    if kind == "flist":
+        values, offsets = dec(sections, header["cmeta"], nvalid)
+        return ColumnChunk(kind, nrows, values=values, offsets=offsets,
                            mask=mask, meta=header["meta"])
     values = dec(sections, header["cmeta"], nvalid)
     if kind == "bool":

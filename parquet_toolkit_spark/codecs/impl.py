@@ -272,6 +272,40 @@ def dec_bin_fsst(sections: dict, cmeta: dict, n: int) -> tuple[bytes, np.ndarray
     return data, _dec_offsets(sections, cmeta["lmeta"], n)
 
 
+# ---------------------------------------------------------- numeric lists
+# flist payload = (values: np numeric array, offsets: int64[n+1]) — the
+# embedding-column case (array<float>); values byte-shuffled for the zstd
+# pass, lengths through the int codec machinery.
+
+
+def enc_flist_shuffle(values: np.ndarray, offsets: np.ndarray) -> tuple[dict, dict]:
+    lsec, lmeta = _enc_lengths(offsets)
+    vsec, _ = enc_float_shuffle(values)  # byte-transpose works per-itemsize
+    return {"data": vsec["data"], **lsec}, {
+        "lmeta": lmeta, "dtype": values.dtype.str, "nvals": len(values),
+    }
+
+
+def dec_flist_shuffle(sections: dict, cmeta: dict, n: int) -> tuple[np.ndarray, np.ndarray]:
+    dt = np.dtype(cmeta["dtype"])
+    values = dec_float_shuffle(
+        {"data": sections["data"]}, {"dtype": cmeta["dtype"]}, cmeta["nvals"]
+    )
+    return values.view(dt), _dec_offsets(sections, cmeta["lmeta"], n)
+
+
+def enc_flist_plain(values: np.ndarray, offsets: np.ndarray) -> tuple[dict, dict]:
+    lsec, lmeta = _enc_lengths(offsets)
+    return {"data": values.tobytes(), **lsec}, {
+        "lmeta": lmeta, "dtype": values.dtype.str,
+    }
+
+
+def dec_flist_plain(sections: dict, cmeta: dict, n: int) -> tuple[np.ndarray, np.ndarray]:
+    values = np.frombuffer(sections["data"], dtype=np.dtype(cmeta["dtype"]))
+    return values, _dec_offsets(sections, cmeta["lmeta"], n)
+
+
 # ----------------------------------------------------------------- registry
 
 INT_CODECS = {
@@ -290,5 +324,11 @@ BIN_CODECS = {
     "bin_dict": (enc_bin_dict, dec_bin_dict),
     "bin_fsst": (enc_bin_fsst, dec_bin_fsst),
 }
+FLIST_CODECS = {
+    "flist_shuffle": (enc_flist_shuffle, dec_flist_shuffle),
+    "flist_plain": (enc_flist_plain, dec_flist_plain),
+}
 
-ALL_CODECS = {**INT_CODECS, **FLOAT_CODECS, **BOOL_CODECS, **BIN_CODECS}
+ALL_CODECS = {
+    **INT_CODECS, **FLOAT_CODECS, **BOOL_CODECS, **BIN_CODECS, **FLIST_CODECS,
+}

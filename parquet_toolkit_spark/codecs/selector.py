@@ -31,6 +31,10 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
         "nvalid": chunk.nvalid,
         "bytes": chunk.total_bytes(),
     }
+    if chunk.kind == "flist":
+        stats["nvals"] = 0 if chunk.values is None else int(len(chunk.values))
+        stats["avg_len"] = stats["nvals"] / max(1, stats["nvalid"])
+        return stats
     if chunk.kind in ("int", "float", "bool"):
         v = chunk.values
         if v is None or len(v) == 0:
@@ -89,6 +93,8 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict) -> list[str]:
     k = chunk.kind
     if k == "bool":
         return ["bool_bitmap"]
+    if k == "flist":
+        return ["flist_shuffle", "flist_plain"]
     if k == "float":
         return ["float_shuffle", "float_plain"]
     if k == "int":
@@ -126,10 +132,10 @@ def _fsst_sample_wins(data: bytes) -> bool:
 
     from parquet_toolkit_spark.codecs import fsst as fsst_mod
 
-    sample = data[:_SAMPLE]
+    sample = data[: _SAMPLE // 2]
     if len(sample) < 1024:
         return True  # tiny buffers: trial cost is irrelevant, just compete
-    merges = fsst_mod.build_table(sample)
+    merges = fsst_mod.build_table(sample, max_symbols=96)
     if not merges:
         return False
     tokens = fsst_mod.apply_merges(sample, merges)
@@ -140,18 +146,49 @@ def _fsst_sample_wins(data: bytes) -> bool:
 
 
 def select_codec(chunk: ColumnChunk, stats: dict | None = None,
-                 zstd: bool = True) -> tuple[str, bytes, dict]:
+                 zstd: bool = True,
+                 candidates: list[str] | None = None) -> tuple[str, bytes, dict]:
     """Encode candidates, keep the smallest blob.
 
     Returns (codec_name, blob, stats). Trial-encoding is bounded: the
-    candidate list is 1-3 codecs, each a vectorized pass.
+    candidate list is 1-3 codecs, each a vectorized pass. Pass
+    `candidates` (e.g. from plan_hints) to skip the per-chunk gating —
+    the hoisted-gate path for large encode jobs.
     """
     if stats is None:
         stats = profile_chunk(chunk)
     best_name, best_blob = None, None
-    for name in candidate_codecs(chunk, stats):
+    for name in candidates or candidate_codecs(chunk, stats):
         blob = encode_blob(chunk, name, zstd=zstd)
         if best_blob is None or len(blob) < len(best_blob):
             best_name, best_blob = name, blob
     assert best_name is not None and best_blob is not None
     return best_name, best_blob, stats
+
+
+def plan_hints(cols: dict, keep_best: int = 1) -> dict[str, list[str]]:
+    """Column -> candidate codec list, decided ONCE on a sample partition.
+
+    Runs the full gated selection (profile + trials + all candidates) on
+    one representative partition and keeps each column's winning codec
+    (plus the plain floor if it wasn't the winner). Per-partition encode
+    then skips re-gating: the codec family of a column is stable across
+    partitions of the same table, while the per-chunk floor comparison
+    still guards pathological partitions."""
+    from parquet_toolkit_spark.codecs.chunk import from_arrow
+
+    hints: dict[str, list[str]] = {}
+    for name, arr in cols.items():
+        chunk = from_arrow(arr)
+        stats = profile_chunk(chunk)
+        sizes: list[tuple[int, str]] = []
+        for cand in candidate_codecs(chunk, stats):
+            sizes.append((len(encode_blob(chunk, cand)), cand))
+        sizes.sort()
+        chosen = [c for _, c in sizes[:keep_best]]
+        floor = {"bin": "bin_plain", "int": "int_plain",
+                 "flist": "flist_plain"}.get(chunk.kind)
+        if floor and floor not in chosen:
+            chosen.append(floor)
+        hints[name] = chosen
+    return hints

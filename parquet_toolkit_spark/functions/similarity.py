@@ -1,11 +1,15 @@
 """Similarity search over an embedding column (array<float>).
 
-  cosine_col            portable dot/norm via F.aggregate + F.zip_with
-  ann_bruteforce_topk   exact top-k neighbors (broadcast queries — no
-                        shuffle of the big side; the 100TB-scale baseline)
-  lsh_ann_topk          random-hyperplane LSH bucketed ANN (the scale path:
-                        candidates from equi-joined buckets only)
-  embedding_near_pairs  near-duplicate pairs by cosine >= tau
+  cosine_col            portable dot/norm via F.aggregate (oracle-parity
+                        path for small exact queries)
+  ann_bruteforce_topk   exact top-k neighbors: queries broadcast as a numpy
+                        matrix, corpus scored batch-wise with one GEMM per
+                        Arrow batch (mapInPandas) — the big side never
+                        shuffles; per-batch top-k bounds the candidate set
+  lsh_ann_topk          random-hyperplane LSH bucketed ANN with query-side
+                        multiprobe (hamming-1) — the 100TB-scale path
+  embedding_near_pairs  near-dup pairs by cosine >= tau; LSH-bucketed,
+                        pairwise GEMM per bucket via applyInPandas
 
 Outputs are id/rank-only (no float columns) so oracle comparison is
 hash-stable.
@@ -16,9 +20,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F, Window
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -43,29 +47,58 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
 def ann_bruteforce_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) query set against the
-    (huge) corpus; ties broken by neighbor id; self-matches excluded.
+    """Exact cosine top-k, ids+rank only; ties broken by neighbor id.
 
-    Returns (query_id, neighbor_id, rank)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            cosine_col(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
+    The query set is small by contract (collected once, shipped in the
+    task closure); the corpus streams through one float64 GEMM per Arrow
+    batch and emits at most k candidates per (query, batch), so the final
+    window sees |batches| * k rows per query — exact and shuffle-light."""
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qn = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+
+    def score(batches):
+        from parquet_toolkit_spark.runtime import tune_malloc
+
+        tune_malloc()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = _normalize_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            S = M @ Qn.T  # batch x nq
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                s = S[:, j]
+                mask = ids != qid
+                mids, ms = ids[mask], s[mask]
+                take = min(k, len(mids))
+                if take == 0:
+                    continue
+                sel = np.lexsort((mids, -ms))[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(mids[sel].tolist())
+                out_c.extend(ms[sel].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cos": out_c})
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -98,44 +131,71 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                  n_planes: int = 8, seed: int = 42,
                  multiprobe: bool = True,
                  dim: int | None = None) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket(s) are
-    scored (equi-join on bucket id — scales to corpora where the
-    brute-force cross product cannot shuffle).
-
-    multiprobe expands each QUERY to its bucket plus all hamming-1 buckets
-    (n_planes+1 probes) — the standard recall fix that costs nothing on
-    the corpus side (still one bucket per corpus row)."""
+    """Approximate top-k: corpus rows hash to one bucket; each query probes
+    its bucket plus all hamming-1 buckets. Candidates scored per bucket
+    group with numpy (applyInPandas) — no cross join, no full GEMM."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     bucket = lsh_bucket_udf(dim, n_planes, seed)
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
-        bucket(F.col(vec_col)).alias("bkt"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        bucket(F.col(vec_col)).alias("bkt0"),
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("bkt0"),
-            *[F.col("bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-        q = q.select("query_id", "qvec", F.explode(probes).alias("bkt"))
-    else:
-        q = q.withColumnRenamed("bkt0", "bkt")
-    scored = (
-        c.join(F.broadcast(q), "bkt")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                cosine_col(F.col("qvec"), F.col("cvec")).alias("cos"))
-        .groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
-    )
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = _normalize_rows(Q)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsigns = (Q @ planes.T) > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qb = (qsigns @ weights).astype(np.int64)
+    # query -> probe buckets (own + hamming-1)
+    probe_rows = []
+    for qi, b in enumerate(qb):
+        buckets = [int(b)]
+        if multiprobe:
+            buckets += [int(b) ^ (1 << p) for p in range(n_planes)]
+        probe_rows.extend((int(qids[qi]), pb) for pb in set(buckets))
+    probes_by_bucket: dict[int, list[int]] = {}
+    for qid, pb in probe_rows:
+        probes_by_bucket.setdefault(pb, []).append(qid)
+    qn_by_id = {int(q): Qn[i] for i, q in enumerate(qids)}
+
+    c = df.select(F.col(id_col), F.col(vec_col),
+                  bucket(F.col(vec_col)).alias("bkt"))
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        from parquet_toolkit_spark.runtime import tune_malloc
+
+        tune_malloc()
+        bkt = int(pdf["bkt"].iloc[0])
+        want = probes_by_bucket.get(bkt, [])
+        if not want:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        ids = pdf[id_col].to_numpy()
+        M = _normalize_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        Qm = np.stack([qn_by_id[q] for q in want])
+        S = M @ Qm.T
+        out_q, out_n, out_c = [], [], []
+        for j, qid in enumerate(want):
+            s = S[:, j]
+            mask = ids != qid
+            mids, ms = ids[mask], s[mask]
+            take = min(k, len(mids))
+            if take == 0:
+                continue
+            sel = np.lexsort((mids, -ms))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(mids[sel].tolist())
+            out_c.extend(ms[sel].tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    cand = c.groupBy("bkt").applyInPandas(
+        score_bucket, "query_id long, neighbor_id long, cos double"
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -146,22 +206,30 @@ def embedding_near_pairs(df: DataFrame, tau: float = 0.95,
                          id_col: str = "vec_id",
                          n_planes: int = 6, seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau),
-    LSH-blocked so the join is bucket-local."""
+    LSH-blocked: one pairwise GEMM per bucket group, never a cross join."""
     dim = len(df.select(vec_col).first()[0])
     bucket = lsh_bucket_udf(dim, n_planes, seed)
     t = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bkt"))
-    a, b = t.alias("a"), t.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bkt") == F.col("b.bkt"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    )
-    cos = cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        from parquet_toolkit_spark.runtime import tune_malloc
+
+        tune_malloc()
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ids = pdf[id_col].to_numpy()
+        M = _normalize_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        S = M @ M.T
+        iu, ju = np.triu_indices(n, k=1)
+        hit = S[iu, ju] >= tau
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
     return (
-        pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= tau)
-        .select("id_a", "id_b")
+        t.groupBy("bkt")
+        .applyInPandas(pairs_in_bucket, "id_a long, id_b long")
+        .distinct()
     )

@@ -47,32 +47,42 @@ DEFAULT_SORT_KEYS = ("repo", "path", "commit")
 DEFAULT_RANGE_KEYS = ("repo", "path")
 
 
-def _arrow_type_for(spark_type_json: str) -> pa.DataType | None:
-    m = {
-        "string": pa.large_string(), "binary": pa.large_binary(),
-        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
-        "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
-        "boolean": pa.bool_(), "date": pa.date32(),
-        "timestamp": pa.timestamp("us", tz="UTC"),
-        "timestamp_ntz": pa.timestamp("us"),
-    }
-    return m.get(spark_type_json)
+_SCALAR_PA = {
+    "string": pa.large_string(), "binary": pa.large_binary(),
+    "bigint": pa.int64(), "int": pa.int32(), "smallint": pa.int16(),
+    "tinyint": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+    "boolean": pa.bool_(), "date": pa.date32(),
+    "timestamp": pa.timestamp("us", tz="UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
+}
 
 
-def _encode_pdf(pdf: pd.DataFrame, pid: int, schema_map: dict[str, str],
-                run_id: str) -> pd.DataFrame:
-    """One partition's rows -> one encoded row per column."""
+def _arrow_type_for(ddl: str) -> pa.DataType | None:
+    """Spark simpleString DDL -> arrow type (incl. array<numeric>)."""
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        inner = _arrow_type_for(ddl[6:-1])
+        return pa.list_(inner) if inner is not None else None
+    return _SCALAR_PA.get(ddl)
+
+
+def _encode_columns(cols: dict[str, pa.Array], pid: int,
+                    run_id: str,
+                    hints: dict[str, list[str]] | None = None) -> list[dict]:
+    """Arrow columns of one partition -> one encoded row dict per column.
+
+    `hints` (from selector.plan_hints) pins each column's candidate list,
+    skipping per-chunk gating/trials on the hot path."""
     from parquet_toolkit_spark.codecs.chunk import from_arrow
     from parquet_toolkit_spark.codecs.selector import select_codec
     from parquet_toolkit_spark.runtime import tune_malloc
 
     tune_malloc()
     rows = []
-    for col, stype in schema_map.items():
-        at = _arrow_type_for(stype)
-        arr = pa.Array.from_pandas(pdf[col], type=at)
+    for col, arr in cols.items():
         chunk = from_arrow(arr)
-        codec, blob, stats = select_codec(chunk)
+        codec, blob, stats = select_codec(
+            chunk, candidates=(hints or {}).get(col)
+        )
         rows.append({
             "pid": pid,
             "column": col,
@@ -85,12 +95,36 @@ def _encode_pdf(pdf: pd.DataFrame, pid: int, schema_map: dict[str, str],
             "run_id": run_id,
             "blob": blob,
         })
-    return pd.DataFrame(rows)
+    return rows
+
+
+_ENC_ARROW_SCHEMA = pa.schema([
+    ("pid", pa.int32()), ("column", pa.string()), ("codec", pa.string()),
+    ("nrows", pa.int64()), ("bytes_in", pa.int64()), ("bytes_out", pa.int64()),
+    ("checksum", pa.string()), ("stats_json", pa.string()),
+    ("run_id", pa.string()), ("blob", pa.large_binary()),
+])
+
+
+def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
+    cols = {name: [r[name] for r in rows] for name in _ENC_ARROW_SCHEMA.names}
+    return pa.RecordBatch.from_pydict(cols, schema=_ENC_ARROW_SCHEMA)
+
+
+def _encode_pdf(pdf: pd.DataFrame, pid: int, schema_map: dict[str, str],
+                run_id: str) -> pd.DataFrame:
+    """pandas entry (applyInPandas resume path)."""
+    cols = {
+        col: pa.Array.from_pandas(pdf[col], type=_arrow_type_for(stype))
+        for col, stype in schema_map.items()
+    }
+    return pd.DataFrame(_encode_columns(cols, pid, run_id))
 
 
 def _schema_map(df: DataFrame, exclude: tuple[str, ...] = ("pid",)) -> dict[str, str]:
+    # simpleString keeps element types ("array<float>") and is valid DDL
     return {
-        f.name: f.dataType.typeName()
+        f.name: f.dataType.simpleString()
         for f in df.schema.fields
         if f.name not in exclude
     }
@@ -132,17 +166,18 @@ def encode_pipeline(spark: SparkSession, df: DataFrame, out_dir: str,
     laid, _ = plan_layout(df, target_bytes, range_keys, sort_keys, n_partitions)
     schema_map = _schema_map(laid)
 
-    def encode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         parts = list(batches)
         if not parts:
             return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        table = pa.Table.from_batches(parts)
         pid = TaskContext.get().partitionId()
-        yield _encode_pdf(pdf, pid, schema_map, run_id)
+        cols = {name: table.column(name).combine_chunks() for name in table.schema.names}
+        yield _rows_to_batch(_encode_columns(cols, pid, run_id))
 
-    encoded = laid.mapInPandas(encode_iter, ENCODED_SCHEMA)
+    encoded = laid.mapInArrow(encode_iter, ENCODED_SCHEMA)
     _write_encoded(spark, encoded, out_dir, schema_map)
     return read_manifest(spark, out_dir)
 
@@ -169,14 +204,32 @@ def layout_stage(spark: SparkSession, df: DataFrame, staging_dir: str,
 def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                       run_id: str = "r0", resume: bool = True,
                       fail_after: int | None = None) -> DataFrame:
-    """Phase B: encode staged partitions, skipping committed ones (resume).
+    """Phase B: encode staged pid partitions, skipping committed ones.
+
+    Spark schedules; the data plane stays in the python workers: each task
+    reads its pid's staged parquet file(s) directly with pyarrow (no
+    JVM<->python row transfer), encodes, and commits the blob file with
+    the reference's write-temp-then-rename protocol (SimpleMergeThread.
+    java:118-122,180-191) — a re-run after a crash is idempotent.
 
     fail_after=k encodes only k pending partitions then returns — the
     kill-after-k test hook (SURVEY.md §5.2 item 5).
     """
+    import glob as globmod
+
     staged = spark.read.parquet(staging_dir)
     schema_map = _schema_map(staged)
-    all_pids = [r.pid for r in staged.select("pid").distinct().collect()]
+
+    pid_files: dict[int, list[str]] = {}
+    for d in globmod.glob(os.path.join(staging_dir, "pid=*")):
+        try:
+            pid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        fs = [f for f in globmod.glob(os.path.join(d, "*"))
+              if not os.path.basename(f).startswith((".", "_"))]
+        if fs:
+            pid_files[pid] = sorted(fs)
 
     committed: set[int] = set()
     if resume:
@@ -186,20 +239,91 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                 r.pid for r in man.where(F.col("status") == "committed")
                 .select("pid").distinct().collect()
             }
-    pending = sorted(set(all_pids) - committed)
+    pending = sorted(set(pid_files) - committed)
     if fail_after is not None:
         pending = pending[:fail_after]
     if not pending:
         return read_manifest(spark, out_dir)
 
-    sub = staged.where(F.col("pid").isin([int(p) for p in pending]))
+    blobs_dir = os.path.join(out_dir, "blobs")
+    tmp_dir = os.path.join(out_dir, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["pid"].iloc[0])
-        return _encode_pdf(pdf.drop(columns=["pid"]), pid, schema_map, run_id)
+    # codec hints: full gated selection once, on the first pending pid
+    # (longest-first task order also keeps the tail short)
+    import pyarrow.parquet as pq_mod
 
-    encoded = sub.groupBy("pid").applyInPandas(encode_group, ENCODED_SCHEMA)
-    _write_encoded(spark, encoded, out_dir, schema_map, append_pids=True)
+    sample_table = pq_mod.read_table(pid_files[pending[0]])
+    sample_table = sample_table.drop_columns(
+        [c for c in sample_table.schema.names if c not in schema_map]
+    )
+    from parquet_toolkit_spark.codecs.selector import plan_hints
+
+    hints = plan_hints({
+        n: sample_table.column(n).combine_chunks()
+        for n in sample_table.schema.names
+    })
+
+    by_size = sorted(
+        pending,
+        key=lambda p: -sum(os.path.getsize(f) for f in pid_files[p]),
+    )
+    tasks = spark.createDataFrame(
+        [(p, ",".join(pid_files[p])) for p in by_size], "pid INT, files STRING"
+    ).repartition(len(by_size))
+
+    def encode_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from parquet_toolkit_spark.runtime import tune_malloc
+
+        tune_malloc()
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                pid = int(task["pid"])
+                table = pq.read_table(task["files"].split(","))
+                table = table.drop_columns(
+                    [c for c in table.schema.names if c not in schema_map]
+                )
+                cols = {
+                    name: (table.column(name).chunk(0)
+                           if table.column(name).num_chunks == 1
+                           else table.column(name).combine_chunks())
+                    for name in table.schema.names
+                }
+                rows = _encode_columns(cols, pid, run_id, hints=hints)
+                blob_table = pa.Table.from_batches([_rows_to_batch(rows)])
+                dest_dir = os.path.join(blobs_dir, f"pid={pid}")
+                os.makedirs(dest_dir, exist_ok=True)
+                tmp = os.path.join(tmp_dir, f"pid-{pid}-{run_id}.parquet")
+                pq.write_table(blob_table.drop_columns(["pid"]), tmp,
+                               compression="none")
+                os.replace(tmp, os.path.join(dest_dir, "part-0.parquet"))
+                out = pd.DataFrame(rows).drop(columns=["blob"])
+                yield out
+
+    manifest_schema = ENCODED_SCHEMA.replace(", blob BINARY", "")
+    new_rows = tasks.mapInPandas(encode_task, manifest_schema)
+    new_man = new_rows.withColumn("status", F.lit("committed"))
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_schema.json"), "w") as fh:
+        json.dump(schema_map, fh)
+    old_man = read_manifest(spark, out_dir)
+    if old_man is not None:
+        keep = old_man.where(~F.col("pid").isin([int(p) for p in pending]))
+        new_man = keep.select(*MANIFEST_COLS).unionByName(
+            new_man.select(*MANIFEST_COLS)
+        )
+    man_dir = os.path.join(out_dir, "manifest")
+    tmp_man = os.path.join(out_dir, "manifest_new")
+    new_man.coalesce(1).write.mode("overwrite").parquet(tmp_man)
+    final = spark.read.parquet(tmp_man)
+    final.coalesce(1).write.mode("overwrite").parquet(man_dir)
+    import shutil
+
+    shutil.rmtree(tmp_man, ignore_errors=True)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     return read_manifest(spark, out_dir)
 
 
@@ -239,35 +363,91 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
 def decode_pipeline(spark: SparkSession, enc_dir: str,
                     keep_pid: bool = False) -> DataFrame:
-    """Blob store -> original table (bit-identical columns)."""
+    """Blob store -> original table (bit-identical columns).
+
+    Same data-plane design as encode_partitions: Spark schedules one task
+    per pid, the worker reads the pid's blob file directly with pyarrow
+    and emits decoded Arrow batches — no shuffle, no JVM row transfer on
+    the input side."""
+    import glob as globmod
+
     with open(os.path.join(enc_dir, "_schema.json")) as fh:
         schema_map: dict[str, str] = json.load(fh)
-    blobs = spark.read.parquet(os.path.join(enc_dir, "blobs"))
+    blobs_dir = os.path.join(enc_dir, "blobs")
 
-    out_fields = ", ".join(f"`{c}` {t}" for c, t in schema_map.items())
-    out_schema = (f"pid INT, {out_fields}") if keep_pid else out_fields
+    # only manifest-committed pids are decoded: a crashed run may leave
+    # orphan blob files with no manifest row (F5 parity: the manifest is
+    # the source of truth, like the reference's alreadyMerged set)
+    committed: set[int] | None = None
+    man = read_manifest(spark, enc_dir)
+    if man is not None:
+        committed = {
+            r.pid for r in man.where(F.col("status") == "committed")
+            .select("pid").distinct().collect()
+        }
 
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pid_files: list[tuple[int, str]] = []
+    for d in sorted(globmod.glob(os.path.join(blobs_dir, "pid=*"))):
+        try:
+            pid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if committed is not None and pid not in committed:
+            continue
+        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))):
+            pid_files.append((pid, f))
+    if not pid_files:
+        raise FileNotFoundError(f"no committed blob files under {blobs_dir}")
+
+    out_fields = [("pid", "integer")] if keep_pid else []
+    out_fields += list(schema_map.items())
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
+    def _out_pa_type(ddl: str) -> pa.DataType:
+        m = {
+            "string": pa.string(), "binary": pa.binary(), "bigint": pa.int64(),
+            "int": pa.int32(), "smallint": pa.int16(), "tinyint": pa.int8(),
+            "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(), "date": pa.date32(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
+        }
+        if ddl.startswith("array<") and ddl.endswith(">"):
+            return pa.list_(_out_pa_type(ddl[6:-1]))
+        return m[ddl]
+
+    out_pa = pa.schema([(c, _out_pa_type(t)) for c, t in out_fields])
+
+    tasks = spark.createDataFrame(pid_files, "pid INT, file STRING") \
+        .repartition(len(pid_files))
+
+    def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
         from parquet_toolkit_spark.codecs.chunk import to_arrow
         from parquet_toolkit_spark.codecs.container import decode_blob
         from parquet_toolkit_spark.runtime import tune_malloc
 
         tune_malloc()
-        cols = {}
-        nrows = 0
-        for _, row in pdf.iterrows():
-            chunk = decode_blob(bytes(row["blob"]))
-            arr = to_arrow(chunk)
-            cols[row["column"]] = arr
-            nrows = len(arr)
-        data = {}
-        if keep_pid:
-            data["pid"] = pd.Series([int(pdf["pid"].iloc[0])] * nrows)
-        for c in schema_map:
-            data[c] = cols[c].to_pandas()
-        return pd.DataFrame(data)
+        for b in batches:
+            for task in b.to_pylist():
+                bt = pq.read_table(task["file"])
+                cols: dict[str, pa.Array] = {}
+                nrows = 0
+                for row in bt.to_pylist():
+                    arr = to_arrow(decode_blob(row["blob"]))
+                    cols[row["column"]] = arr
+                    nrows = len(arr)
+                arrays = []
+                for c, t in out_fields:
+                    if c == "pid":
+                        arrays.append(pa.array([task["pid"]] * nrows, pa.int32()))
+                        continue
+                    arrays.append(cols[c].cast(_out_pa_type(t)))
+                table = pa.Table.from_arrays(arrays, schema=out_pa)
+                for ob in table.to_batches(max_chunksize=32768):
+                    yield ob
 
-    return blobs.groupBy("pid").applyInPandas(decode_group, out_schema)
+    return tasks.mapInArrow(decode_task, out_schema)
 
 
 def verify_roundtrip(original: DataFrame, decoded: DataFrame,

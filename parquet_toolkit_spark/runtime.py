@@ -41,6 +41,9 @@ def tune_malloc(threshold: int = 1 << 30) -> bool:
 WORKER_ENV = {
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
     "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    # route Arrow buffers through the (tuned) glibc heap instead of the
+    # bundled jemalloc/mimalloc pools, which madvise pages away and refault
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 
@@ -50,6 +53,11 @@ def spark_builder_defaults(builder, shuffle_partitions: int | None = None):
     AQE on (runtime coalescing + skew handling), Arrow on (vectorized UDF
     transfer), UTC session TZ (oracle comparability), worker malloc env.
     """
+    # python workers are spawned by the JVM, which inherits THIS process's
+    # env — exporting here reaches every worker's glibc at startup (the
+    # executorEnv configs below cover cluster deployments)
+    for k, v in WORKER_ENV.items():
+        os.environ.setdefault(k, v)
     cores = os.cpu_count() or 8
     builder = (
         builder.config("spark.sql.adaptive.enabled", "true")

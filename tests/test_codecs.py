@@ -195,3 +195,36 @@ def test_string_type_roundtrip():
     blob = encode_blob(chunk, "bin_plain")
     out = to_arrow(decode_blob(blob))
     assert out.cast(pa.string()).to_pylist() == arr.to_pylist()
+
+
+# -------------------------------------------------------------- flist
+
+
+@pytest.mark.parametrize("codec", ["flist_shuffle", "flist_plain"])
+def test_flist_roundtrip(codec):
+    rng2 = np.random.default_rng(7)
+    vals = [rng2.standard_normal(64).astype(np.float32).tolist()
+            for _ in range(200)]
+    vals[3] = []  # empty list
+    arr = pa.array(vals, pa.list_(pa.float32()))
+    chunk = from_arrow(arr)
+    out = _roundtrip(chunk, codec)
+    back = to_arrow(out)
+    assert back.cast(pa.list_(pa.float32())).to_pylist() == arr.to_pylist()
+
+
+def test_flist_nulls_and_selector():
+    vals = [[1.5, 2.5], None, [], [3.25]]
+    arr = pa.array(vals, pa.list_(pa.float32()))
+    chunk = from_arrow(arr)
+    codec, blob, _ = select_codec(chunk)
+    assert codec.startswith("flist")
+    assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.float32())).to_pylist() == vals
+
+
+def test_flist_int_lists():
+    vals = [[1, 2, 3], [4], [5, 6]]
+    arr = pa.array(vals, pa.list_(pa.int64()))
+    chunk = from_arrow(arr)
+    codec, blob, _ = select_codec(chunk)
+    assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.int64())).to_pylist() == vals

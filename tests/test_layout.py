@@ -1,0 +1,82 @@
+"""Layout operator semantics: multiset preservation, global sortedness,
+split size bounds, probe accuracy (reference parity per SURVEY.md §2)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_toolkit_spark.operators.layout import (
+    compact,
+    estimate_bytes_per_row,
+    sort_by_key,
+    split_by_size,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _multiset_hash(df, cols):
+    return (
+        df.select(F.sha2(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+        .first()[0]
+    )
+
+
+def test_compact_preserves_multiset_and_reduces_files(spark, tmp_path):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    small = str(tmp_path / "small")
+    li.repartition(50).write.parquet(small)
+    assert len(glob.glob(os.path.join(small, "*.parquet"))) == 50
+
+    out = str(tmp_path / "compacted")
+    compact(spark, small, out, target_bytes=8 << 20)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) < 10
+    back = spark.read.parquet(out)
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    assert back.count() == li.count()
+    assert _multiset_hash(back, cols) == _multiset_hash(li, cols)
+
+
+def test_sort_by_key_is_globally_sorted(spark, tmp_path):
+    out = str(tmp_path / "sorted")
+    sort_by_key(spark, f"{SF}/lineitem.parquet", out,
+                keys=["l_orderkey", "l_linenumber"], target_bytes=1 << 20)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) >= 2, "want multiple output files for a real check"
+    # file-level ranges must be disjoint and ordered by filename,
+    # and each file internally sorted
+    prev_max = None
+    for f in files:
+        pdf = spark.read.parquet(f).select("l_orderkey").toPandas()
+        vals = pdf["l_orderkey"].tolist()
+        assert vals == sorted(vals), f
+        if vals:
+            if prev_max is not None:
+                assert vals[0] >= prev_max, "file ranges overlap"
+            prev_max = vals[-1]
+
+
+def test_split_by_size_bounds(spark, tmp_path):
+    out = str(tmp_path / "split")
+    target = 1 << 20
+    split_by_size(spark, f"{SF}/lineitem.parquet", out, target_bytes=target)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 2
+    for f in files:
+        # parquet compresses ~2-4x vs the probe's uncompressed estimate;
+        # the hard bound is that no file wildly exceeds the target
+        assert os.path.getsize(f) <= target * 1.5, f
+    back = spark.read.parquet(out)
+    orig = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert back.count() == orig.count()
+
+
+def test_bytes_per_row_probe_sane(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    bpr = estimate_bytes_per_row(li)
+    # 10 numeric/short-string cols + timestamp: tens of bytes, not KB
+    assert 40 <= bpr <= 400, bpr

@@ -151,3 +151,23 @@ def test_incremental_encode_stream(spark, tmp_path):
 
     decoded = decode_pipeline(spark, enc)
     assert decoded.count() == 800
+
+
+def test_int96_legacy_timestamp_passthrough(spark, tmp_path):
+    """FIXTURES.md F5: legacy INT96 timestamps read correctly (F8 parity:
+    the reference flags parquet.avro.readInt96AsFixed per field or
+    auto-detected; Spark's rebase confs are the engine equivalent)."""
+    import datetime
+
+    ts = [datetime.datetime(2001, 1, 1, 12, 0, 0),
+          datetime.datetime(2020, 6, 15, 23, 59, 59)]
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "DATE_TIME": pa.array(ts, pa.timestamp("us"))})
+    f = str(tmp_path / "legacy_ts.parquet")
+    pq.write_table(t, f, use_deprecated_int96_timestamps=True)
+    assert pq.ParquetFile(f).schema.column(1).physical_type == "INT96"
+
+    parquet_tools.int96_read_conf(spark, "LEGACY")
+    rows = spark.read.parquet(f).orderBy("id").collect()
+    got = [r.DATE_TIME.replace(tzinfo=None) for r in rows]
+    assert got == ts
