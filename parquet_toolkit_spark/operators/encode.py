@@ -304,24 +304,33 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
 
     manifest_schema = ENCODED_SCHEMA.replace(", blob BINARY", "")
     new_rows = tasks.mapInPandas(encode_task, manifest_schema)
-    new_man = new_rows.withColumn("status", F.lit("committed"))
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_schema.json"), "w") as fh:
         json.dump(schema_map, fh)
+
+    # materialize the encode job FIRST, at full parallelism — a coalesce(1)
+    # on its output would propagate upstream and run every encode task on
+    # one core (no shuffle boundary in between)
+    rows_tmp = os.path.join(out_dir, "_manifest_rows")
+    new_rows.write.mode("overwrite").parquet(rows_tmp)
+
+    new_man = (
+        spark.read.parquet(rows_tmp)
+        .withColumn("status", F.lit("committed"))
+        .select(*MANIFEST_COLS)
+    )
     old_man = read_manifest(spark, out_dir)
     if old_man is not None:
         keep = old_man.where(~F.col("pid").isin([int(p) for p in pending]))
-        new_man = keep.select(*MANIFEST_COLS).unionByName(
-            new_man.select(*MANIFEST_COLS)
-        )
+        new_man = keep.select(*MANIFEST_COLS).unionByName(new_man)
     man_dir = os.path.join(out_dir, "manifest")
     tmp_man = os.path.join(out_dir, "manifest_new")
     new_man.coalesce(1).write.mode("overwrite").parquet(tmp_man)
-    final = spark.read.parquet(tmp_man)
-    final.coalesce(1).write.mode("overwrite").parquet(man_dir)
+    spark.read.parquet(tmp_man).coalesce(1).write.mode("overwrite").parquet(man_dir)
     import shutil
 
+    shutil.rmtree(rows_tmp, ignore_errors=True)
     shutil.rmtree(tmp_man, ignore_errors=True)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return read_manifest(spark, out_dir)
