@@ -364,6 +364,42 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session count with a 30-minute gap rule
+    (window lag + conditional cumsum — the classic OLAP pattern)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # ntz-safe, UTC session
+    gap = secs - F.lag(secs).over(w)
+    marked = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.salted_agg) over the
+    documents table; result identical to a plain GROUP BY."""
+    from parquet_toolkit_spark.operators.skew import salted_agg
+
+    d = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        d, "source",
+        {
+            "n_docs": ("count", "*"),
+            "total_chars": ("sum", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+        salt_from=["doc_id"], buckets=8,
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------- tables
 
 
@@ -390,6 +426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "sessionize": q_sessionize,
+        "source_stats_salted": q_source_stats_salted,
     }
 
 
@@ -541,6 +579,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "sessionize": (
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events "
+            "FROM (SELECT user_id, CASE WHEN prev_ts IS NULL OR "
+            "CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS new_s "
+            "FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_ts FROM events)) "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        "source_stats_salted": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "MAX(n_chars) AS max_chars FROM documents GROUP BY source "
+            "ORDER BY source"
         ),
         # minhash_lsh / simhash_pairs / embedding_near_pairs_lsh: hash-seeded,
         # not portably SQL-expressible -> rows-only check + python oracles in

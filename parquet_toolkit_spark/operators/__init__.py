@@ -2,7 +2,9 @@
 
 from parquet_toolkit_spark.operators.layout import (  # noqa: F401
     compact,
+    compact_in_place,
     estimate_bytes_per_row,
+    rewrite,
     sort_by_key,
     split_by_size,
 )

@@ -23,6 +23,7 @@ driver except O(1) scalars (row counts, sampled averages).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,3 +123,38 @@ def split_by_size(spark: SparkSession, in_path: str | list[str], out_path: str,
     Unlike the reference (refuses when input <= chunk size,
     SimpleParquetSplitter.java:89-91) this is a no-op-safe repartition."""
     return compact(spark, in_path, out_path, target_bytes, compression)
+
+
+def rewrite(spark: SparkSession, in_path: str, out_path: str,
+            compression: str = "gzip",
+            row_group_bytes: int = 128 << 20) -> dict:
+    """S8 parity: read whole input, rewrite recompressed with target row
+    groups (ParquetFile.rewrite, ParquetFile.java:46-83 — GZIP + 128MB)."""
+    df = spark.read.parquet(in_path)
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("parquet.block.size", str(row_group_bytes))
+        .parquet(out_path)
+    )
+    return {"rows": spark.read.parquet(out_path).count()}
+
+
+def compact_in_place(spark: SparkSession, folder: str,
+                     target_bytes: int = DEFAULT_TARGET_BYTES,
+                     compression: str = "snappy") -> dict:
+    """M7/F4 parity: compact a folder onto itself with the reference's
+    in-place safety protocol — write to a sibling temp dir, swap by rename,
+    delete the originals only after the swap (the reference renames the
+    input dir to `_name` during the job and deletes inputs at the end,
+    ParquetMergerImpl.java:90-110, SimpleMultithreadedParquetMerger.java:
+    233-276,392-426)."""
+    import shutil
+
+    tmp_out = folder.rstrip("/") + "_compacting"
+    old = folder.rstrip("/") + "_old"
+    info = compact(spark, folder, tmp_out, target_bytes, compression)
+    os.rename(folder, old)
+    os.rename(tmp_out, folder)
+    shutil.rmtree(old)
+    return info

@@ -67,6 +67,10 @@ def spark_builder_defaults(builder, shuffle_partitions: int | None = None):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.python.worker.reuse", "true")
+        # F1/F2 parity: the reference hand-rolls bad-block retries
+        # (SimpleMergeThread.java:141-163); Spark's task re-execution is
+        # the engine-level equivalent (local[*] defaults to 1 attempt)
+        .config("spark.task.maxFailures", "4")
     )
     for k, v in WORKER_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

@@ -80,3 +80,29 @@ def test_bytes_per_row_probe_sane(spark):
     bpr = estimate_bytes_per_row(li)
     # 10 numeric/short-string cols + timestamp: tens of bytes, not KB
     assert 40 <= bpr <= 400, bpr
+
+
+def test_rewrite_recompress(spark, tmp_path):
+    from parquet_toolkit_spark.operators.layout import rewrite
+
+    out = str(tmp_path / "rewritten")
+    info = rewrite(spark, f"{SF}/orders.parquet", out, compression="gzip")
+    assert info["rows"] == spark.read.parquet(f"{SF}/orders.parquet").count()
+    import pyarrow.parquet as pq
+
+    f = glob.glob(os.path.join(out, "*.parquet"))[0]
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "GZIP"
+
+
+def test_compact_in_place_swap(spark, tmp_path):
+    from parquet_toolkit_spark.operators.layout import compact_in_place
+
+    d = str(tmp_path / "folder")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    li.repartition(30).write.parquet(d)
+    n_before = len(glob.glob(os.path.join(d, "*.parquet")))
+    info = compact_in_place(spark, d, target_bytes=8 << 20)
+    n_after = len(glob.glob(os.path.join(d, "*.parquet")))
+    assert n_after < n_before
+    assert spark.read.parquet(d).count() == li.count()
+    assert not os.path.exists(d + "_old") and not os.path.exists(d + "_compacting")
