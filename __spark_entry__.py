@@ -364,6 +364,26 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface: watermarked hourly tumbling windows
+    over the events table, drained with availableNow — same result set as
+    the batch GROUP BY (oracle below)."""
+    import shutil
+
+    from parquet_toolkit_spark.streaming.windowed import windowed_event_counts
+
+    # readStream needs a directory source: mirror the table file into one
+    landing = os.path.join(_TMP, "events_stream_src")
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
+    return windowed_event_counts(
+        spark, landing,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        query_name="q_events_stream",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user session count with a 30-minute gap rule
     (window lag + conditional cumsum — the classic OLAP pattern)."""
@@ -428,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "sessionize": q_sessionize,
         "source_stats_salted": q_source_stats_salted,
+        "events_windowed_stream": q_events_windowed_stream,
     }
 
 
@@ -579,6 +600,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "events_windowed_stream": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "
+            "window_start, event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "sessionize": (
             "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "

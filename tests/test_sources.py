@@ -171,3 +171,34 @@ def test_int96_legacy_timestamp_passthrough(spark, tmp_path):
     rows = spark.read.parquet(f).orderBy("id").collect()
     got = [r.DATE_TIME.replace(tzinfo=None) for r in rows]
     assert got == ts
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from parquet_toolkit_spark.streaming.windowed import windowed_event_counts
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for h in range(3):
+        for i in range(10):
+            rows.append((h * 100 + i, base + datetime.timedelta(hours=h, minutes=i),
+                         "click" if i % 2 == 0 else "view", float(i)))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, landing / "ev0.parquet")
+
+    out = windowed_event_counts(
+        spark, str(landing),
+        "event_id long, ts timestamp, event_type string, value double",
+        query_name="wtest",
+    )
+    got = {(r.window_start, r.event_type): r.n for r in out.collect()}
+    assert len(got) == 6  # 3 hourly windows x 2 types
+    assert all(n == 5 for n in got.values())
