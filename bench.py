@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "encode_roundtrip_sha", "q1_pricing_summary", "topk_per_group",
     "join_agg", "events_hourly", "text_stats", "lang_id",
     "exact_dedup", "normalized_dedup", "minhash_lsh", "simhash_pairs",
-    "ann_topk", "embedding_near_pairs_lsh",
+    "ann_topk", "embedding_near_pairs_lsh", "sessionize",
+    "source_stats_salted", "events_windowed_stream",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Property-based codec round-trips (hypothesis): any byte strings, any
+ints, any null pattern — decode(encode(x)) == x for the selector's choice.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquet_toolkit_spark.codecs.chunk import from_arrow, to_arrow
+from parquet_toolkit_spark.codecs.container import decode_blob
+from parquet_toolkit_spark.codecs.selector import select_codec
+
+_SETTINGS = dict(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=300)), max_size=200))
+def test_any_binary_roundtrips(vals):
+    arr = pa.array(vals, pa.large_binary())
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).cast(pa.large_binary()).to_pylist() == vals
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=120)), max_size=200))
+def test_any_text_roundtrips(vals):
+    arr = pa.array(vals, pa.string())
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).cast(pa.string()).to_pylist() == vals
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    max_size=300,
+))
+def test_any_int64_roundtrips(vals):
+    arr = pa.array(vals, pa.int64())
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).cast(pa.int64()).to_pylist() == vals
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True,
+                                   width=64)),
+    max_size=200,
+))
+def test_any_float_roundtrips_bitexact(vals):
+    arr = pa.array(vals, pa.float64())
+    codec, blob, _ = select_codec(from_arrow(arr))
+    out = to_arrow(decode_blob(blob)).cast(pa.float64())
+    a = np.array(arr.fill_null(0.0), dtype=np.float64)
+    b = np.array(out.fill_null(0.0), dtype=np.float64)
+    assert np.array_equal(a.view(np.uint8), b.view(np.uint8))
+    assert arr.is_null().to_pylist() == out.is_null().to_pylist()
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                                 width=32), max_size=32)),
+    max_size=60,
+))
+def test_any_float_list_roundtrips(vals):
+    arr = pa.array(vals, pa.list_(pa.float32()))
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.float32())).to_pylist() \
+        == arr.to_pylist()
