@@ -115,12 +115,21 @@ def main() -> None:
     snappy_bytes = sum(
         os.path.getsize(f) for f in glob.glob(os.path.join(corpus_dir, "*.parquet"))
     )
+    from parquet_toolkit_spark.operators.encode import decode_pipeline
+
+    t0 = time.time()
+    n_dec = decode_pipeline(spark, enc_dir).count()
+    decode_wall = time.time() - t0
+    assert n_dec == n_rows, (n_dec, n_rows)
+
     encode = {
         "gb_in": round(gb_in, 3),
         "layout_wall_s": round(layout_wall, 2),
         "wall_s": round(encode_wall, 2),
         "gbps": round(gb_in / encode_wall, 4),
         "e2e_gbps": round(gb_in / (encode_wall + layout_wall), 4),
+        "decode_wall_s": round(decode_wall, 2),
+        "decode_gbps": round(gb_in / decode_wall, 4),
         "ratio_vs_raw": round(rep["ratio"], 4),
         "ratio_vs_snappy": round((rep["bytes_out"] or 0) / max(1, snappy_bytes), 4),
         "n_partitions": rep["n_partitions"],
