@@ -32,6 +32,7 @@ from parquet_toolkit_spark.runtime import tune_malloc  # noqa: E402
 tune_malloc()
 
 _TMP = "/tmp/ptsk_queries"
+_STREAM_Q_SEQ = 0
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -376,11 +377,13 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(_TMP, "events_stream_src")
     os.makedirs(landing, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
+    global _STREAM_Q_SEQ
+    _STREAM_Q_SEQ += 1
     return windowed_event_counts(
         spark, landing,
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
-        query_name="q_events_stream",
+        query_name=f"q_events_stream_{_STREAM_Q_SEQ}",
     )
 
 
