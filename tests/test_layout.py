@@ -106,3 +106,21 @@ def test_compact_in_place_swap(spark, tmp_path):
     assert n_after < n_before
     assert spark.read.parquet(d).count() == li.count()
     assert not os.path.exists(d + "_old") and not os.path.exists(d + "_compacting")
+
+
+def test_sort_null_keys_divergence_documented(spark, tmp_path):
+    """FIXTURES.md F2 negative fixture: the reference hard-errors on null
+    sort keys (DMCMemoryData.java:68-70); our typed sort places them
+    NULLS FIRST — the documented divergence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "withnull")
+    os.makedirs(src)
+    t = pa.table({"k": pa.array(["b", None, "a"], pa.string()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(t, os.path.join(src, "f.parquet"))
+    out = str(tmp_path / "sorted")
+    sort_by_key(spark, src, out, keys=["k"], target_bytes=1 << 20)
+    got = [r.k for r in spark.read.parquet(out).orderBy("k").collect()]
+    assert got == [None, "a", "b"]  # NULLS FIRST, no error
