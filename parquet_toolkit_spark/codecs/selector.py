@@ -157,6 +157,13 @@ def select_codec(chunk: ColumnChunk, stats: dict | None = None,
     """
     if stats is None:
         stats = profile_chunk(chunk)
+    if candidates:
+        # pinned hints come from a SAMPLE partition: never let them route
+        # FSST onto a pathologically large chunk (encode-cost cap)
+        candidates = [
+            c for c in candidates
+            if not (c == "bin_fsst" and len(chunk.data) > 4 * FSST_MAX_BYTES)
+        ] or None
     best_name, best_blob = None, None
     for name in candidates or candidate_codecs(chunk, stats):
         blob = encode_blob(chunk, name, zstd=zstd)
