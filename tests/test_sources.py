@@ -202,3 +202,13 @@ def test_streaming_windowed_counts(spark, tmp_path):
     got = {(r.window_start, r.event_type): r.n for r in out.collect()}
     assert len(got) == 6  # 3 hourly windows x 2 types
     assert all(n == 5 for n in got.values())
+
+
+def test_iceberg_compat_gating(spark):
+    from parquet_toolkit_spark.sources import iceberg_compat
+
+    if iceberg_compat.iceberg_available(spark):  # pragma: no cover
+        pytest.skip("iceberg runtime present; gating path not applicable")
+    with pytest.raises(NotImplementedError) as exc:
+        iceberg_compat.read_table(spark, "cat.db.tbl")
+    assert "iceberg-spark-runtime" in str(exc.value)
