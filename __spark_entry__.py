@@ -309,7 +309,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_toolkit_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2, prefix_chars=24
+        _t(spark, sf_dir, "documents"), threshold=0.2, prefix_chars=24,
+        blocking="prefix",  # the plain-SQL-oracle variant; library default
+        # is minhash-band blocking (see ngram_jaccard_minhash query)
     ).select("id_a", "id_b")  # ids only: float-free compare
 
 

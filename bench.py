@@ -141,7 +141,9 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        n = df.count()
+        # noop sink evaluates EVERY output column (count() would let
+        # Catalyst prune projection-only expressions, ADVICE r1)
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
     times["layout_corpus"] = round(layout_wall, 3)
     times["encode_corpus"] = round(encode_wall, 3)

@@ -27,7 +27,6 @@ KINDS = ("int", "float", "bool", "bin", "flist")  # flist: list<numeric>
 _PA_INT = {
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
     pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
-    pa.date32(), pa.date64(),
 }
 
 
@@ -40,6 +39,10 @@ class ColumnChunk:
     offsets: np.ndarray | None = None  # bin kind, int64, len == nvalid+1
     mask: np.ndarray | None = None  # True == valid; None == all valid
     meta: dict = field(default_factory=dict)  # original arrow type info
+    # flist only: element-level validity over the LOGICAL element positions
+    # (len == offsets[-1]); values holds only the valid elements. None when
+    # every element of every valid row is non-null.
+    child_mask: np.ndarray | None = None
 
     @property
     def nvalid(self) -> int:
@@ -77,6 +80,14 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
         meta["ts_unit"] = t.unit
         meta["ts_tz"] = t.tz or ""
         return ColumnChunk("int", nrows, values=v, mask=mask, meta=meta)
+    if pa.types.is_date(t):
+        # date32->int64 has no direct arrow cast: reinterpret (view) to the
+        # same-width int first, then widen (ADVICE r1: cast crashed)
+        narrow = pa.int32() if pa.types.is_date32(t) else pa.int64()
+        vals = arr.view(narrow).cast(pa.int64())
+        v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
+        meta["date_bits"] = 32 if pa.types.is_date32(t) else 64
+        return ColumnChunk("int", nrows, values=v, mask=mask, meta=meta)
     if t in _PA_INT or pa.types.is_integer(t):
         vals = arr.cast(pa.int64())
         v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
@@ -102,13 +113,20 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
         vals = vals.cast(pa.large_list(child))
         bufs = vals.buffers()
         off = np.frombuffer(bufs[1], dtype=np.int64, count=len(vals) + 1).copy()
-        flat = vals.values
-        dt = np.dtype(child.to_pandas_dtype())
-        v = np.asarray(flat, dtype=dt)[off[0] : off[-1]].copy()
+        flat = vals.values.slice(int(off[0]), int(off[-1] - off[0]))
         off = off - off[0]
+        dt = np.dtype(child.to_pandas_dtype())
+        # element-level nulls: np.asarray would silently turn them into
+        # NaN / INT64_MIN (ADVICE r1) — densify to valid elements + carry
+        # a child validity mask instead
+        child_mask = None
+        if flat.null_count:
+            child_mask = ~np.asarray(flat.is_null())
+            flat = flat.drop_null()
+        v = np.asarray(flat, dtype=dt).copy()
         meta["list_child"] = str(child)
         return ColumnChunk("flist", nrows, values=v, offsets=off, mask=mask,
-                           meta=meta)
+                           meta=meta, child_mask=child_mask)
     if (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
@@ -134,6 +152,8 @@ def to_arrow(chunk: ColumnChunk) -> pa.Array:
         child = pa.type_for_alias(chunk.meta["list_child"])
         off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
         flat = pa.array(chunk.values, type=child)
+        if chunk.child_mask is not None:
+            flat = _respread(flat, len(chunk.child_mask), chunk.child_mask)
         valid = pa.LargeListArray.from_arrays(
             pa.array(off, pa.int64()), flat
         )
@@ -157,6 +177,12 @@ def to_arrow(chunk: ColumnChunk) -> pa.Array:
         tz = chunk.meta.get("ts_tz") or None
         t = pa.timestamp(chunk.meta["ts_unit"], tz=tz)
         valid = pa.array(vals, type=pa.int64()).cast(t)
+        return _respread(valid, chunk.nrows, mask)
+    if chunk.kind == "int" and chunk.meta.get("date_bits"):
+        if chunk.meta["date_bits"] == 32:
+            valid = pa.array(vals, type=pa.int64()).cast(pa.int32()).view(pa.date32())
+        else:
+            valid = pa.array(vals, type=pa.int64()).view(pa.date64())
         return _respread(valid, chunk.nrows, mask)
     valid = pa.array(vals)
     return _respread(valid, chunk.nrows, mask).cast(t)

@@ -58,6 +58,8 @@ def encode_blob(chunk: ColumnChunk, codec: str, zstd: bool = True) -> bytes:
 
     if chunk.mask is not None:
         sections = {**sections, "_mask": pack_mask(chunk.mask)}
+    if chunk.child_mask is not None:
+        sections = {**sections, "_cmask": pack_mask(chunk.child_mask)}
 
     names, blobs, sec_index = [], [], []
     for name, raw in sections.items():
@@ -74,6 +76,7 @@ def encode_blob(chunk: ColumnChunk, codec: str, zstd: bool = True) -> bytes:
         "meta": chunk.meta,
         "cmeta": cmeta,
         "has_mask": chunk.mask is not None,
+        "n_child": len(chunk.child_mask) if chunk.child_mask is not None else 0,
         "sections": sec_index,
     }
     hj = json.dumps(header, separators=(",", ":")).encode()
@@ -109,8 +112,10 @@ def decode_blob(blob: bytes) -> ColumnChunk:
                            mask=mask, meta=header["meta"])
     if kind == "flist":
         values, offsets = dec(sections, header["cmeta"], nvalid)
+        n_child = header.get("n_child", 0)
+        cmask = unpack_mask(sections["_cmask"], n_child) if n_child else None
         return ColumnChunk(kind, nrows, values=values, offsets=offsets,
-                           mask=mask, meta=header["meta"])
+                           mask=mask, meta=header["meta"], child_mask=cmask)
     values = dec(sections, header["cmeta"], nvalid)
     if kind == "bool":
         values = values.astype(np.bool_)

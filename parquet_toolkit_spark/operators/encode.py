@@ -340,12 +340,14 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
                    schema_map: dict[str, str], append_pids: bool = False) -> None:
     blobs_dir = os.path.join(out_dir, "blobs")
     # dynamic overwrite: only re-encoded pid directories are replaced
-    # (idempotent resume); static mode wipes the whole store first
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if append_pids else "static",
+    # (idempotent resume); static mode wipes the whole store first.
+    # per-write option, NOT a session conf — leaking the mode would change
+    # unrelated partitioned writes later in the session (ADVICE r1)
+    (
+        encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic" if append_pids else "static")
+        .partitionBy("pid").parquet(blobs_dir)
     )
-    encoded.write.mode("overwrite").partitionBy("pid").parquet(blobs_dir)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_schema.json"), "w") as fh:

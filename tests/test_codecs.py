@@ -228,3 +228,35 @@ def test_flist_int_lists():
     chunk = from_arrow(arr)
     codec, blob, _ = select_codec(chunk)
     assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.int64())).to_pylist() == vals
+
+
+def test_flist_null_elements_roundtrip():
+    # ADVICE r1: null elements inside lists must survive bit-exact (were
+    # silently becoming NaN / INT64_MIN before the child-mask fix)
+    cases = [
+        pa.array([[1.0, None, 7.0], None, [], [None, 2.5]], pa.list_(pa.float32())),
+        pa.array([[1, None, 7], [2**40, -5], None], pa.list_(pa.int64())),
+        pa.array([[None], [None, None]], pa.list_(pa.float64())),
+    ]
+    for arr in cases:
+        chunk = from_arrow(arr)
+        codec, blob, _ = select_codec(chunk)
+        back = to_arrow(decode_blob(blob)).cast(arr.type)
+        assert back.to_pylist() == arr.to_pylist(), (codec, arr.type)
+
+
+def test_date_roundtrip():
+    # ADVICE r1: date32/date64 crashed on the unsupported date->int64 cast
+    import datetime as dtm
+
+    d32 = pa.array(
+        [dtm.date(2020, 1, 1), None, dtm.date(1969, 12, 31), dtm.date(1, 1, 1)],
+        pa.date32(),
+    )
+    d64 = pa.array([dtm.date(2020, 1, 1), None], pa.date64())
+    for arr in (d32, d64):
+        chunk = from_arrow(arr)
+        codec, blob, _ = select_codec(chunk)
+        back = to_arrow(decode_blob(blob))
+        assert back.type == arr.type
+        assert back.to_pylist() == arr.to_pylist(), codec

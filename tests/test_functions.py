@@ -122,7 +122,8 @@ def test_ngram_jaccard_prefix_blocked(spark):
     t3 = "unrelated start entirely different body"
     df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)],
                                "doc_id long, text string")
-    got = dedup.ngram_jaccard_pairs(df, threshold=0.3, prefix_chars=16).collect()
+    got = dedup.ngram_jaccard_pairs(df, threshold=0.3, prefix_chars=16,
+                                   blocking="prefix").collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
 
 
@@ -210,3 +211,83 @@ def test_skew_salted_agg_matches_plain(spark):
     )
     want = {r.repo: (r.n, r.b) for r in want_df.collect()}
     assert got == want
+
+
+def test_simhash_batch_matches_per_doc_reference():
+    # the vectorized whole-batch path must equal the per-list reference
+    import numpy as np
+    import pandas as pd
+
+    texts = [
+        "def foo return bar",
+        "",
+        None,
+        "   leading and trailing   ",
+        "x",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "tabs\tand\nnewlines\r\nmixed",
+        "héllo🎉中文 tokens too",
+    ]
+    got = dedup._simhash_batch(pd.Series(texts))
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        h = dedup._fnv1a_tokens(toks)
+        if len(h) == 0:
+            want = np.uint64(0)
+        else:
+            with np.errstate(over="ignore"):
+                bits = ((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            want = np.packbits((votes > 0).astype(np.uint8),
+                               bitorder="little").view(np.uint64)[0]
+        assert got[i] == want, (i, texts[i])
+
+
+def test_simhash_chunk_bounds_guarantee():
+    # max_hamming+1 disjoint chunks covering all 64 bits, every width >= 1
+    for mh in (0, 3, 6, 8, 63):
+        bounds = dedup.simhash_chunk_bounds(mh)
+        assert len(bounds) == min(64, mh + 1)
+        covered = []
+        for start, width in bounds:
+            assert width >= 1
+            covered.extend(range(start, start + width))
+        assert covered == list(range(64))
+
+
+def test_simhash_near_pairs_radius6(spark):
+    # pairs at hamming in (3, 6] were silently dropped by the old 4-chunk
+    # blocking whenever they differed in all four 16-bit chunks
+    base = " ".join(f"tok{i}" for i in range(80))
+    variant = base
+    for t in ("tok3", "tok19", "tok37", "tok55"):  # spread bit flips
+        variant = variant.replace(t + " ", t + "X ")
+    df = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string"
+    )
+    all_pairs = dedup.simhash_near_pairs(df, max_hamming=63).collect()
+    if not all_pairs:
+        pytest.skip("variant hashed to identical simhash; nothing to assert")
+    ham = all_pairs[0].hamming
+    got = {(r.id_a, r.id_b) for r in
+           dedup.simhash_near_pairs(df, max_hamming=ham).collect()}
+    assert (1, 2) in got
+
+
+def test_ngram_jaccard_minhash_blocking(spark):
+    # same-prefix megablock: 40 docs share a long license header but have
+    # disjoint bodies — prefix blocking would make one quadratic block;
+    # minhash blocking must still find the planted near-dup pair
+    header = "copyright license apache version two point zero " * 3
+    rows = [(i, header + " ".join(f"body{i}w{j}" for j in range(30)))
+            for i in range(40)]
+    near = rows[7][1].replace("body7w3", "changed")
+    rows.append((100, near))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.ngram_jaccard_pairs(df, threshold=0.5, blocking="minhash",
+                                    k=16, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (7, 100) in pairs
+    # disjoint-body docs must not pass the exact-Jaccard verifier
+    assert all(a == 7 and b == 100 for a, b in pairs)
