@@ -214,22 +214,37 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
 
     fail_after=k encodes only k pending partitions then returns — the
     kill-after-k test hook (SURVEY.md §5.2 item 5).
-    """
-    import glob as globmod
 
+    All control-plane IO (listing, manifest, commit) goes through the
+    filesystem shim, so staging/out dirs may live on any Hadoop-readable
+    scheme (hdfs://, s3a://), matching the reference's HDFS-native
+    control plane (ParquetMergerImpl.java:60-110).
+    """
+    import posixpath
+
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    dfs = DriverFS(spark)
     staged = spark.read.parquet(staging_dir)
     schema_map = _schema_map(staged)
 
     pid_files: dict[int, list[str]] = {}
-    for d in globmod.glob(os.path.join(staging_dir, "pid=*")):
+    pid_sizes: dict[int, int] = {}
+    for d in dfs.list_dirs(staging_dir):
+        base = posixpath.basename(d.rstrip("/"))
+        if not base.startswith("pid="):
+            continue
         try:
-            pid = int(os.path.basename(d).split("=", 1)[1])
+            pid = int(base.split("=", 1)[1])
         except ValueError:
             continue
-        fs = [f for f in globmod.glob(os.path.join(d, "*"))
-              if not os.path.basename(f).startswith((".", "_"))]
-        if fs:
-            pid_files[pid] = sorted(fs)
+        fs_list = [
+            (f, sz) for f, sz in dfs.list_files(d)
+            if not posixpath.basename(f).startswith((".", "_"))
+        ]
+        if fs_list:
+            pid_files[pid] = sorted(f for f, _ in fs_list)
+            pid_sizes[pid] = sum(sz for _, sz in fs_list)
 
     committed: set[int] = set()
     if resume:
@@ -247,13 +262,13 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
 
     blobs_dir = os.path.join(out_dir, "blobs")
     tmp_dir = os.path.join(out_dir, "_tmp")
-    os.makedirs(tmp_dir, exist_ok=True)
+    dfs.mkdirs(tmp_dir)
 
     # codec hints: full gated selection once, on the first pending pid
     # (longest-first task order also keeps the tail short)
-    import pyarrow.parquet as pq_mod
+    from parquet_toolkit_spark.sources.fs import task_read_table
 
-    sample_table = pq_mod.read_table(pid_files[pending[0]])
+    sample_table = task_read_table(pid_files[pending[0]])
     sample_table = sample_table.drop_columns(
         [c for c in sample_table.schema.names if c not in schema_map]
     )
@@ -264,24 +279,24 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
         for n in sample_table.schema.names
     })
 
-    by_size = sorted(
-        pending,
-        key=lambda p: -sum(os.path.getsize(f) for f in pid_files[p]),
-    )
+    by_size = sorted(pending, key=lambda p: -pid_sizes[p])
     tasks = spark.createDataFrame(
         [(p, ",".join(pid_files[p])) for p in by_size], "pid INT, files STRING"
     ).repartition(len(by_size))
 
     def encode_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         from parquet_toolkit_spark.runtime import tune_malloc
+        from parquet_toolkit_spark.sources.fs import (
+            task_fs,
+            task_read_table,
+            task_write_ipc_atomic,
+        )
 
         tune_malloc()
         for pdf in batches:
             for _, task in pdf.iterrows():
                 pid = int(task["pid"])
-                table = pq.read_table(task["files"].split(","))
+                table = task_read_table(task["files"].split(","))
                 table = table.drop_columns(
                     [c for c in table.schema.names if c not in schema_map]
                 )
@@ -294,25 +309,25 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                 rows = _encode_columns(cols, pid, run_id, hints=hints)
                 blob_table = pa.Table.from_batches([_rows_to_batch(rows)])
                 dest_dir = os.path.join(blobs_dir, f"pid={pid}")
-                os.makedirs(dest_dir, exist_ok=True)
+                wfs, dest_plain = task_fs(dest_dir)
+                wfs.create_dir(dest_plain, recursive=True)
                 # Arrow IPC, not parquet: blob sections are already
                 # compressed, so the store wants a raw-memcpy format —
                 # IPC writes ~4x faster here and memory-maps on decode
                 blob_table = blob_table.drop_columns(["pid"])
-                tmp = os.path.join(tmp_dir, f"pid-{pid}-{run_id}.arrow")
-                with pa.OSFile(tmp, "wb") as sink, \
-                        pa.ipc.new_file(sink, blob_table.schema) as w:
-                    w.write_table(blob_table)
-                os.replace(tmp, os.path.join(dest_dir, "part-0.arrow"))
+                task_write_ipc_atomic(
+                    blob_table,
+                    os.path.join(tmp_dir, f"pid-{pid}-{run_id}.arrow"),
+                    os.path.join(dest_dir, "part-0.arrow"),
+                )
                 out = pd.DataFrame(rows).drop(columns=["blob"])
                 yield out
 
     manifest_schema = ENCODED_SCHEMA.replace(", blob BINARY", "")
     new_rows = tasks.mapInPandas(encode_task, manifest_schema)
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "_schema.json"), "w") as fh:
-        json.dump(schema_map, fh)
+    dfs.mkdirs(out_dir)
+    dfs.write_text(os.path.join(out_dir, "_schema.json"), json.dumps(schema_map))
 
     # materialize the encode job FIRST, at full parallelism — a coalesce(1)
     # on its output would propagate upstream and run every encode task on
@@ -333,11 +348,8 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     tmp_man = os.path.join(out_dir, "manifest_new")
     new_man.coalesce(1).write.mode("overwrite").parquet(tmp_man)
     spark.read.parquet(tmp_man).coalesce(1).write.mode("overwrite").parquet(man_dir)
-    import shutil
-
-    shutil.rmtree(rows_tmp, ignore_errors=True)
-    shutil.rmtree(tmp_man, ignore_errors=True)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+    for d in (rows_tmp, tmp_man, tmp_dir):
+        dfs.delete(d, recursive=True)
     return read_manifest(spark, out_dir)
 
 
@@ -354,9 +366,11 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
         .partitionBy("pid").parquet(blobs_dir)
     )
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "_schema.json"), "w") as fh:
-        json.dump(schema_map, fh)
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    dfs = DriverFS(spark)
+    dfs.mkdirs(out_dir)
+    dfs.write_text(os.path.join(out_dir, "_schema.json"), json.dumps(schema_map))
 
     # manifest derives from the blob store (column-pruned scan: the binary
     # blob column is never read), so it is always consistent with it
@@ -385,10 +399,14 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     per pid, the worker reads the pid's blob file directly with pyarrow
     and emits decoded Arrow batches — no shuffle, no JVM row transfer on
     the input side."""
-    import glob as globmod
+    import posixpath
 
-    with open(os.path.join(enc_dir, "_schema.json")) as fh:
-        schema_map: dict[str, str] = json.load(fh)
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    dfs = DriverFS(spark)
+    schema_map: dict[str, str] = json.loads(
+        dfs.read_text(os.path.join(enc_dir, "_schema.json"))
+    )
     blobs_dir = os.path.join(enc_dir, "blobs")
 
     # only manifest-committed pids are decoded: a crashed run may leave
@@ -403,16 +421,19 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
         }
 
     pid_files: list[tuple[int, str]] = []
-    for d in sorted(globmod.glob(os.path.join(blobs_dir, "pid=*"))):
+    for d in dfs.list_dirs(blobs_dir):
+        base = posixpath.basename(d.rstrip("/"))
+        if not base.startswith("pid="):
+            continue
         try:
-            pid = int(os.path.basename(d).split("=", 1)[1])
+            pid = int(base.split("=", 1)[1])
         except ValueError:
             continue
         if committed is not None and pid not in committed:
             continue
-        for f in sorted(globmod.glob(os.path.join(d, "*.parquet"))
-                        + globmod.glob(os.path.join(d, "*.arrow"))):
-            pid_files.append((pid, f))
+        for f, _sz in dfs.list_files(d):
+            if f.endswith((".parquet", ".arrow")):
+                pid_files.append((pid, f))
     if not pid_files:
         raise FileNotFoundError(f"no committed blob files under {blobs_dir}")
 
@@ -439,20 +460,21 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
-        import pyarrow.parquet as pq
 
         from parquet_toolkit_spark.codecs.chunk import to_arrow
         from parquet_toolkit_spark.codecs.container import decode_blob
         from parquet_toolkit_spark.runtime import tune_malloc
+
+        from parquet_toolkit_spark.sources.fs import task_open_ipc, task_read_table
 
         tune_malloc()
         for b in batches:
             for task in b.to_pylist():
                 fpath = task["file"]
                 if fpath.endswith(".arrow"):
-                    bt = pa.ipc.open_file(pa.memory_map(fpath)).read_all()
+                    bt = task_open_ipc(fpath).read_all()
                 else:
-                    bt = pq.read_table(fpath)
+                    bt = task_read_table([fpath])
                 cols: dict[str, pa.Array] = {}
                 nrows = 0
                 names = bt.column("column").to_pylist()

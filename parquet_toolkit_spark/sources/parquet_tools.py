@@ -9,27 +9,32 @@ jobs are ordinary compact() calls.
 from __future__ import annotations
 
 import os
+import posixpath
 
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_toolkit_spark.sources.fs import DriverFS, task_fs
+
 PARQUET_SUFFIXES = (".parq", ".parquet")
 
 
-def list_parquet_files(folder: str) -> list[str]:
+def list_parquet_files(folder: str, spark: SparkSession | None = None) -> list[str]:
     """Listing predicate parity (ParquetMergerImpl.java:60-88,128-131 +
     SimpleMultithreadedParquetMerger.java:351-378): keep *.parq/*.parquet,
-    drop hidden/_temporary/leftover temp files."""
+    drop hidden/_temporary/leftover temp files. Scheme-agnostic: routes
+    through the Hadoop FileSystem when a session is up (hdfs://, s3a://)."""
     out = []
-    for name in sorted(os.listdir(folder)):
+    for path, _size in DriverFS(spark).list_files(folder):
+        name = posixpath.basename(path)
         if name.startswith((".", "_")):
             continue
         if "_merger_" in name or name.endswith("_saving"):
             continue
         if not name.lower().endswith(PARQUET_SUFFIXES):
             continue
-        out.append(os.path.join(folder, name))
+        out.append(path)
     return out
 
 
@@ -38,7 +43,8 @@ def footer_row_counts(files: list[str]) -> dict[str, tuple[int, int]]:
     36-44 parity)."""
     out = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        fs, p = task_fs(f)
+        md = pq.ParquetFile(fs.open_input_file(p)).metadata
         out[f] = (md.num_row_groups, md.num_rows)
     return out
 
@@ -54,7 +60,8 @@ def schema_groups(files: list[str]) -> tuple[dict[str, list[str]], list[str]]:
     broken: list[str] = []
     for f in files:
         try:
-            fp = str(pq.read_schema(f))
+            fs, p = task_fs(f)
+            fp = str(pq.read_schema(fs.open_input_file(p)))
         except Exception:
             broken.append(f)
             continue
