@@ -126,11 +126,27 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return bucket
 
 
+def _with_block(t: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Add a sub-block column bounding any (bkt) group to ~cap rows.
+
+    One tiny groupBy-count (map-side combined; <= 2^n_planes rows) is
+    broadcast-joined back; oversized buckets get nblocks = ceil(n/cap)
+    hash sub-blocks, normal buckets collapse to blk=0."""
+    cnt = t.groupBy("bkt").agg(F.count("*").alias("_n"))
+    nblk = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(cap))).cast("int")
+    return (
+        t.join(F.broadcast(cnt.select("bkt", nblk.alias("_nblk"))), "bkt")
+        .withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nblk"))
+                    .cast("int"))
+    )
+
+
 def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  n_planes: int = 8, seed: int = 42,
                  multiprobe: bool = True,
-                 dim: int | None = None) -> DataFrame:
+                 dim: int | None = None,
+                 bucket_cap: int = 65536) -> DataFrame:
     """Approximate top-k: corpus rows hash to one bucket; each query probes
     its bucket plus all hamming-1 buckets. Candidates scored per bucket
     group with numpy (applyInPandas) — no cross join, no full GEMM."""
@@ -159,6 +175,11 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
     c = df.select(F.col(id_col), F.col(vec_col),
                   bucket(F.col(vec_col)).alias("bkt"))
+    # bucket-size cap (VERDICT r1 #4): a hot bucket would otherwise become
+    # ONE task scoring every row; rows of oversized buckets split into
+    # hash sub-blocks scored independently — the rank window merges blocks,
+    # so results are identical, only task granularity changes
+    c = _with_block(c, id_col, cap=bucket_cap).drop("_nblk")
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         from parquet_toolkit_spark.runtime import tune_malloc
@@ -188,7 +209,7 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             out_c.extend(ms[sel].tolist())
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
-    cand = c.groupBy("bkt").applyInPandas(
+    cand = c.groupBy("bkt", "blk").applyInPandas(
         score_bucket, "query_id long, neighbor_id long, cos double"
     ).groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
@@ -204,32 +225,73 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 def embedding_near_pairs(df: DataFrame, tau: float = 0.95,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
-                         n_planes: int = 6, seed: int = 42) -> DataFrame:
+                         n_planes: int = 6, seed: int = 42,
+                         bucket_cap: int = 4096) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau),
-    LSH-blocked: one pairwise GEMM per bucket group, never a cross join."""
+    LSH-blocked: one pairwise GEMM per bucket group, never a cross join.
+
+    Bucket-size cap (VERDICT r1 #4): a hot bucket (boilerplate embeddings)
+    would otherwise hand ONE task an O(n^2) GEMM. Rows of oversized buckets
+    split into b = ceil(n/cap) hash blocks; every row fans out to the
+    block-PAIR tasks it participates in ((i,j), i<=j), each task compares
+    its two blocks (or one block with itself) — all within-bucket pairs
+    are still produced exactly once, but no task sees more than ~2*cap
+    rows. Fan-out factor is b per row, the unavoidable cost of exhaustive
+    pair generation at bounded task size.
+    """
     dim = len(df.select(vec_col).first()[0])
     bucket = lsh_bucket_udf(dim, n_planes, seed)
     t = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bkt"))
+    t = _with_block(t, id_col, cap=bucket_cap)
 
-    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    # fan each row out to every block-pair task containing its block
+    pair_structs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nblk") - 1),
+            lambda j: F.struct(
+                F.least(F.col("blk"), j).alias("bi"),
+                F.greatest(F.col("blk"), j).alias("bj"),
+            ),
+        )
+    )
+    t = (
+        t.withColumn("bp", F.explode(pair_structs))
+        .select(id_col, vec_col, "bkt", "blk", "bp.bi", "bp.bj")
+    )
+
+    def pairs_in_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from parquet_toolkit_spark.runtime import tune_malloc
 
         tune_malloc()
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         ids = pdf[id_col].to_numpy()
         M = _normalize_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-        S = M @ M.T
-        iu, ju = np.triu_indices(n, k=1)
-        hit = S[iu, ju] >= tau
-        a, b = ids[iu[hit]], ids[ju[hit]]
+        if bi == bj:
+            n = len(pdf)
+            S = M @ M.T
+            iu, ju = np.triu_indices(n, k=1)
+            hit = S[iu, ju] >= tau
+            a, b = ids[iu[hit]], ids[ju[hit]]
+        else:
+            am = pdf["blk"].to_numpy() == bi
+            A, B = M[am], M[~am]
+            aid, bid = ids[am], ids[~am]
+            if not len(A) or not len(B):
+                return empty
+            S = A @ B.T
+            ii, jj = np.nonzero(S >= tau)
+            a, b = aid[ii], bid[jj]
+        if not len(a):
+            return empty
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return (
-        t.groupBy("bkt")
-        .applyInPandas(pairs_in_bucket, "id_a long, id_b long")
+        t.groupBy("bkt", "bi", "bj")
+        .applyInPandas(pairs_in_group, "id_a long, id_b long")
         .distinct()
     )

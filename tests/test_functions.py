@@ -291,3 +291,36 @@ def test_ngram_jaccard_minhash_blocking(spark):
     assert (7, 100) in pairs
     # disjoint-body docs must not pass the exact-Jaccard verifier
     assert all(a == 7 and b == 100 for a, b in pairs)
+
+
+def test_lsh_hot_bucket_capped(spark):
+    # 1200 near-identical vectors all land in one LSH bucket; with
+    # bucket_cap=100 no task may own the bucket — results must equal the
+    # uncapped computation exactly
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(300):
+        v = base + rng.standard_normal(16) * 1e-3  # hot bucket, cos ~ 1
+        rows.append((i, [float(x) for x in v]))
+    for i in range(300, 330):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = similarity.embedding_near_pairs(df, tau=0.999, n_planes=4,
+                                             bucket_cap=50)
+    uncapped = similarity.embedding_near_pairs(df, tau=0.999, n_planes=4,
+                                               bucket_cap=10**9)
+    got_c = {(r.id_a, r.id_b) for r in capped.collect()}
+    got_u = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert got_c == got_u
+    assert len(got_c) > 1000  # the hot cluster really is pairwise-near
+
+    # ann path: capped == uncapped ranks
+    q = df.where(F.col("vec_id") < 2)
+    a = similarity.lsh_ann_topk(df, q, k=5, n_planes=4, bucket_cap=40)
+    b = similarity.lsh_ann_topk(df, q, k=5, n_planes=4, bucket_cap=10**9)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
