@@ -86,13 +86,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 16, bands: int = 4,
-                      shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
-    """Candidate pairs from LSH banding, verified with exact Jaccard.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    """
+def minhash_band_hashes(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 16, bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """(id, b, h): one LSH band hash row per doc per band — the
+    deterministic intermediate both the Spark join and a SQL oracle can
+    consume (hash functions aren't portable SQL; the banded TABLE is)."""
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
     r = k // bands
     band_cols = [
@@ -100,13 +99,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         for b in range(bands)
     ]
     banded = sigs.select(id_col, *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
             for b in range(bands)
         ])).alias("bh"),
     ).select(id_col, "bh.b", "bh.h")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 16, bands: int = 4,
+                      shingle_n: int = 3, threshold: float = 0.7,
+                      band_df: DataFrame | None = None) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    `band_df` injects precomputed band hashes (fixture-oracle path)."""
+    stacked = (band_df if band_df is not None
+               else minhash_band_hashes(df, text_col, id_col, k, bands, shingle_n))
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (
@@ -312,15 +323,18 @@ def simhash_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       sig_df: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on bit chunks.
 
     The 64-bit hash is split into max_hamming+1 disjoint chunks (pigeonhole
     guarantee, see simhash_chunk_bounds) — the classic scalable simhash
     join: equi-join per chunk, never a cross join. Larger radii mean
     narrower chunks and more candidates; that is inherent to the guarantee.
+    `sig_df` injects precomputed (id, sh) signatures (fixture-oracle path).
     """
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    sh = (sig_df if sig_df is not None
+          else df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh")))
     chunks = sh.select(
         id_col, "sh",
         F.explode(F.array(*[
