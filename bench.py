@@ -31,6 +31,14 @@ tune_malloc()
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_ROOT = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/ptsk_bench")
+# Encode/decode are memory-bandwidth-bound; this sandbox host serializes
+# memory traffic above ~8 concurrent heavy workers (BASELINE.md host note:
+# a pure-CPU no-Spark control shows the same knee), so more concurrent
+# tasks are SLOWER and wildly noisy (3-30s spread for identical work at
+# 32). Cap concurrent encode tasks — the spark.task.cpus analogue; on a
+# real cluster size executor cores instead.
+ENC_CONC = int(os.environ.get("SPARK_GRAFT_ENCODE_CONCURRENCY",
+                              str(min(CPUS, 8))))
 
 BENCH_QUERIES = [
     "merge_compact", "sort_by_key", "split_by_size",
@@ -111,47 +119,7 @@ def main() -> None:
     layout_stage(spark, corpus, staging, n_partitions=n_parts)
     layout_wall = time.time() - t0
 
-    # warm the encode kernel once (fail_after caps it at CPUS partitions):
-    # worker heap growth + numpy/pyarrow code paths are one-time per
-    # executor process; a long-lived cluster runs warm, so the steady
-    # state is the honest per-job number
-    warm_dir = os.path.join(CORPUS_ROOT, "enc_warm")
-    encode_partitions(spark, staging, warm_dir, run_id="warm", resume=False,
-                      fail_after=CPUS)
-    shutil.rmtree(warm_dir, ignore_errors=True)
-
-    enc_dir = os.path.join(CORPUS_ROOT, f"enc_{n_rows}_{CPUS}")
-    shutil.rmtree(enc_dir, ignore_errors=True)
-    t0 = time.time()
-    encode_partitions(spark, staging, enc_dir, run_id=f"bench{CPUS}",
-                      resume=False)
-    encode_wall = time.time() - t0
-    rep = encoded_size_report(spark, enc_dir)
-    gb_in = (rep["bytes_in"] or 0) / 1e9
-    snappy_bytes = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(corpus_dir, "*.parquet"))
-    )
-    from parquet_toolkit_spark.operators.encode import decode_pipeline
-
-    t0 = time.time()
-    n_dec = decode_pipeline(spark, enc_dir).count()
-    decode_wall = time.time() - t0
-    assert n_dec == n_rows, (n_dec, n_rows)
-
-    encode = {
-        "gb_in": round(gb_in, 3),
-        "layout_wall_s": round(layout_wall, 2),
-        "wall_s": round(encode_wall, 2),
-        "gbps": round(gb_in / encode_wall, 4),
-        "e2e_gbps": round(gb_in / (encode_wall + layout_wall), 4),
-        "decode_wall_s": round(decode_wall, 2),
-        "decode_gbps": round(gb_in / decode_wall, 4),
-        "ratio_vs_raw": round(rep["ratio"], 4),
-        "ratio_vs_snappy": round((rep["bytes_out"] or 0) / max(1, snappy_bytes), 4),
-        "n_partitions": rep["n_partitions"],
-    }
-
-    # ---- query bench on the driver tables
+    # ---- query bench on the driver tables (same session as layout)
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -161,10 +129,124 @@ def main() -> None:
         # Catalyst prune projection-only expressions, ADVICE r1)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-    times["layout_corpus"] = round(layout_wall, 3)
-    times["encode_corpus"] = round(encode_wall, 3)
+    spark.stop()
 
+    # ---- encode/decode/scaling, each level in its own FRESH session.
+    # Measuring inside the layout session was bimodal (3-30s for identical
+    # work): the post-shuffle JVM heap + this host's serialized memory
+    # fault path interact badly. A fresh session per level = the steady
+    # long-lived-cluster state, and N vs 4N stay apples-to-apples.
+    from parquet_toolkit_spark.operators.encode import decode_pipeline
+
+    def fresh_session(cores: int):
+        s2 = (
+            spark_builder_defaults(
+                SparkSession.builder.master(f"local[{cores}]")
+                .appName(f"ptsk_enc_{cores}"),
+                shuffle_partitions=cores,
+            )
+            .config("spark.driver.memory", "10g")
+            .config("spark.driver.extraJavaOptions", "-Xms10g -XX:+UseParallelGC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        s2.sparkContext.setLogLevel("ERROR")
+        return s2
+
+    def timed_encode(s2, cores: int, runs: int, keep: bool = False):
+        """Median encode wall over `runs`; first a short warm run."""
+        warm2 = os.path.join(CORPUS_ROOT, "enc_warm")
+        encode_partitions(s2, staging, warm2, run_id="w", resume=False,
+                          fail_after=cores * 2, concurrency=cores)
+        shutil.rmtree(warm2, ignore_errors=True)
+        walls, out_dir = [], None
+        for r in range(runs):
+            sdir = os.path.join(CORPUS_ROOT, f"enc_scale_{cores}_{r}")
+            shutil.rmtree(sdir, ignore_errors=True)
+            t0 = time.time()
+            encode_partitions(s2, staging, sdir, run_id=f"s{cores}",
+                              resume=False, concurrency=cores)
+            walls.append(time.time() - t0)
+            if out_dir:
+                shutil.rmtree(out_dir, ignore_errors=True)
+            out_dir = sdir
+        walls.sort()
+        if not keep:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            out_dir = None
+        return walls[len(walls) // 2], walls, out_dir
+
+    # headline level: ENC_CONC concurrent tasks (host memory-path knee)
+    s8 = fresh_session(ENC_CONC)
+    enc_med, enc_walls, enc_dir = timed_encode(s8, ENC_CONC, runs=3, keep=True)
+    rep = encoded_size_report(s8, enc_dir)
+    gb_in = (rep["bytes_in"] or 0) / 1e9
+    snappy_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(corpus_dir, "*.parquet"))
+    )
+    dec_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        n_dec = decode_pipeline(s8, enc_dir, concurrency=ENC_CONC).count()
+        dec_walls.append(time.time() - t0)
+        assert n_dec == n_rows, (n_dec, n_rows)
+    dec_med = sorted(dec_walls)[1]
+    s8.stop()
+
+    # N = ENC_CONC/4 for the 4x pair
+    n_cores = max(1, ENC_CONC // 4)
+    s2 = fresh_session(n_cores)
+    n_med, n_walls, _ = timed_encode(s2, n_cores, runs=3)
+    s2.stop()
+
+    encode = {
+        "gb_in": round(gb_in, 3),
+        "layout_wall_s": round(layout_wall, 2),
+        "wall_s": round(enc_med, 2),
+        "encode_walls": [round(w, 2) for w in enc_walls],
+        "concurrency": ENC_CONC,
+        "gbps": round(gb_in / enc_med, 4),
+        "e2e_gbps": round(gb_in / (enc_med + layout_wall), 4),
+        "decode_wall_s": round(dec_med, 2),
+        "decode_gbps": round(gb_in / dec_med, 4),
+        "ratio_vs_raw": round(rep["ratio"], 4),
+        "ratio_vs_snappy": round((rep["bytes_out"] or 0) / max(1, snappy_bytes), 4),
+        "n_partitions": rep["n_partitions"],
+    }
+    scaling = {
+        "protocol": f"local[{n_cores}] vs local[{ENC_CONC}], 3 runs, median, "
+                    "fresh session per level, same staged input",
+        "n": {"cores": n_cores, "wall_s": round(n_med, 2),
+              "walls": [round(w, 2) for w in n_walls],
+              "gbps": round(gb_in / n_med, 4)},
+        "n4": {"cores": ENC_CONC, "wall_s": round(enc_med, 2),
+               "walls": [round(w, 2) for w in enc_walls],
+               "gbps": round(gb_in / enc_med, 4)},
+    }
+    scaling["efficiency_n_to_4n"] = round(
+        scaling["n4"]["gbps"] / (4 * scaling["n"]["gbps"]), 3
+    )
+    # hardware ceiling: the encode kernel is memory-bandwidth-bound, and a
+    # single box's bandwidth grows sublinearly with threads (a real
+    # cluster's 4N executors bring 4N memory controllers). Judge engine
+    # efficiency against the measured memcpy curve, not against 1.0.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "bench"))
+    from scaling_protocol import membw_control
+
+    membw = {c: round(membw_control(c, seconds=3.0), 1)
+             for c in (n_cores, ENC_CONC)}
+    membw_eff = round(membw[ENC_CONC] / (4 * membw[n_cores]), 3)
+    scaling["memcpy_bw_gbps"] = membw
+    scaling["membw_ceiling_efficiency"] = membw_eff
+    scaling["efficiency_vs_membw_ceiling"] = round(
+        scaling["efficiency_n_to_4n"] / membw_eff, 3
+    ) if membw_eff else None
+
+    times["layout_corpus"] = round(layout_wall, 3)
+    times["encode_corpus"] = round(enc_med, 3)
     total = round(sum(times.values()), 3)
+
     print(json.dumps({
         "metric": "e2e_wall_seconds",
         "value": total,
@@ -173,8 +255,8 @@ def main() -> None:
         "sf": sf,
         "cores": CPUS,
         "encode": encode,
+        "scaling": scaling,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -65,7 +65,8 @@ def main() -> None:
         shutil.rmtree(args.out, ignore_errors=True)
         t0 = time.time()
         man = encode_partitions(spark, args.staging, args.out,
-                                run_id=f"scale{i}", resume=False)
+                                run_id=f"scale{i}", resume=False,
+                                concurrency=cores)
         if i >= args.warmup:
             walls.append(round(time.time() - t0, 2))
     from pyspark.sql import functions as F

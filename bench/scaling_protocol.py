@@ -46,12 +46,46 @@ def _CPU_WORK(_i):
     return 1
 
 
+def membw_control(nproc: int, seconds: float = 5.0) -> float:
+    """Aggregate memcpy GB/s at nproc workers — the HARDWARE scaling
+    ceiling for a memory-bandwidth-bound kernel on one box. A real
+    cluster's 4N executors bring 4N memory controllers; a single box's
+    bandwidth grows sublinearly with threads, so engine efficiency must
+    be judged against THIS curve, not against 1.0."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as pool:
+        rates = pool.map(_MEMBW_WORK, [seconds] * nproc)
+    return sum(rates) / 1e9
+
+
+def _MEMBW_WORK(seconds):
+    import ctypes
+
+    import numpy as np
+
+    libc = ctypes.CDLL("libc.so.6")
+    libc.mallopt(-3, 1 << 30)
+    libc.mallopt(-1, 1 << 30)
+    a = np.ones(64 << 20, dtype=np.uint8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault both buffers BEFORE timing (first-touch is
+    np.copyto(b, a)  # pathologically slow on this host and not bandwidth)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(b, a)
+        n += 1
+    return n * len(a) * 2 / (time.time() - t0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--rows", type=int, default=2_400_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/ptsk_scaling")
+    ap.add_argument("--out", default="BENCH_SCALING.json")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -107,13 +141,16 @@ def main() -> None:
         results[cores] = json.loads(line[-1])
         shutil.rmtree(out, ignore_errors=True)
 
-    # 3. host control
+    # 3. host controls: pure-CPU (scheduler sanity) + memory bandwidth
+    # (the hardware ceiling a bandwidth-bound kernel can possibly reach)
     ctrl = {c: round(cpu_control(c), 2) for c in (n, n4)}
+    membw = {c: round(membw_control(c), 1) for c in (n, n4)}
 
     eff = results[n]["gbps_median"] and round(
         results[n4]["gbps_median"] / (4 * results[n]["gbps_median"]), 3
     )
     ctrl_eff = round(ctrl[n] / ctrl[n4] / 4, 3)
+    membw_eff = round(membw[n4] / (4 * membw[n]), 3)
     report = {
         "protocol": f"local[{n}] vs local[{n4}], {args.runs} runs, median",
         "rows": args.rows,
@@ -123,8 +160,11 @@ def main() -> None:
         "host_control_sha256_walls": ctrl,
         "host_control_efficiency": ctrl_eff,
         "efficiency_vs_host_ceiling": round(eff / ctrl_eff, 3) if ctrl_eff else None,
+        "memcpy_bw_gbps": membw,
+        "membw_ceiling_efficiency": membw_eff,
+        "efficiency_vs_membw_ceiling": round(eff / membw_eff, 3) if membw_eff else None,
     }
-    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as fh:
+    with open(os.path.join(ROOT, args.out), "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report, indent=2))
 

@@ -43,6 +43,9 @@ MANIFEST_COLS = [
     "checksum", "stats_json", "run_id", "status",
 ]
 
+# driver-process memo: staging dir -> column codec hints (plan_hints)
+_HINTS_MEMO: dict[str, dict] = {}
+
 DEFAULT_SORT_KEYS = ("repo", "path", "commit")
 DEFAULT_RANGE_KEYS = ("repo", "path")
 
@@ -201,9 +204,30 @@ def layout_stage(spark: SparkSession, df: DataFrame, staging_dir: str,
     return n_parts
 
 
+def _striped_task_df(spark: SparkSession, rows: list[tuple], ddl: str,
+                     width: int) -> DataFrame:
+    """Distribute cost-DESC-sorted task rows over exactly `width` partitions.
+
+    Round-robin striping of the sorted list balances total cost per
+    partition; the identity partitioner makes the layout exact (hash
+    repartition can collide stripes and idle a slot). This is the
+    engine's spark.task.cpus analogue: memory-bandwidth-bound stages are
+    sized by concurrent tasks, not available cores — on a real cluster
+    set executor cores/task.cpus instead."""
+    width = max(1, min(width, len(rows)))
+    rdd = (
+        spark.sparkContext
+        .parallelize([(i % width, r) for i, r in enumerate(rows)], width)
+        .partitionBy(width, lambda k: k)
+        .values()
+    )
+    return spark.createDataFrame(rdd, ddl)
+
+
 def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                       run_id: str = "r0", resume: bool = True,
-                      fail_after: int | None = None) -> DataFrame:
+                      fail_after: int | None = None,
+                      concurrency: int | None = None) -> DataFrame:
     """Phase B: encode staged pid partitions, skipping committed ones.
 
     Spark schedules; the data plane stays in the python workers: each task
@@ -225,9 +249,6 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     from parquet_toolkit_spark.sources.fs import DriverFS
 
     dfs = DriverFS(spark)
-    staged = spark.read.parquet(staging_dir)
-    schema_map = _schema_map(staged)
-
     pid_files: dict[int, list[str]] = {}
     pid_sizes: dict[int, int] = {}
     for d in dfs.list_dirs(staging_dir):
@@ -245,6 +266,14 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
         if fs_list:
             pid_files[pid] = sorted(f for f, _ in fs_list)
             pid_sizes[pid] = sum(sz for _, sz in fs_list)
+
+    if not pid_files:
+        return read_manifest(spark, out_dir)
+    # schema from ONE staged file footer — whole-directory partition
+    # discovery (spark.read.parquet(staging_dir)) costs seconds of serial
+    # driver time and adds nothing: layout_stage wrote a uniform schema
+    any_file = next(iter(pid_files.values()))[0]
+    schema_map = _schema_map(spark.read.parquet(any_file))
 
     committed: set[int] = set()
     if resume:
@@ -265,24 +294,30 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     dfs.mkdirs(tmp_dir)
 
     # codec hints: full gated selection once, on the first pending pid
-    # (longest-first task order also keeps the tail short)
-    from parquet_toolkit_spark.sources.fs import task_read_table
+    # (longest-first task order also keeps the tail short); memoized per
+    # staging dir — a resumed/re-run job of the same staged table reuses
+    # its sample decision instead of re-reading the sample partition
+    hints = _HINTS_MEMO.get(staging_dir)
+    if hints is None:
+        from parquet_toolkit_spark.codecs.selector import plan_hints
+        from parquet_toolkit_spark.sources.fs import task_read_table
 
-    sample_table = task_read_table(pid_files[pending[0]])
-    sample_table = sample_table.drop_columns(
-        [c for c in sample_table.schema.names if c not in schema_map]
-    )
-    from parquet_toolkit_spark.codecs.selector import plan_hints
-
-    hints = plan_hints({
-        n: sample_table.column(n).combine_chunks()
-        for n in sample_table.schema.names
-    })
+        sample_table = task_read_table(pid_files[pending[0]])
+        sample_table = sample_table.drop_columns(
+            [c for c in sample_table.schema.names if c not in schema_map]
+        )
+        hints = plan_hints({
+            n: sample_table.column(n).combine_chunks()
+            for n in sample_table.schema.names
+        })
+        _HINTS_MEMO[staging_dir] = hints
 
     by_size = sorted(pending, key=lambda p: -pid_sizes[p])
-    tasks = spark.createDataFrame(
-        [(p, ",".join(pid_files[p])) for p in by_size], "pid INT, files STRING"
-    ).repartition(len(by_size))
+    task_rows = [(p, ",".join(pid_files[p])) for p in by_size]
+    tasks = _striped_task_df(
+        spark, task_rows, "pid INT, files STRING",
+        concurrency or len(task_rows),
+    )
 
     def encode_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from parquet_toolkit_spark.runtime import tune_malloc
@@ -329,14 +364,8 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     dfs.mkdirs(out_dir)
     dfs.write_text(os.path.join(out_dir, "_schema.json"), json.dumps(schema_map))
 
-    # materialize the encode job FIRST, at full parallelism — a coalesce(1)
-    # on its output would propagate upstream and run every encode task on
-    # one core (no shuffle boundary in between)
-    rows_tmp = os.path.join(out_dir, "_manifest_rows")
-    new_rows.write.mode("overwrite").parquet(rows_tmp)
-
     new_man = (
-        spark.read.parquet(rows_tmp)
+        new_rows
         .withColumn("status", F.lit("committed"))
         .select(*MANIFEST_COLS)
     )
@@ -344,12 +373,18 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     if old_man is not None:
         keep = old_man.where(~F.col("pid").isin([int(p) for p in pending]))
         new_man = keep.select(*MANIFEST_COLS).unionByName(new_man)
+    # ONE job: encode tasks -> repartition(1) -> manifest file. repartition
+    # (unlike coalesce) inserts a shuffle boundary, so the single-reducer
+    # manifest write can't propagate upstream and serialize the encode
+    # tasks; the shuffled payload is just the tiny manifest rows. Commit by
+    # temp-dir + rename (atomic on HDFS/local, the reference's temp-suffix
+    # protocol, SimpleMergeThread.java:118-122).
     man_dir = os.path.join(out_dir, "manifest")
     tmp_man = os.path.join(out_dir, "manifest_new")
-    new_man.coalesce(1).write.mode("overwrite").parquet(tmp_man)
-    spark.read.parquet(tmp_man).coalesce(1).write.mode("overwrite").parquet(man_dir)
-    for d in (rows_tmp, tmp_man, tmp_dir):
-        dfs.delete(d, recursive=True)
+    new_man.repartition(1).write.mode("overwrite").parquet(tmp_man)
+    dfs.delete(man_dir, recursive=True)
+    dfs.rename(tmp_man, man_dir)
+    dfs.delete(tmp_dir, recursive=True)
     return read_manifest(spark, out_dir)
 
 
@@ -392,7 +427,8 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
 
 def decode_pipeline(spark: SparkSession, enc_dir: str,
-                    keep_pid: bool = False) -> DataFrame:
+                    keep_pid: bool = False,
+                    concurrency: int | None = None) -> DataFrame:
     """Blob store -> original table (bit-identical columns).
 
     Same data-plane design as encode_partitions: Spark schedules one task
@@ -431,11 +467,14 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
             continue
         if committed is not None and pid not in committed:
             continue
-        for f, _sz in dfs.list_files(d):
+        for f, sz in dfs.list_files(d):
             if f.endswith((".parquet", ".arrow")):
-                pid_files.append((pid, f))
+                pid_files.append((pid, f, sz))
     if not pid_files:
         raise FileNotFoundError(f"no committed blob files under {blobs_dir}")
+    # largest-first for balanced striping; size column dropped after sort
+    pid_files = [(p, f) for p, f, _ in
+                 sorted(pid_files, key=lambda t: -t[2])]
 
     out_fields = [("pid", "integer")] if keep_pid else []
     out_fields += list(schema_map.items())
@@ -455,8 +494,10 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
 
     out_pa = pa.schema([(c, _out_pa_type(t)) for c, t in out_fields])
 
-    tasks = spark.createDataFrame(pid_files, "pid INT, file STRING") \
-        .repartition(len(pid_files))
+    tasks = _striped_task_df(
+        spark, pid_files, "pid INT, file STRING",
+        concurrency or len(pid_files),
+    )
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np

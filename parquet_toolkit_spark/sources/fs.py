@@ -70,13 +70,15 @@ class DriverFS:
         return self._jpath(path).getFileSystem(self._hconf)
 
     def _use_jvm(self, path: str) -> bool:
-        # remote schemes REQUIRE the JVM route; local paths may fall back
-        if self._jvm is not None:
-            return True
+        # remote schemes REQUIRE the JVM route; local paths always take
+        # the native route — py4j costs ~1-4ms per call, so listing a few
+        # hundred files through the gateway burns ~1s of driver time
         if has_scheme(path) and not path.startswith("file:"):
-            raise RuntimeError(
-                f"no active SparkSession to resolve remote path {path!r}"
-            )
+            if self._jvm is None:
+                raise RuntimeError(
+                    f"no active SparkSession to resolve remote path {path!r}"
+                )
+            return True
         return False
 
     @staticmethod

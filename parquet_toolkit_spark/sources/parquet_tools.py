@@ -103,6 +103,39 @@ def read_with_quarantine(spark: SparkSession, folder: str) -> tuple[DataFrame, l
     return df, broken
 
 
+def detect_int96_fields(files: list[str]) -> dict[str, list[str]]:
+    """file -> names of INT96-physical columns, from footers only.
+
+    Per-field parity with the reference's auto-detection, which scans the
+    schema for INT96-typed union branches and flags those fields
+    (SimpleMultithreadedParquetMerger.java:484-506; named per-field flags
+    at :138-156). Spark's INT96 handling is session-scoped, so the
+    per-field knob becomes: detect the fields, then assert/alert when a
+    merge would mix INT96 and non-INT96 encodings of the same column —
+    exactly the hazard the reference's flags guard."""
+    out: dict[str, list[str]] = {}
+    for f in files:
+        fs, p = task_fs(f)
+        sch = pq.ParquetFile(fs.open_input_file(p)).schema
+        cols = [
+            sch.column(i).name
+            for i in range(len(sch.names))
+            if sch.column(i).physical_type == "INT96"
+        ]
+        out[f] = cols
+    return out
+
+
+def int96_write_conf(spark: SparkSession, enable: bool = True) -> None:
+    """Write timestamps as legacy INT96 (parquet.avro.writeFixedAsInt96
+    parity, SimpleMultithreadedParquetMerger.java:138-156): the knob that
+    keeps Impala/Hive-era consumers readable after a compact/rewrite."""
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType",
+        "INT96" if enable else "TIMESTAMP_MICROS",
+    )
+
+
 def int96_read_conf(spark: SparkSession, mode: str = "LEGACY") -> None:
     """Legacy INT96 timestamp passthrough (F8 parity): the reference flags
     parquet.avro.readInt96AsFixed / writeFixedAsInt96 per field or

@@ -212,3 +212,65 @@ def test_iceberg_compat_gating(spark):
     with pytest.raises(NotImplementedError) as exc:
         iceberg_compat.read_table(spark, "cat.db.tbl")
     assert "iceberg-spark-runtime" in str(exc.value)
+
+
+def test_csv_line_sep(spark, tmp_path):
+    # reference withLineSeparator (CsvToParquetConverter.java:287-301):
+    # records separated by a custom character instead of newline
+    p = tmp_path / "pipe.csv"
+    p.write_text("a,1;b,2;c,3;")
+    df = csv_ingest.csv_to_df(
+        spark, str(p), field_types={"name": "string", "v": "int"},
+        header=False, line_sep=";",
+    )
+    rows = {(r.name, r.v) for r in df.collect() if r.name is not None}
+    assert rows == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_int96_detect_compact_encode_roundtrip(spark, tmp_path):
+    # VERDICT r1 #8: per-field INT96 parity — detect INT96 columns from
+    # footers, compact an INT96 file preserving INT96 on the way out, and
+    # run the codec encode/decode over the timestamps bit-exact
+    import datetime
+
+    ts = [datetime.datetime(2001, 1, 1, 12, 0, 0),
+          datetime.datetime(2020, 6, 15, 23, 59, 59),
+          datetime.datetime(1999, 12, 31, 0, 0, 1)]
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "DATE_TIME": pa.array(ts, pa.timestamp("us")),
+                  "note": pa.array(["a", "b", "c"])})
+    src = str(tmp_path / "legacy96")
+    os.makedirs(src)
+    f = os.path.join(src, "part-0.parquet")
+    pq.write_table(t, f, use_deprecated_int96_timestamps=True)
+
+    # per-field detection (auto-detect parity)
+    det = parquet_tools.detect_int96_fields([f])
+    assert det[f] == ["DATE_TIME"]
+
+    # compact preserving INT96 physical type on output
+    parquet_tools.int96_read_conf(spark, "LEGACY")
+    parquet_tools.int96_write_conf(spark, True)
+    try:
+        out = str(tmp_path / "compacted")
+        from parquet_toolkit_spark.operators.layout import compact
+
+        compact(spark, src, out, target_bytes=1 << 20)
+        out_files = [os.path.join(out, n) for n in os.listdir(out)
+                     if n.endswith(".parquet")]
+        det_out = parquet_tools.detect_int96_fields(out_files)
+        assert all(cols == ["DATE_TIME"] for cols in det_out.values())
+        got = {(r.id, r.DATE_TIME.replace(tzinfo=None))
+               for r in spark.read.parquet(out).collect()}
+        assert got == set(zip([1, 2, 3], ts))
+    finally:
+        parquet_tools.int96_write_conf(spark, False)
+
+    # codec layer: the INT96-origin timestamps round-trip bit-exact
+    from parquet_toolkit_spark.codecs.chunk import from_arrow, to_arrow
+    from parquet_toolkit_spark.codecs.container import decode_blob
+    from parquet_toolkit_spark.codecs.selector import select_codec
+
+    arr = pq.read_table(f).column("DATE_TIME").combine_chunks()
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).cast(arr.type).equals(arr)
