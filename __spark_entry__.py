@@ -411,6 +411,34 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, tau=0.4, n_planes=4)
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState): batch 1 is
+    the whole documents table (one file -> one micro-batch, so the global
+    min doc_id wins per hash = the SQL oracle); batch 2 re-feeds 50 docs
+    with shifted ids — all dropped by the persisted state, so the final
+    output equals the batch-1 oracle exactly."""
+    import shutil
+
+    from parquet_toolkit_spark.streaming.dedup_stream import dedup_stream
+
+    base = os.path.join(_TMP, f"dedupstream_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(landing)
+    ddl = "doc_id LONG, text STRING"
+    dedup_stream(spark, landing, out, ckpt, ddl)
+    (
+        docs.where(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .coalesce(1).write.mode("append").parquet(landing)
+    )
+    dedup_stream(spark, landing, out, ckpt, ddl)
+    return spark.read.parquet(out)
+
+
 def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface: watermarked hourly tumbling windows
     over the events table, drained with availableNow — same result set as
@@ -498,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "source_stats_salted": q_source_stats_salted,
         "events_windowed_stream": q_events_windowed_stream,
+        "dedup_stream": q_dedup_stream,
     }
 
 
@@ -649,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "dedup_stream": (
+            "SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, "
+            "text FROM documents GROUP BY text"
         ),
         "events_windowed_stream": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "join_agg", "events_hourly", "text_stats", "lang_id",
     "exact_dedup", "normalized_dedup", "minhash_lsh", "simhash_pairs",
     "ann_topk", "embedding_near_pairs_lsh", "sessionize",
-    "source_stats_salted", "events_windowed_stream",
+    "source_stats_salted", "events_windowed_stream", "dedup_stream",
 ]
 
 

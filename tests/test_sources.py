@@ -274,3 +274,32 @@ def test_int96_detect_compact_encode_roundtrip(spark, tmp_path):
     arr = pq.read_table(f).column("DATE_TIME").combine_chunks()
     codec, blob, _ = select_codec(from_arrow(arr))
     assert to_arrow(decode_blob(blob)).cast(arr.type).equals(arr)
+
+
+def test_dedup_stream_cross_batch(spark, tmp_path):
+    # stateful streaming dedup: duplicates are dropped WITHIN a batch and
+    # ACROSS batches (state persisted through the checkpoint)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.streaming.dedup_stream import dedup_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "doc_id LONG, text STRING"
+
+    pq.write_table(pa.table({"doc_id": [3, 1, 2],
+                             "text": ["same", "same", "other"]}),
+                   str(landing / "b1.parquet"))
+    dedup_stream(spark, str(landing), out, ckpt, ddl)
+    got1 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, "same"), (2, "other")}  # min doc_id wins in-batch
+
+    # batch 2: repeats of batch 1 + one new doc
+    pq.write_table(pa.table({"doc_id": [9, 10], "text": ["same", "new"]}),
+                   str(landing / "b2.parquet"))
+    dedup_stream(spark, str(landing), out, ckpt, ddl)
+    got2 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {(10, "new")}  # "same" NOT re-emitted
