@@ -141,7 +141,9 @@ def _fsst_sample_wins(data: bytes) -> bool:
     tokens = fsst_mod.apply_merges(sample, merges)
     nused = len(np.unique(tokens))
     fsst_bits = len(tokens) * max(1, math.ceil(math.log2(max(2, nused))))
-    zstd_bytes = len(pa.compress(sample, codec="zstd", asbytes=True))
+    from parquet_toolkit_spark.codecs.container import _ZSTD
+
+    zstd_bytes = len(_ZSTD.compress(sample, asbytes=True))
     return fsst_bits / 8 < 0.9 * zstd_bytes
 
 
