@@ -369,7 +369,10 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
         .withColumn("status", F.lit("committed"))
         .select(*MANIFEST_COLS)
     )
-    old_man = read_manifest(spark, out_dir)
+    # resume=False re-encodes every pid, so no old manifest row could
+    # survive the pending filter — skip the read (and its exception round
+    # trip on a fresh out_dir) entirely
+    old_man = read_manifest(spark, out_dir) if resume else None
     if old_man is not None:
         keep = old_man.where(~F.col("pid").isin([int(p) for p in pending]))
         new_man = keep.select(*MANIFEST_COLS).unionByName(new_man)
