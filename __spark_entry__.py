@@ -414,6 +414,43 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, tau=0.4, n_planes=4)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: REAL WAV decode oracled against independent metadata.
+
+    The Spark side parses the RIFF/PCM16 payload bytes (numpy decoder) and
+    reports the decoded duration; the oracle reads the duration_ms the
+    fixture's metadata recorded at generation time — two independent paths
+    that must agree. Image/video rows report payload stats (sha/bytes)."""
+    import pandas as pd
+
+    from parquet_toolkit_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        make_media_df,
+    )
+
+    media = _write_fixture(make_media_df(spark, n=60), "media", sf_dir)
+
+    def feats(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "n_bytes": [], "dur_ms": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                raw = bytes(payload)
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["n_bytes"].append(len(raw))
+                if kind == "audio/wav":
+                    samples, rate = decode_wav_pcm16(raw)
+                    rows["dur_ms"].append(len(samples) * 1000 // rate)
+                else:
+                    rows["dur_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        feats, "media_id LONG, kind STRING, n_bytes LONG, dur_ms LONG",
+    )
+
+
 def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact-dedup (applyInPandasWithState): batch 1 is
     the whole documents table (one file -> one micro-batch, so the global
@@ -530,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats_salted": q_source_stats_salted,
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
+        "media_features": q_media_features,
     }
 
 
@@ -685,6 +723,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream": (
             "SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, "
             "text FROM documents GROUP BY text"
+        ),
+        "media_features": (
+            "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
+            "CASE WHEN kind = 'audio/wav' THEN "
+            "CAST(regexp_extract(meta, '\"duration_ms\": (\\d+)', 1) AS BIGINT) "
+            "ELSE NULL END AS dur_ms "
+            "FROM read_parquet("
+            f"'{_fixture_path('media', 'sf0.01')}/*.parquet')"
         ),
         "events_windowed_stream": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS "
