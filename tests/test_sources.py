@@ -303,3 +303,72 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
     dedup_stream(spark, str(landing), out, ckpt, ddl)
     got2 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
     assert got2 == got1 | {(10, "new")}  # "same" NOT re-emitted
+
+
+def test_iceberg_metadata_reader(spark, tmp_path):
+    # pure-python Iceberg METADATA layer: version resolution, schema ->
+    # Spark DDL, snapshot log; data read via the declared schema
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = tmp_path / "icetbl"
+    (tdir / "metadata").mkdir(parents=True)
+    (tdir / "data").mkdir()
+    md = {
+        "format-version": 2,
+        "table-uuid": "0000-t",
+        "location": str(tdir),
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "repo", "type": "string", "required": True},
+                {"id": 2, "name": "path", "type": "string", "required": True},
+                {"id": 3, "name": "commit", "type": "string", "required": True},
+                {"id": 4, "name": "lang", "type": "string", "required": False},
+                {"id": 5, "name": "content", "type": "string", "required": True},
+                {"id": 6, "name": "emb", "type": {
+                    "type": "list", "element-id": 7, "element": "float",
+                    "element-required": False}, "required": False},
+            ],
+        }],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "repo", "transform": "identity", "source-id": 1,
+             "field-id": 1000}]}],
+        "current-snapshot-id": 77,
+        "snapshots": [{"snapshot-id": 77, "timestamp-ms": 1723800000000,
+                       "manifest-list": "metadata/snap-77.avro",
+                       "summary": {"operation": "append"}}],
+        "properties": {"write.format.default": "parquet"},
+    }
+    (tdir / "metadata" / "v1.metadata.json").write_text(json.dumps(md))
+    md2 = dict(md, **{"current-snapshot-id": 78})
+    (tdir / "metadata" / "v2.metadata.json").write_text(json.dumps(md2))
+    (tdir / "metadata" / "version-hint.text").write_text("2")
+
+    got = ic.read_table_metadata(str(tdir))
+    assert got["metadata_file"].endswith("v2.metadata.json")  # hint wins
+    assert got["current_snapshot_id"] == 78
+    assert got["schema_ddl"] == (
+        "repo string, path string, commit string, lang string, "
+        "content string, emb array<float>"
+    )
+    assert got["snapshots"][0]["manifest_list"] == "metadata/snap-77.avro"
+
+    # data read with the declared schema (append-only -> exact)
+    spark.createDataFrame(
+        [("r", "p", "c", "py", "x", [1.0])], got["schema_ddl"]
+    ).write.mode("overwrite").parquet(str(tdir / "data" / "repo=r"))
+    back = ic.read_data_fallback(spark, str(tdir))
+    assert back.count() == 1 and back.schema.simpleString() == spark.createDataFrame(
+        [("r", "p", "c", "py", "x", [1.0])], got["schema_ddl"]).schema.simpleString()
+
+    # non-append snapshots refuse the unsafe directory scan
+    md3 = dict(md)
+    md3["snapshots"] = [dict(md["snapshots"][0],
+                             summary={"operation": "overwrite"})]
+    (tdir / "metadata" / "v3.metadata.json").write_text(json.dumps(md3))
+    (tdir / "metadata" / "version-hint.text").write_text("3")
+    with pytest.raises(NotImplementedError):
+        ic.read_data_fallback(spark, str(tdir))
