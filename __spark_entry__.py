@@ -395,6 +395,42 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic sample-trained centroids; the corpus
+    assignment and the query->probe-list mapping are written as fixtures
+    so the SQL oracle reproduces candidate generation + exact cosine
+    ranking over the same tables."""
+    import numpy as np
+
+    from parquet_toolkit_spark.functions.similarity import (
+        _normalize_rows,
+        ivf_ann_topk,
+        ivf_assign_udf,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, n_lists=8)
+    assign_df = _write_fixture(
+        emb.select("vec_id", ivf_assign_udf(C)(F.col("embedding")).alias("bkt")),
+        "ivf_assign", sf_dir,
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    qrows = queries.select("vec_id", "embedding").collect()
+    Qn = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    probe_lists = np.argsort(-(Qn @ C.T), axis=1)[:, :4]
+    _write_fixture(
+        spark.createDataFrame(
+            [(int(r[0]), int(b)) for r, lists in zip(qrows, probe_lists)
+             for b in lists],
+            "query_id LONG, bkt INT",
+        ),
+        "ivf_probes", sf_dir,
+    )
+    return ivf_ann_topk(emb, queries, k=5, n_lists=8, nprobe=4,
+                        centroids=C, assign_df=assign_df)
+
+
 def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_toolkit_spark.functions.similarity import (
         embedding_near_pairs,
@@ -563,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "sessionize": q_sessionize,
         "source_stats_salted": q_source_stats_salted,
         "events_windowed_stream": q_events_windowed_stream,
@@ -785,6 +822,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM ck a JOIN ck b ON a.c = b.c AND a.ckv = b.ckv "
             "AND a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.sh, b.sh)) <= 3"
+        ),
+        "ivf_ann_topk": (
+            "WITH a AS (SELECT * FROM read_parquet("
+            f"'{_fixture_path('ivf_assign', 'sf0.01')}/*.parquet')), "
+            "p AS (SELECT * FROM read_parquet("
+            f"'{_fixture_path('ivf_probes', 'sf0.01')}/*.parquet')), "
+            "cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id "
+            "FROM p JOIN a ON p.bkt = a.bkt WHERE a.vec_id <> p.query_id) "
+            "SELECT query_id, neighbor_id, rk AS rank FROM ("
+            "SELECT c.query_id, c.neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY c.query_id ORDER BY "
+            "list_cosine_similarity(q.embedding, n.embedding) DESC, "
+            "c.neighbor_id ASC) AS rk "
+            "FROM cand c JOIN embeddings q ON q.vec_id = c.query_id "
+            "JOIN embeddings n ON n.vec_id = c.neighbor_id) WHERE rk <= 5"
         ),
         "embedding_near_pairs_lsh": (
             "WITH bk AS (SELECT * FROM read_parquet("

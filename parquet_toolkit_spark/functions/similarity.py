@@ -222,6 +222,120 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def train_ivf_centroids(df: DataFrame, n_lists: int = 16,
+                        vec_col: str = "embedding",
+                        sample_rows: int = 4096, iters: int = 8,
+                        seed: int = 42) -> np.ndarray:
+    """Deterministic sample-trained k-means centroids (unit-normalized).
+
+    Training is a driver-side numpy loop over a bounded sample — O(sample ·
+    n_lists · iters), independent of corpus size; assignment (the scale
+    part) is distributed in ivf_ann_topk. Classic IVF-flat construction."""
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    X = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for k in range(len(C)):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+        C = _normalize_rows(C)
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """vec -> nearest-centroid list id (one GEMM per Arrow batch)."""
+    C = centroids
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        from parquet_toolkit_spark.runtime import tune_malloc
+
+        tune_malloc()
+        M = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series((M @ C.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_lists: int = 16, nprobe: int = 4, seed: int = 42,
+                 centroids: np.ndarray | None = None,
+                 bucket_cap: int = 65536,
+                 assign_df: DataFrame | None = None) -> DataFrame:
+    """IVF-flat approximate top-k: corpus rows land in their nearest
+    centroid's inverted list; each query probes its nprobe nearest lists.
+
+    Same scale shape as lsh_ann_topk (bucketed scoring, bucket-size cap,
+    rank-window merge) with data-adaptive buckets instead of random
+    hyperplanes — the standard IVF recall/cost dial is (n_lists, nprobe).
+    `assign_df` ((id, bkt) rows) injects a precomputed assignment
+    (fixture-oracle path)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_lists, vec_col, seed=seed)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qn = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    probe_lists = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    probes_by_bucket: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for b in lists:
+            probes_by_bucket.setdefault(int(b), []).append(int(qids[qi]))
+    qn_by_id = {int(q): Qn[i] for i, q in enumerate(qids)}
+
+    if assign_df is not None:
+        c = assign_df.join(df.select(id_col, vec_col), id_col)
+    else:
+        assign = ivf_assign_udf(centroids)
+        c = df.select(F.col(id_col), F.col(vec_col),
+                      assign(F.col(vec_col)).alias("bkt"))
+    c = _with_block(c, id_col, cap=bucket_cap).drop("_nblk")
+
+    def score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        from parquet_toolkit_spark.runtime import tune_malloc
+
+        tune_malloc()
+        bkt = int(pdf["bkt"].iloc[0])
+        want = probes_by_bucket.get(bkt, [])
+        if not want:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        ids = pdf[id_col].to_numpy()
+        M = _normalize_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        Qm = np.stack([qn_by_id[q] for q in want])
+        S = M @ Qm.T
+        out_q, out_n, out_c = [], [], []
+        for j, qid in enumerate(want):
+            s = S[:, j]
+            mask = ids != qid
+            mids, ms = ids[mask], s[mask]
+            take = min(k, len(mids))
+            if take == 0:
+                continue
+            sel = np.lexsort((mids, -ms))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(mids[sel].tolist())
+            out_c.extend(ms[sel].tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "cos": out_c})
+
+    cand = c.groupBy("bkt", "blk").applyInPandas(
+        score_list, "query_id long, neighbor_id long, cos double"
+    ).groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_pairs(df: DataFrame, tau: float = 0.95,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",

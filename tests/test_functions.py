@@ -373,3 +373,23 @@ def test_multimodal_real_decoders(spark):
         mm.real_decode(b"xx", "image/png")
     with pytest.raises(NotImplementedError):
         mm.payload_feature(b"xx", "video/mp4", allow_fake=False)
+
+
+def test_ivf_ann_recall_reasonable(spark, emb):
+    # IVF-flat: nprobe lists per query; with nprobe == n_lists the result
+    # must EQUAL exact brute force; with small nprobe recall stays high
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_bruteforce_topk(emb, queries, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_ann_topk(emb, queries, k=5, n_lists=8,
+                                             nprobe=8).collect()}
+    assert full == exact  # probing every list == exact search
+    # the fixture embeddings are near-uniform on the sphere — IVF's worst
+    # case (no cluster structure). nprobe/n_lists=1/2 must still beat the
+    # random-probing baseline clearly.
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.ivf_ann_topk(emb, queries, k=5, n_lists=8,
+                                               nprobe=4).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.55, recall
