@@ -431,13 +431,21 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
 def decode_pipeline(spark: SparkSession, enc_dir: str,
                     keep_pid: bool = False,
-                    concurrency: int | None = None) -> DataFrame:
+                    concurrency: int | None = None,
+                    columns: list[str] | None = None,
+                    pids: set[int] | None = None) -> DataFrame:
     """Blob store -> original table (bit-identical columns).
 
     Same data-plane design as encode_partitions: Spark schedules one task
     per pid, the worker reads the pid's blob file directly with pyarrow
     and emits decoded Arrow batches — no shuffle, no JVM row transfer on
-    the input side."""
+    the input side.
+
+    columns: decode only these (column PRUNING at the blob layer — the
+    memory-mapped IPC file only faults the pages of the selected rows'
+    buffers, so untouched columns cost ~0 IO).
+    pids: decode only these partitions — pair with pids_matching_range
+    (zone-map pruning from the manifest's per-chunk min/max stats)."""
     import posixpath
 
     from parquet_toolkit_spark.sources.fs import DriverFS
@@ -470,6 +478,8 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
             continue
         if committed is not None and pid not in committed:
             continue
+        if pids is not None and pid not in pids:
+            continue
         for f, sz in dfs.list_files(d):
             if f.endswith((".parquet", ".arrow")):
                 pid_files.append((pid, f, sz))
@@ -479,6 +489,11 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     pid_files = [(p, f) for p, f, _ in
                  sorted(pid_files, key=lambda t: -t[2])]
 
+    if columns is not None:
+        unknown = set(columns) - set(schema_map)
+        if unknown:
+            raise KeyError(f"unknown columns {sorted(unknown)}")
+        schema_map = {c: t for c, t in schema_map.items() if c in columns}
     out_fields = [("pid", "integer")] if keep_pid else []
     out_fields += list(schema_map.items())
     out_schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
@@ -532,6 +547,8 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
                     bufs[1], dtype=odt, count=len(blob_arr) + blob_arr.offset + 1
                 )[blob_arr.offset:]
                 for i, name in enumerate(names):
+                    if name not in schema_map:
+                        continue  # pruned column: its pages never fault
                     view = bufs[2].slice(int(offs[i]),
                                          int(offs[i + 1] - offs[i]))
                     arr = to_arrow(decode_blob(view))
@@ -588,3 +605,29 @@ def encoded_size_report(spark: SparkSession, enc_dir: str) -> dict:
         "ratio": (row.bytes_out or 0) / max(1, row.bytes_in or 1),
         "n_partitions": row.n_partitions,
     }
+
+
+def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
+                        lo: int | None = None,
+                        hi: int | None = None) -> set[int]:
+    """Zone-map pruning: pids whose `column` chunk COULD contain a value
+    in [lo, hi], from the manifest's per-chunk min/max stats (profiler
+    output, stats_json). Chunks without numeric stats are conservatively
+    kept. Pair with decode_pipeline(pids=...) — after a sort_keys layout
+    the key column's chunks are disjoint ranges, so point/range reads
+    touch O(1) partitions instead of all of them (the columnar zone-map /
+    parquet row-group-stats idea applied to the blob store)."""
+    man = read_manifest(spark, enc_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest under {enc_dir}")
+    st = man.where((F.col("column") == column)
+                   & (F.col("status") == "committed"))
+    mn = F.get_json_object("stats_json", "$.min").cast("long")
+    mx = F.get_json_object("stats_json", "$.max").cast("long")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (mx >= int(lo))
+    if hi is not None:
+        cond = cond & (mn <= int(hi))
+    keep = st.where(cond | mn.isNull() | mx.isNull())
+    return {r.pid for r in keep.select("pid").distinct().collect()}

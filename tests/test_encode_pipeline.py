@@ -163,3 +163,43 @@ def test_encode_decode_with_file_uris(spark, tmp_path):
     got = {(r.repo, r.path, r.content) for r in back.collect()}
     assert got == {("r1", "a", "def a(): pass"), ("r1", "b", "def b(): pass"),
                    ("r2", "c", "func c() {}")}
+
+
+def test_decode_column_and_zonemap_pruning(spark, tmp_path):
+    # column pruning: decode only selected columns; zone-map pruning:
+    # manifest min/max stats select O(1) pids for a key range after a
+    # sorted layout
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_range,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    enc = str(tmp_path / "enc")
+    man = encode_pipeline(spark, docs, enc, target_bytes=64 << 10, run_id="z",
+                          range_keys=("doc_id",), sort_keys=("doc_id",),
+                          n_partitions=8)
+    n_pids = man.select("pid").distinct().count()
+    assert n_pids >= 4  # enough partitions for pruning to mean something
+
+    # column pruning
+    two = decode_pipeline(spark, enc, columns=["doc_id", "lang"])
+    assert two.columns == ["doc_id", "lang"]
+    assert two.count() == docs.count()
+
+    # zone-map pruning on the sort key
+    keep = pids_matching_range(spark, enc, "doc_id", lo=10, hi=40)
+    assert 0 < len(keep) < n_pids
+    got = (
+        decode_pipeline(spark, enc, pids=keep, columns=["doc_id", "text"])
+        .where(F.col("doc_id").between(10, 40))
+    )
+    want = docs.where(F.col("doc_id").between(10, 40))
+    assert got.count() == want.count() == 31
+    # values identical (sha over text)
+    gsha = {r.doc_id: r.s for r in got.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("s")).collect()}
+    wsha = {r.doc_id: r.s for r in want.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("s")).collect()}
+    assert gsha == wsha
