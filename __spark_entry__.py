@@ -450,6 +450,45 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, tau=0.4, n_planes=4)
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState): events
+    split at the midpoint timestamp into two files -> two micro-batches;
+    per-user (last_ts, totals) state stitches sessions across the batch
+    boundary, so the final totals equal the batch LAG-window sessionizer
+    (the oracle) exactly."""
+    import shutil
+
+    from parquet_toolkit_spark.streaming.sessionize_stream import (
+        final_totals,
+        sessionize_stream,
+    )
+
+    base = os.path.join(_TMP, f"sessstream_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # ntz-safe, UTC
+    lohi = ev.agg(F.min(secs), F.max(secs)).first()
+    mid = (lohi[0] + lohi[1]) // 2
+    for i, part in enumerate([
+        ev.where(secs <= mid),
+        ev.where(secs > mid),
+    ]):
+        tmp = os.path.join(base, f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _g
+
+        src = _g.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(src, os.path.join(landing, f"b{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    sessionize_stream(spark, landing, out, ckpt,
+                      "user_id LONG, ts TIMESTAMP, event_id LONG")
+    return final_totals(spark, out).orderBy("user_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: REAL WAV decode oracled against independent metadata.
 
@@ -605,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_stream": q_events_windowed_stream,
         "dedup_stream": q_dedup_stream,
         "media_features": q_media_features,
+        "sessionize_stream": q_sessionize_stream,
     }
 
 
@@ -760,6 +800,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream": (
             "SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, "
             "text FROM documents GROUP BY text"
+        ),
+        "sessionize_stream": (
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events "
+            "FROM (SELECT user_id, CASE WHEN prev_ts IS NULL OR "
+            "CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 1800 "
+            "THEN 1 ELSE 0 END AS new_s "
+            "FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_ts FROM events)) "
+            "GROUP BY user_id ORDER BY user_id"
         ),
         "media_features": (
             "SELECT media_id, kind, octet_length(payload) AS n_bytes, "

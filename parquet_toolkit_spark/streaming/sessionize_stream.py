@@ -1,0 +1,112 @@
+"""Stateful streaming sessionization: per-user session counts that stitch
+correctly ACROSS micro-batches.
+
+The batch sessionizer (a LAG window) needs all events at once; the
+streaming one carries (last_event_ts, n_sessions, n_events) per user in
+applyInPandasWithState state, so a session spanning two micro-batches is
+counted once — the canonical custom-stateful-streaming operator. State is
+partitioned by user across the shuffle (O(users), never driver-held).
+
+Each batch emits the user's running totals; the latest emission per user
+(max batch_seq) is the final answer and — when batches arrive in event-
+time order per user — equals the batch sessionizer exactly (oracled in
+__spark_entry__.q_sessionize_stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _make_handler(gap_s: int):
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        ev = pd.concat(parts) if len(parts) > 1 else parts[0]
+        ev = ev.sort_values(["ts_epoch", "event_id"])
+        ts = ev["ts_epoch"].to_numpy(dtype=np.int64)
+
+        last_ts, n_sessions, n_events, batch_seq = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        gaps = np.diff(ts) > gap_s
+        new_sessions = int(gaps.sum())
+        # first event of the batch: new session iff no state or gap passed
+        if last_ts is None or ts[0] - last_ts > gap_s:
+            new_sessions += 1
+        n_sessions += new_sessions
+        n_events += len(ts)
+        batch_seq += 1
+        state.update((int(ts[-1]), int(n_sessions), int(n_events),
+                      int(batch_seq)))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+            "batch_seq": [batch_seq],
+        })
+
+    return update
+
+
+def sessionize_stream(spark: SparkSession, landing_dir: str, out_dir: str,
+                      checkpoint_dir: str, schema_ddl: str,
+                      gap_s: int = 1800,
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      id_col: str = "event_id",
+                      available_now: bool = True):
+    """Drain event files from landing_dir, appending per-user running
+    session totals to out_dir (latest batch_seq per user = final)."""
+    stream = spark.readStream.schema(schema_ddl) \
+        .option("maxFilesPerTrigger", 1).parquet(landing_dir)
+    ev = stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("ts_epoch"),
+        F.col(id_col).alias("event_id"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _make_handler(gap_s),
+        outputStructType=(
+            "user_id LONG, n_sessions LONG, n_events LONG, batch_seq LONG"
+        ),
+        stateStructType=(
+            "last_ts LONG, n_sessions LONG, n_events LONG, batch_seq LONG"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def final_totals(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest running totals per user (max batch_seq row)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_seq").desc())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )

@@ -372,3 +372,41 @@ def test_iceberg_metadata_reader(spark, tmp_path):
     (tdir / "metadata" / "version-hint.text").write_text("3")
     with pytest.raises(NotImplementedError):
         ic.read_data_fallback(spark, str(tdir))
+
+
+def test_sessionize_stream_stitches_across_batches(spark, tmp_path):
+    # a session spanning the micro-batch boundary must be counted ONCE
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.streaming.sessionize_stream import (
+        final_totals,
+        sessionize_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def ts(s):
+        return dtm.datetime(2026, 1, 1) + dtm.timedelta(seconds=s)
+
+    # batch 1: user 1 events at t=0,100; user 2 at t=0
+    pq.write_table(pa.table({
+        "user_id": [1, 1, 2], "ts": [ts(0), ts(100), ts(0)],
+        "event_id": [1, 2, 3],
+    }), str(landing / "b0.parquet"))
+    # batch 2: user 1 continues the SAME session (t=200), then a new one
+    # (t=5000); user 3 appears fresh
+    pq.write_table(pa.table({
+        "user_id": [1, 1, 3], "ts": [ts(200), ts(5000), ts(10)],
+        "event_id": [4, 5, 6],
+    }), str(landing / "b1.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sessionize_stream(spark, str(landing), out, ckpt,
+                      "user_id LONG, ts TIMESTAMP, event_id LONG", gap_s=1800)
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in final_totals(spark, out).collect()}
+    assert got == {1: (2, 4), 2: (1, 1), 3: (1, 1)}
