@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pyarrow as pa
 
 from parquet_toolkit_spark.codecs.chunk import ColumnChunk
 from parquet_toolkit_spark.codecs.container import encode_blob
@@ -21,6 +22,7 @@ from parquet_toolkit_spark.codecs.container import encode_blob
 # small-to-medium string buffers (dict values, paths, short columns).
 FSST_MAX_BYTES = 4 << 20
 _SAMPLE = 65536
+_ZONE_MAX_LEN = 128  # string zone maps stored only for short-key columns
 
 
 def profile_chunk(chunk: ColumnChunk) -> dict:
@@ -85,6 +87,22 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
         stats["byte_entropy"] = float(-(p * np.log2(p)).sum())
     else:
         stats["byte_entropy"] = 0.0
+    # string zone map: EXACT min/max when every value is short enough to
+    # store verbatim (repo/path/commit keys always are; long content
+    # columns skip it — a truncated max would be an unsound upper bound).
+    # Serves pids_matching_range() pruning after a sorted layout.
+    if n and stats["max_len"] <= _ZONE_MAX_LEN:
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(np.ascontiguousarray(off, np.int64).tobytes()),
+             pa.py_buffer(chunk.data)],
+        )
+        mm = pa.compute.min_max(arr)
+        try:
+            stats["smin"] = mm["min"].as_py().decode("utf-8")
+            stats["smax"] = mm["max"].as_py().decode("utf-8")
+        except UnicodeDecodeError:
+            pass  # non-utf8 binary column: no string zone map
     return stats
 
 

@@ -608,26 +608,43 @@ def encoded_size_report(spark: SparkSession, enc_dir: str) -> dict:
 
 
 def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
-                        lo: int | None = None,
-                        hi: int | None = None) -> set[int]:
+                        lo=None, hi=None) -> set[int]:
     """Zone-map pruning: pids whose `column` chunk COULD contain a value
     in [lo, hi], from the manifest's per-chunk min/max stats (profiler
-    output, stats_json). Chunks without numeric stats are conservatively
-    kept. Pair with decode_pipeline(pids=...) — after a sort_keys layout
-    the key column's chunks are disjoint ranges, so point/range reads
-    touch O(1) partitions instead of all of them (the columnar zone-map /
+    output, stats_json). int columns use $.min/$.max; short string/binary
+    key columns (repo/path/commit) use the exact $.smin/$.smax the
+    profiler stores. Chunks without stats are conservatively kept. Pair
+    with decode_pipeline(pids=...) — after a sort_keys layout the key
+    column's chunks are disjoint ranges, so point/range reads touch O(1)
+    partitions instead of all of them (the columnar zone-map /
     parquet row-group-stats idea applied to the blob store)."""
     man = read_manifest(spark, enc_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest under {enc_dir}")
     st = man.where((F.col("column") == column)
                    & (F.col("status") == "committed"))
-    mn = F.get_json_object("stats_json", "$.min").cast("long")
-    mx = F.get_json_object("stats_json", "$.max").cast("long")
+    if isinstance(lo, str) or isinstance(hi, str):
+        mn = F.get_json_object("stats_json", "$.smin")
+        mx = F.get_json_object("stats_json", "$.smax")
+        lo_l, hi_l = lo, hi
+    else:
+        mn = F.get_json_object("stats_json", "$.min").cast("long")
+        mx = F.get_json_object("stats_json", "$.max").cast("long")
+        lo_l = int(lo) if lo is not None else None
+        hi_l = int(hi) if hi is not None else None
     cond = F.lit(True)
-    if lo is not None:
-        cond = cond & (mx >= int(lo))
-    if hi is not None:
-        cond = cond & (mn <= int(hi))
+    if lo_l is not None:
+        cond = cond & (mx >= F.lit(lo_l))
+    if hi_l is not None:
+        cond = cond & (mn <= F.lit(hi_l))
     keep = st.where(cond | mn.isNull() | mx.isNull())
     return {r.pid for r in keep.select("pid").distinct().collect()}
+
+
+def pids_matching_prefix(spark: SparkSession, enc_dir: str, column: str,
+                         prefix: str) -> set[int]:
+    """Prefix pruning over string zone maps: pids that could hold values
+    starting with `prefix` (e.g. one repo's files after a (repo, path)
+    sorted layout). [prefix, prefix + U+10FFFF] bounds the prefix range."""
+    return pids_matching_range(spark, enc_dir, column,
+                               lo=prefix, hi=prefix + "\U0010FFFF")

@@ -203,3 +203,28 @@ def test_decode_column_and_zonemap_pruning(spark, tmp_path):
     wsha = {r.doc_id: r.s for r in want.select(
         "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("s")).collect()}
     assert gsha == wsha
+
+
+def test_string_zone_map_prefix_pruning(spark, tmp_path):
+    # after a (repo, path) sorted layout, one repo's rows live in O(1)
+    # pids; the profiler's exact string min/max in the manifest finds them
+    from parquet_toolkit_spark.datagen import gen_source_code_files
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_prefix,
+    )
+
+    df = spark.createDataFrame(gen_source_code_files(4000, seed=11).to_pandas())
+    enc = str(tmp_path / "enc")
+    man = encode_pipeline(spark, df, enc, run_id="s", n_partitions=8)
+    n_pids = man.select("pid").distinct().count()
+
+    repo = df.select("repo").orderBy("repo").first()[0]  # smallest repo key
+    keep = pids_matching_prefix(spark, enc, "repo", repo)
+    assert 0 < len(keep) < n_pids
+    got = (
+        decode_pipeline(spark, enc, pids=keep, columns=["repo", "path"])
+        .where(F.col("repo") == repo)
+    )
+    assert got.count() == df.where(F.col("repo") == repo).count()
