@@ -8,10 +8,13 @@
 
 Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the oracle
 tables; the encode bench runs on the deterministic F0 source-code corpus
-(generated once, cached). $SPARK_GRAFT_CPUS sets local[N] (default 32).
+(generated once, cached). $SPARK_GRAFT_CPUS sets local[N] (default 32);
+$SPARK_GRAFT_ENCODE_CONCURRENCY caps concurrent encode tasks (default
+min(CPUS, 8), this host's memory-path knee).
 
-Scaling protocol (BASELINE.md): run this with SPARK_GRAFT_CPUS=8 and =32 on
-the same inputs; efficiency = gbps(32) / (4 * gbps(8)).
+The emitted "scaling" block is the inline N=1 vs 4N=4 pair on the 2.4M-row
+corpus plus the memcpy bandwidth ceiling; 5-run-median protocol artifacts
+live in BENCH_SCALING*.json (bench/scaling_protocol.py, BASELINE.md §B).
 """
 
 from __future__ import annotations
