@@ -73,3 +73,36 @@ def test_any_float_list_roundtrips(vals):
     codec, blob, _ = select_codec(from_arrow(arr))
     assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.float32())).to_pylist() \
         == arr.to_pylist()
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.one_of(st.none(),
+                           st.floats(allow_nan=False, width=32)),
+                 max_size=20),
+    ),
+    max_size=80,
+))
+def test_any_float_list_roundtrips(vals):
+    # null rows AND null elements inside lists (the ADVICE r1 corruption
+    # class) must survive the child-mask path bit-exact
+    arr = pa.array(vals, pa.list_(pa.float32()))
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.float32())).to_pylist() == \
+        arr.to_pylist()
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.integers(min_value=-719162, max_value=2932896)),  # date32 range
+    max_size=200,
+))
+def test_any_date_roundtrips(days):
+    arr = pa.array(days, pa.int32()).cast(pa.date32())
+    codec, blob, _ = select_codec(from_arrow(arr))
+    back = to_arrow(decode_blob(blob))
+    assert back.type == pa.date32()
+    assert back.to_pylist() == arr.to_pylist()
