@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the properties that make these plans
+scale (filter pushdown to the scan, column pruning, broadcast of small
+dims, map-side partial aggregation) must survive refactors."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    from parquet_toolkit_spark.runtime import spark_builder_defaults
+
+    s = (
+        spark_builder_defaults(
+            SparkSession.builder.master("local[4]").appName("plans"),
+            shuffle_partitions=4,
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = entrymod.queries()["q1_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 6 used columns only, not props/comment-ish extras
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_join_agg_broadcasts_small_side(spark):
+    df = entrymod.queries()["join_agg"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    df = entrymod.queries()["exact_dedup"](spark, SF)
+    plan = _plan(df)
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_text_stats_prunes_to_used_columns(spark):
+    df = entrymod.queries()["text_stats"](spark, SF)
+    tail = _plan(df).split("ReadSchema")[-1]
+    assert "doc_id" in tail and "text" in tail and "source" not in tail
