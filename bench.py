@@ -50,7 +50,8 @@ BENCH_QUERIES = [
     "exact_dedup", "normalized_dedup", "minhash_lsh", "simhash_pairs",
     "ann_topk", "embedding_near_pairs_lsh", "sessionize",
     "source_stats_salted", "events_windowed_stream", "dedup_stream",
-    "ivf_ann_topk", "media_features", "sessionize_stream",
+    "ivf_ann_topk", "media_features", "sessionize_stream", "quality",
+    "ngram_jaccard", "csv_convert",
 ]
 
 
