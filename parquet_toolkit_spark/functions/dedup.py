@@ -284,6 +284,10 @@ def _simhash_batch(texts: pd.Series) -> np.ndarray:
     tok_per_doc = np.bincount(tok_doc, minlength=n_docs)
     seg_starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(tok_per_doc[:-1], out=seg_starts[1:])
+    # trailing empty docs make their seg_start == len(bits), which reduceat
+    # rejects (ADVICE r2); pad one zero row so that index is valid — it adds
+    # nothing to the last nonempty segment and the mask zeroes empty docs
+    bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int32)])
     ones = np.add.reduceat(bits, seg_starts, axis=0)  # (n_docs, 64)
     # reduceat with repeated indices (empty docs) returns a neighbor row;
     # bit set iff strictly more ones than zeros, and empty docs forced to 0

@@ -44,7 +44,7 @@ MANIFEST_COLS = [
 ]
 
 # driver-process memo: staging dir -> column codec hints (plan_hints)
-_HINTS_MEMO: dict[str, dict] = {}
+_HINTS_MEMO: dict[tuple, dict] = {}
 
 DEFAULT_SORT_KEYS = ("repo", "path", "commit")
 DEFAULT_RANGE_KEYS = ("repo", "path")
@@ -297,7 +297,14 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     # (longest-first task order also keeps the tail short); memoized per
     # staging dir — a resumed/re-run job of the same staged table reuses
     # its sample decision instead of re-reading the sample partition
-    hints = _HINTS_MEMO.get(staging_dir)
+    # keyed by staging dir PLUS a content fingerprint (file count + total
+    # bytes + the sampled pid's first file path/size): re-staging different
+    # data at the same path must re-gate instead of reusing stale hints
+    # (ADVICE r2). All inputs are already in memory — zero extra IO.
+    sample_files = pid_files[pending[0]]
+    memo_key = (staging_dir, len(pid_files), sum(pid_sizes.values()),
+                sample_files[0], pid_sizes[pending[0]])
+    hints = _HINTS_MEMO.get(memo_key)
     if hints is None:
         from parquet_toolkit_spark.codecs.selector import plan_hints
         from parquet_toolkit_spark.sources.fs import task_read_table
@@ -310,7 +317,7 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
             n: sample_table.column(n).combine_chunks()
             for n in sample_table.schema.names
         })
-        _HINTS_MEMO[staging_dir] = hints
+        _HINTS_MEMO[memo_key] = hints
 
     by_size = sorted(pending, key=lambda p: -pid_sizes[p])
     task_rows = [(p, ",".join(pid_files[p])) for p in by_size]
@@ -384,9 +391,16 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     # protocol, SimpleMergeThread.java:118-122).
     man_dir = os.path.join(out_dir, "manifest")
     tmp_man = os.path.join(out_dir, "manifest_new")
+    man_old = os.path.join(out_dir, "manifest_old")
     new_man.repartition(1).write.mode("overwrite").parquet(tmp_man)
-    dfs.delete(man_dir, recursive=True)
+    # swap via rename, never delete-then-rename (ADVICE r2): a crash between
+    # the two renames leaves manifest_old as a readable fallback instead of
+    # NO manifest (which decode would misread as "decode every pid dir")
+    dfs.delete(man_old, recursive=True)
+    if dfs.exists(man_dir):
+        dfs.rename(man_dir, man_old)
     dfs.rename(tmp_man, man_dir)
+    dfs.delete(man_old, recursive=True)
     dfs.delete(tmp_dir, recursive=True)
     return read_manifest(spark, out_dir)
 
@@ -422,11 +436,17 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = os.path.join(out_dir, "manifest")
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+    """Committed manifest, falling back to the pre-swap copy.
+
+    `manifest_old` only exists inside the commit swap's crash window
+    (rename(manifest→old) happened, rename(new→manifest) did not) — it is
+    the last fully-committed manifest, so reading it is always safe."""
+    for name in ("manifest", "manifest_old"):
+        try:
+            return spark.read.parquet(os.path.join(out_dir, name))
+        except Exception:
+            continue
+    return None
 
 
 def decode_pipeline(spark: SparkSession, enc_dir: str,
@@ -458,14 +478,19 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
 
     # only manifest-committed pids are decoded: a crashed run may leave
     # orphan blob files with no manifest row (F5 parity: the manifest is
-    # the source of truth, like the reference's alreadyMerged set)
-    committed: set[int] | None = None
+    # the source of truth, like the reference's alreadyMerged set). A store
+    # with _schema.json but NO manifest is a broken commit — refuse rather
+    # than resurrect orphan/partial blobs (ADVICE r2)
     man = read_manifest(spark, enc_dir)
-    if man is not None:
-        committed = {
-            r.pid for r in man.where(F.col("status") == "committed")
-            .select("pid").distinct().collect()
-        }
+    if man is None:
+        raise FileNotFoundError(
+            f"no manifest under {enc_dir}: encode commit incomplete; "
+            "re-run encode_partitions(resume=True) to rebuild it"
+        )
+    committed: set[int] = {
+        r.pid for r in man.where(F.col("status") == "committed")
+        .select("pid").distinct().collect()
+    }
 
     pid_files: list[tuple[int, str]] = []
     for d in dfs.list_dirs(blobs_dir):
@@ -476,7 +501,7 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
             pid = int(base.split("=", 1)[1])
         except ValueError:
             continue
-        if committed is not None and pid not in committed:
+        if pid not in committed:
             continue
         if pids is not None and pid not in pids:
             continue
@@ -641,10 +666,32 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
     return {r.pid for r in keep.select("pid").distinct().collect()}
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string starting with `prefix`:
+    increment the last code point, carrying past U+10FFFF. None means no
+    finite bound exists (prefix is all U+10FFFF) — match everything.
+
+    The naive `prefix + U+10FFFF` bound is unsound (ADVICE r2): a value of
+    the form prefix + U+10FFFF + more sorts ABOVE it yet carries the prefix,
+    so a chunk holding only such values would be wrongly pruned."""
+    cps = list(prefix)
+    while cps:
+        o = ord(cps[-1])
+        if o < 0x10FFFF:
+            cps[-1] = chr(o + 1)
+            return "".join(cps)
+        cps.pop()
+    return None
+
+
 def pids_matching_prefix(spark: SparkSession, enc_dir: str, column: str,
                          prefix: str) -> set[int]:
     """Prefix pruning over string zone maps: pids that could hold values
     starting with `prefix` (e.g. one repo's files after a (repo, path)
-    sorted layout). [prefix, prefix + U+10FFFF] bounds the prefix range."""
-    return pids_matching_range(spark, enc_dir, column,
-                               lo=prefix, hi=prefix + "\U0010FFFF")
+    sorted layout). Upper bound = increment-with-carry of the prefix's
+    last code point (see _prefix_upper_bound); the range check keeps a
+    chunk when min <= hi, and any v < next(prefix) with v >= prefix either
+    has the prefix or sorts below a prefixed value in the same chunk —
+    conservative, never unsoundly pruned."""
+    hi = _prefix_upper_bound(prefix)
+    return pids_matching_range(spark, enc_dir, column, lo=prefix, hi=hi)

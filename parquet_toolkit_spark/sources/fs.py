@@ -168,6 +168,23 @@ class DriverFS:
     def total_size(self, folder: str) -> int:
         return sum(size for _, size in self.list_files(folder))
 
+    def total_size_recursive(self, folder: str) -> int:
+        """Bytes under `folder` including nested dirs (partitioned layouts).
+
+        compact() sizes its bins from this (ADVICE r2: the flat listing
+        returned 0 for partitioned inputs → single-task coalesce(1))."""
+        if self._use_jvm(folder):
+            # Hadoop getContentSummary walks the tree server-side
+            summary = self._fs(folder).getContentSummary(self._jpath(folder))
+            return int(summary.getLength())
+        import os
+
+        total = 0
+        for root, _dirs, files in os.walk(strip_local_scheme(folder)):
+            for name in files:
+                total += os.path.getsize(os.path.join(root, name))
+        return total
+
     def file_size(self, path: str) -> int:
         if self._use_jvm(path):
             return int(self._fs(path).getFileStatus(self._jpath(path)).getLen())

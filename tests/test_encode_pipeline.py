@@ -228,3 +228,73 @@ def test_string_zone_map_prefix_pruning(spark, tmp_path):
         .where(F.col("repo") == repo)
     )
     assert got.count() == df.where(F.col("repo") == repo).count()
+
+
+def test_manifest_commit_crash_window_recovers(spark, corpus_df, tmp_path):
+    # ADVICE r2: delete-then-rename left NO manifest if the process died
+    # between the two. The swap protocol leaves manifest_old readable in
+    # that window, and read_manifest falls back to it.
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    enc = str(tmp_path / "enc_swap")
+    encode_pipeline(spark, corpus_df, enc, target_bytes=1 << 20, run_id="s1")
+    fs = DriverFS(spark)
+    man_dir = os.path.join(enc, "manifest")
+    # simulate the crash window: manifest renamed away, new not yet in place
+    fs.rename(man_dir, os.path.join(enc, "manifest_old"))
+    man = read_manifest(spark, enc)
+    assert man is not None and man.count() > 0
+    decoded = decode_pipeline(spark, enc)
+    res = verify_roundtrip(corpus_df, decoded)
+    assert res["ok"], res
+
+
+def test_decode_refuses_store_without_manifest(spark, corpus_df, tmp_path):
+    # ADVICE r2: _schema.json present but no manifest = broken commit;
+    # decoding "every pid dir" would resurrect orphan blobs.
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    enc = str(tmp_path / "enc_noman")
+    encode_pipeline(spark, corpus_df, enc, target_bytes=1 << 20, run_id="s2")
+    DriverFS(spark).delete(os.path.join(enc, "manifest"), recursive=True)
+    with pytest.raises(FileNotFoundError):
+        decode_pipeline(spark, enc)
+
+
+def test_hints_memo_invalidated_on_restage(spark, corpus_df, tmp_path):
+    # ADVICE r2 / VERDICT #8: re-staging different data at the same path
+    # must re-gate codec hints, not reuse the first sample's decision.
+    import parquet_toolkit_spark.operators.encode as enc_mod
+
+    staging = str(tmp_path / "staging_memo")
+    enc1 = str(tmp_path / "enc_m1")
+    layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
+    before = len(enc_mod._HINTS_MEMO)
+    encode_partitions(spark, staging, enc1, run_id="m1")
+    keys1 = set(enc_mod._HINTS_MEMO) 
+    assert len(keys1) == before + 1
+
+    # re-stage DIFFERENT data (half the rows) at the same path
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    DriverFS(spark).delete(staging, recursive=True)
+    half = corpus_df.limit(N_ROWS // 2)
+    layout_stage(spark, half, staging, target_bytes=1 << 20)
+    enc2 = str(tmp_path / "enc_m2")
+    encode_partitions(spark, staging, enc2, run_id="m2")
+    keys2 = set(enc_mod._HINTS_MEMO)
+    assert len(keys2 - keys1) == 1, "re-staged data must get a fresh memo key"
+
+
+def test_prefix_upper_bound_soundness():
+    from parquet_toolkit_spark.operators.encode import _prefix_upper_bound
+
+    assert _prefix_upper_bound("abc") == "abd"
+    assert _prefix_upper_bound("a\U0010FFFF") == "b"
+    assert _prefix_upper_bound("\U0010FFFF") is None
+    # the ADVICE r2 counterexample: prefix + U+10FFFF + more has the prefix
+    # but sorts above the old naive bound prefix+U+10FFFF
+    tricky = "repo/" + "\U0010FFFF" + "zzz"
+    assert tricky.startswith("repo/")
+    assert tricky > "repo/" + "\U0010FFFF"          # old bound: pruned (bug)
+    assert tricky < _prefix_upper_bound("repo/")     # new bound: kept

@@ -227,6 +227,10 @@ def test_simhash_batch_matches_per_doc_reference():
         "a b c d e f g h i j k l m n o p q r s t u v w x y z",
         "tabs\tand\nnewlines\r\nmixed",
         "héllo🎉中文 tokens too",
+        # ADVICE r2: trailing empty/whitespace docs used to crash reduceat
+        # (seg_start == len(bits)); keep these LAST in the batch
+        "   ",
+        "",
     ]
     got = dedup._simhash_batch(pd.Series(texts))
     bit_idx = np.arange(64, dtype=np.uint64)
