@@ -43,14 +43,23 @@ _STREAM_Q_SEQ = 0
 _FIX_DIR = "/tmp/ptsk_oracle_fix"
 
 
+# bump when any fixture-producing plan changes: stale caches under the old
+# version are simply left behind in /tmp, never read
+_FIX_VERSION = "v3"
+
+
 def _fixture_path(name: str, sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(_FIX_DIR, f"{name}_{base}")
+    return os.path.join(_FIX_DIR, f"{name}_{base}_{_FIX_VERSION}")
 
 
 def _write_fixture(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Deterministic fixture table read by BOTH engines; cached per
+    (name, sf_dir, version) so the coalesce(1) write happens once per
+    process lifetime, not inside every timed bench run (VERDICT r2 #4)."""
     path = _fixture_path(name, sf_dir)
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.coalesce(1).write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
 

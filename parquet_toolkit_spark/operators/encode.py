@@ -190,18 +190,35 @@ def layout_stage(spark: SparkSession, df: DataFrame, staging_dir: str,
                  range_keys: tuple[str, ...] = DEFAULT_RANGE_KEYS,
                  sort_keys: tuple[str, ...] = DEFAULT_SORT_KEYS,
                  n_partitions: int | None = None) -> int:
-    """Phase A: write the laid-out table partitioned by deterministic pid.
+    """Phase A: write the laid-out table, one file per deterministic pid.
 
     The staged table IS the toolkit-parity output (merged + sorted +
-    size-targeted); pid directories give the resume unit."""
+    size-targeted); staged files give the resume unit. The write is a
+    PLAIN parquet write — each range partition lands in exactly one
+    part-NNNNN file whose index IS the pid, so the dynamic-partitionBy
+    machinery (a per-task sort by the partition column + committer
+    fan-out, ~1s of the r2 layout wall) is skipped entirely. Staging is
+    a transient spool the encode phase re-reads once: parquet dictionary
+    encoding is wasted work on it (the codec engine re-derives its own
+    dictionaries), and zstd-1 halves the spooled bytes vs snappy at equal
+    measured write speed on the F0 corpus (VERDICT r2 #1)."""
     laid, n_parts = plan_layout(df, target_bytes, range_keys, sort_keys, n_partitions)
     (
-        laid.withColumn("pid", F.spark_partition_id())
-        .write.mode("overwrite")
-        .partitionBy("pid")
+        laid.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", "1")
+        .option("parquet.enable.dictionary", "false")
         .parquet(staging_dir)
     )
     return n_parts
+
+
+def _staged_pid_of(filename: str) -> int | None:
+    """part-NNNNN-... -> NNNNN (the writing task's partition id)."""
+    if not filename.startswith("part-"):
+        return None
+    digits = filename[5:].split("-", 1)[0]
+    return int(digits) if digits.isdigit() else None
 
 
 def _striped_task_df(spark: SparkSession, rows: list[tuple], ddl: str,
@@ -251,21 +268,33 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     dfs = DriverFS(spark)
     pid_files: dict[int, list[str]] = {}
     pid_sizes: dict[int, int] = {}
-    for d in dfs.list_dirs(staging_dir):
-        base = posixpath.basename(d.rstrip("/"))
-        if not base.startswith("pid="):
+    # primary layout: plain part-NNNNN files in the staging root (the file
+    # index is the writing partition's id — layout_stage writes one file
+    # per range partition); legacy layout: pid=N subdirectories
+    for f, sz in dfs.list_files(staging_dir):
+        pid = _staged_pid_of(posixpath.basename(f))
+        if pid is None:
             continue
-        try:
-            pid = int(base.split("=", 1)[1])
-        except ValueError:
-            continue
-        fs_list = [
-            (f, sz) for f, sz in dfs.list_files(d)
-            if not posixpath.basename(f).startswith((".", "_"))
-        ]
-        if fs_list:
-            pid_files[pid] = sorted(f for f, _ in fs_list)
-            pid_sizes[pid] = sum(sz for _, sz in fs_list)
+        pid_files.setdefault(pid, []).append(f)
+        pid_sizes[pid] = pid_sizes.get(pid, 0) + sz
+    if not pid_files:
+        for d in dfs.list_dirs(staging_dir):
+            base = posixpath.basename(d.rstrip("/"))
+            if not base.startswith("pid="):
+                continue
+            try:
+                pid = int(base.split("=", 1)[1])
+            except ValueError:
+                continue
+            fs_list = [
+                (f, sz) for f, sz in dfs.list_files(d)
+                if not posixpath.basename(f).startswith((".", "_"))
+            ]
+            if fs_list:
+                pid_files[pid] = sorted(f for f, _ in fs_list)
+                pid_sizes[pid] = sum(sz for _, sz in fs_list)
+    for pid in pid_files:
+        pid_files[pid].sort()
 
     if not pid_files:
         return read_manifest(spark, out_dir)
@@ -327,6 +356,8 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     )
 
     def encode_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
         from parquet_toolkit_spark.runtime import tune_malloc
         from parquet_toolkit_spark.sources.fs import (
             task_fs,
@@ -335,13 +366,35 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
         )
 
         tune_malloc()
-        for pdf in batches:
-            for _, task in pdf.iterrows():
-                pid = int(task["pid"])
-                table = task_read_table(task["files"].split(","))
-                table = table.drop_columns(
-                    [c for c in table.schema.names if c not in schema_map]
-                )
+
+        def read_pid(task) -> tuple[int, pa.Table]:
+            table = task_read_table(task["files"].split(","))
+            return int(task["pid"]), table.drop_columns(
+                [c for c in table.schema.names if c not in schema_map]
+            )
+
+        def pid_tasks():
+            for pdf in batches:
+                for _, task in pdf.iterrows():
+                    yield task
+
+        # 1-deep read prefetch: the parquet read+decompress of pid k+1 runs
+        # (GIL-released, in Arrow C++) while pid k encodes — overlapping
+        # the two halves of the per-pid wall (~0.1s IO + ~0.13s kernel on
+        # the F0 corpus). Depth 1 bounds the extra resident set to one
+        # spare partition (~target_bytes).
+        it = pid_tasks()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = None
+            for task in it:
+                nxt = pool.submit(read_pid, task)
+                break
+            while nxt is not None:
+                pid, table = nxt.result()
+                nxt = None
+                for task in it:
+                    nxt = pool.submit(read_pid, task)
+                    break
                 cols = {
                     name: (table.column(name).chunk(0)
                            if table.column(name).num_chunks == 1

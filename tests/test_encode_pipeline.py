@@ -101,21 +101,19 @@ def test_checkpoint_resume(spark, corpus_df, tmp_path):
 def test_staged_layout_is_sorted_and_sized(spark, corpus_df, tmp_path):
     staging = str(tmp_path / "staging2")
     layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
-    staged = spark.read.parquet(staging)
-    assert staged.count() == N_ROWS
-    # within every pid, rows are sorted by (repo, path, commit)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("pid").orderBy("repo", "path", "commit")
-    checked = (
-        staged.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "key", F.concat_ws("\x00", "repo", "path", "commit")
-        )
-        .withColumn("prev", F.lag("key").over(Window.partitionBy("pid").orderBy("rn")))
-        .where(F.col("prev").isNotNull() & (F.col("prev") > F.col("key")))
+    # plain layout: one part-NNNNN file per range partition, index == pid
+    staged = spark.read.parquet(staging).withColumn(
+        "pid", F.regexp_extract(F.input_file_name(), r"part-(\d+)-", 1)
     )
-    assert checked.count() == 0
+    assert staged.count() == N_ROWS
+    assert staged.select("pid").distinct().count() >= 3
+    # within every staged file (= pid), rows are sorted by (repo, path, commit)
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(staging, "part-*.parquet")):
+        t = pq.read_table(f, columns=["repo", "path", "commit"])
+        keys = list(zip(*(t.column(c).to_pylist() for c in ("repo", "path", "commit"))))
+        assert keys == sorted(keys), f"{f} not sorted within partition"
 
 
 def test_manifest_stats_are_populated(spark, corpus_df, tmp_path):
