@@ -205,6 +205,9 @@ class DriverFS:
             fh.write(text)
 
     def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
         if self._use_jvm(path):
             jvm = self._jvm
             fs = self._fs(path)
@@ -213,10 +216,10 @@ class DriverFS:
                 # IOUtils drains the FSDataInputStream fully
                 baos = jvm.java.io.ByteArrayOutputStream()
                 jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
-                return bytes(baos.toByteArray()).decode("utf-8")
+                return bytes(baos.toByteArray())
             finally:
                 stream.close()
-        with open(strip_local_scheme(path)) as fh:
+        with open(strip_local_scheme(path), "rb") as fh:
             return fh.read()
 
 

@@ -410,3 +410,225 @@ def test_sessionize_stream_stitches_across_batches(spark, tmp_path):
     got = {r.user_id: (r.n_sessions, r.n_events)
            for r in final_totals(spark, out).collect()}
     assert got == {1: (2, 4), 2: (1, 1), 3: (1, 1)}
+
+
+def test_avro_lite_roundtrip_and_codecs():
+    # generic schema-driven container round-trip: records, unions, arrays,
+    # maps, enums, fixed, named-type references — null and deflate codecs
+    from parquet_toolkit_spark.sources.avro_lite import read_avro, write_avro
+
+    schema = {
+        "type": "record", "name": "outer", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "d", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 8}},
+            {"name": "kind", "type": {"type": "enum", "name": "k",
+                                      "symbols": ["A", "B"]}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "int"}},
+            {"name": "inner", "type": {
+                "type": "record", "name": "pt",
+                "fields": [{"name": "x", "type": "int"},
+                           {"name": "y", "type": "int"}]}},
+            {"name": "inner2", "type": ["null", "pt"]},  # by-name reference
+        ],
+    }
+    recs = [
+        {"s": "héllo", "n": None, "d": 2.5, "flag": True, "raw": b"\x00\xff",
+         "fx": b"12345678", "kind": "B", "tags": ["a", "b"],
+         "props": {"k1": 1, "k2": -2}, "inner": {"x": 1, "y": -1},
+         "inner2": {"x": 7, "y": 8}},
+        {"s": "", "n": -12345678901, "d": -0.5, "flag": False, "raw": b"",
+         "fx": b"abcdefgh", "kind": "A", "tags": [],
+         "props": {}, "inner": {"x": 0, "y": 0}, "inner2": None},
+    ]
+    for codec in ("null", "deflate"):
+        blob = write_avro(schema, recs, codec=codec)
+        got_schema, got = read_avro(blob)
+        assert got_schema == schema
+        assert got == recs
+
+
+def _ice_manifest_schemas():
+    """Spec-shaped (subset) manifest-list and manifest-entry avro schemas."""
+    mlist = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+    mentry = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ],
+    }
+    return mlist, mentry
+
+
+def _ice_entry(status, path, nrec, content=0):
+    return {"status": status, "snapshot_id": None,
+            "data_file": {"content": content, "file_path": path,
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": nrec, "file_size_in_bytes": 1}}
+
+
+def test_iceberg_manifest_layer_exact_reads(spark, tmp_path):
+    # hand-built v2 table: snapshot 1 appends two files, snapshot 2
+    # DELETES one of them — the manifest layer must read the exact pruned
+    # live set for each snapshot (VERDICT r2 #2) instead of raising
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+
+    tdir = tmp_path / "ice2"
+    meta = tdir / "metadata"
+    meta.mkdir(parents=True)
+    (tdir / "data").mkdir()
+    ddl = "repo string, path string, commit string, lang string, content string"
+    rows1 = [("r1", "a.py", "c1", "py", "print(1)")]
+    rows2 = [("r2", "b.py", "c2", "py", "print(2)"),
+             ("r2", "c.py", "c3", "py", "print(3)")]
+    f1, f2 = str(tdir / "data" / "f1.parquet"), str(tdir / "data" / "f2.parquet")
+    for rows, f in ((rows1, f1), (rows2, f2)):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "overwrite").parquet(f + ".dir")
+        import glob as _g
+        import os as _os
+
+        _os.replace(_g.glob(f + ".dir/part-*.parquet")[0], f)
+
+    mlist_schema, mentry_schema = _ice_manifest_schemas()
+    # snapshot 77: both files ADDED
+    (meta / "m1.avro").write_bytes(write_avro(
+        mentry_schema,
+        [_ice_entry(1, f1, 1), _ice_entry(1, f2, 2)], codec="deflate"))
+    (meta / "snap-77.avro").write_bytes(write_avro(
+        mlist_schema,
+        [{"manifest_path": str(meta / "m1.avro"), "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 77}]))
+    # snapshot 78: f1 EXISTING, f2 DELETED
+    (meta / "m2.avro").write_bytes(write_avro(
+        mentry_schema, [_ice_entry(0, f1, 1), _ice_entry(2, f2, 2)]))
+    (meta / "snap-78.avro").write_bytes(write_avro(
+        mlist_schema,
+        [{"manifest_path": str(meta / "m2.avro"), "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 78}]))
+
+    md = {
+        "format-version": 2, "table-uuid": "t2", "location": str(tdir),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": i + 1, "name": n, "type": "string", "required": True}
+            for i, n in enumerate(
+                ["repo", "path", "commit", "lang", "content"])]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 78,
+        "snapshots": [
+            {"snapshot-id": 77, "timestamp-ms": 1, "manifest-list":
+             str(meta / "snap-77.avro"), "summary": {"operation": "append"}},
+            {"snapshot-id": 78, "timestamp-ms": 2, "manifest-list":
+             str(meta / "snap-78.avro"), "summary": {"operation": "delete"}},
+        ],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    (meta / "version-hint.text").write_text("1")
+
+    got_md = ic.read_table_metadata(str(tdir))
+    assert got_md["schema_ddl"] == ddl  # schema_ddl unchanged by manifests
+
+    # exact file lists per snapshot
+    assert set(ic.snapshot_data_files(str(tdir), 77)) == {f1, f2}
+    assert ic.snapshot_data_files(str(tdir)) == [f1]  # current = 78, pruned
+
+    # reads: append snapshot = all rows; delete snapshot = pruned, NO raise
+    got77 = {tuple(r) for r in ic.read_data(spark, str(tdir), 77).collect()}
+    assert got77 == set(rows1) | set(rows2)
+    got78 = {tuple(r) for r in ic.read_data(spark, str(tdir)).collect()}
+    assert got78 == set(rows1)
+    assert ic.read_data(spark, str(tdir)).schema.simpleString() == \
+        ic.read_data(spark, str(tdir), 77).schema.simpleString()
+
+    # the directory-scan fallback still refuses non-append tables
+    with pytest.raises(NotImplementedError):
+        ic.read_data_fallback(spark, str(tdir))
+
+    # live row-level delete files (merge-on-read) are detected, not ignored
+    (meta / "m3.avro").write_bytes(write_avro(
+        mentry_schema, [_ice_entry(1, str(tdir / "data" / "del.parquet"),
+                                   1, content=1)]))
+    (meta / "snap-79.avro").write_bytes(write_avro(
+        mlist_schema,
+        [{"manifest_path": str(meta / "m3.avro"), "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 79}]))
+    md3 = dict(md, **{"current-snapshot-id": 79,
+                      "snapshots": md["snapshots"] + [
+                          {"snapshot-id": 79, "timestamp-ms": 3,
+                           "manifest-list": str(meta / "snap-79.avro"),
+                           "summary": {"operation": "overwrite"}}]})
+    (meta / "v2.metadata.json").write_text(json.dumps(md3))
+    (meta / "version-hint.text").write_text("2")
+    with pytest.raises(NotImplementedError):
+        ic.snapshot_data_files(str(tdir))
+
+
+def test_iceberg_manifest_relocated_table(spark, tmp_path):
+    # manifests written at an old location: paths re-root under table_dir
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+
+    tdir = tmp_path / "moved"
+    meta = tdir / "metadata"
+    meta.mkdir(parents=True)
+    (tdir / "data").mkdir()
+    old = "/somewhere/else/tbl"
+    spark.createDataFrame([(1,)], "v long").coalesce(1).write.mode(
+        "overwrite").parquet(str(tdir / "data" / "d0"))
+    import glob as _g
+    import os as _os
+
+    f_real = str(tdir / "data" / "f.parquet")
+    _os.replace(_g.glob(str(tdir / "data" / "d0" / "part-*.parquet"))[0], f_real)
+
+    mlist_schema, mentry_schema = _ice_manifest_schemas()
+    (meta / "m.avro").write_bytes(write_avro(
+        mentry_schema, [_ice_entry(1, f"{old}/data/f.parquet", 1)]))
+    (meta / "snap-1.avro").write_bytes(write_avro(
+        mlist_schema,
+        [{"manifest_path": f"{old}/metadata/m.avro", "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}]))
+    md = {
+        "format-version": 2, "table-uuid": "m1", "location": old,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "v", "type": "long", "required": True}]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list":
+                       f"{old}/metadata/snap-1.avro",
+                       "summary": {"operation": "append"}}],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    (meta / "version-hint.text").write_text("1")
+
+    assert ic.snapshot_data_files(str(tdir)) == [f_real]
+    assert ic.read_data(spark, str(tdir)).collect()[0][0] == 1
