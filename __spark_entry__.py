@@ -346,6 +346,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")  # ids only: float-free compare
 
 
+def q_ngram_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The library-DEFAULT ngram blocking (minhash bands — the scale path;
+    VERDICT r2 #9): the band-hash fixture lets the SQL oracle reproduce
+    candidate generation, then both sides verify exact n-gram Jaccard."""
+    from parquet_toolkit_spark.functions.dedup import (
+        minhash_band_hashes,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # same (k, bands) as the internal blocking -> identical band table
+    _write_fixture(minhash_band_hashes(docs, k=16, bands=8),
+                   "minhash_bands", sf_dir)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.2, blocking="minhash", k=16, bands=8
+    ).select("id_a", "id_b")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_toolkit_spark.functions.dedup import (
         minhash_band_hashes,
@@ -642,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "normalized_dedup": q_normalized_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_minhash": q_ngram_jaccard_minhash,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -854,6 +873,24 @@ def oracle_sql() -> dict[str, str]:
         # intermediate (band hashes / signatures / bucket ids) to a fixture
         # parquet during the query; the oracle reproduces the join+verify
         # logic in SQL over the SAME fixture (correctness runs at sf0.01)
+        "ngram_jaccard_minhash": (
+            "WITH bands AS (SELECT * FROM read_parquet("
+            f"'{_fixture_path('minhash_bands', 'sf0.01')}/*.parquet')), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h "
+            "AND a.doc_id < b.doc_id), "
+            "g AS (SELECT doc_id, "
+            "CASE WHEN length(trim(text)) = 0 THEN [] "
+            "WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3 THEN [] "
+            f"ELSE {grams} END AS sh "
+            "FROM (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS words "
+            "FROM documents)) "
+            "SELECT c.id_a, c.id_b FROM cand c "
+            "JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b "
+            "WHERE round(len(list_intersect(ga.sh, gb.sh))::DOUBLE "
+            "/ greatest(len(list_distinct(ga.sh || gb.sh)), 1), 6) >= 0.2"
+        ),
         "minhash_lsh": (
             "WITH bands AS (SELECT * FROM read_parquet("
             f"'{_fixture_path('minhash_bands', 'sf0.01')}/*.parquet')), "

@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "ann_topk", "embedding_near_pairs_lsh", "sessionize",
     "source_stats_salted", "events_windowed_stream", "dedup_stream",
     "ivf_ann_topk", "media_features", "sessionize_stream", "quality",
-    "ngram_jaccard", "csv_convert",
+    "ngram_jaccard", "ngram_jaccard_minhash", "csv_convert",
 ]
 
 
