@@ -168,11 +168,30 @@ def sort_by_key(spark: SparkSession, in_path: str | list[str], out_path: str,
 
 
 def split_by_size(spark: SparkSession, in_path: str | list[str], out_path: str,
-                  target_bytes: int, compression: str = "snappy") -> dict:
+                  target_bytes: int, compression: str = "snappy",
+                  strict: bool = False) -> dict:
     """Split large file(s) into <= target_bytes outputs (P1/P2 parity).
 
-    Unlike the reference (refuses when input <= chunk size,
-    SimpleParquetSplitter.java:89-91) this is a no-op-safe repartition."""
+    Default is a no-op-safe repartition (documented divergence); pass
+    strict=True for the reference's refusal when the input is not larger
+    than the chunk size (SimpleParquetSplitter.java:89-91) — ported
+    scripts that rely on the guard keep it."""
+    if strict:
+        from parquet_toolkit_spark.sources.fs import DriverFS
+
+        fs = DriverFS(spark)
+        paths = [in_path] if isinstance(in_path, str) else list(in_path)
+        disk = sum(
+            fs.file_size(p) if p.lower().endswith((".parq", ".parquet"))
+            else fs.total_size_recursive(p)
+            for p in paths
+        )
+        if disk <= target_bytes:
+            raise ValueError(
+                f"split_by_size(strict=True): input is {disk} bytes, not "
+                f"larger than target_bytes={target_bytes} — nothing to "
+                "split (reference refusal, SimpleParquetSplitter.java:89-91)"
+            )
     return compact(spark, in_path, out_path, target_bytes, compression)
 
 

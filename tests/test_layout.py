@@ -180,3 +180,16 @@ def test_compact_does_not_leak_scan_confs(spark, tmp_path):
     assert seen["sess"].conf.get("spark.sql.files.maxPartitionBytes") == str(1 << 20)
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before_mpb
     assert spark.conf.get("spark.sql.files.openCostInBytes") == before_open
+
+
+def test_split_strict_refuses_small_input(spark, tmp_path):
+    # reference parity: SimpleParquetSplitter.java:89-91 errors when the
+    # input is not larger than the chunk size; strict=True restores it
+    src = str(tmp_path / "small")
+    spark.range(100).write.parquet(src)
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="not\\s+larger than"):
+        split_by_size(spark, src, out, target_bytes=1 << 30, strict=True)
+    # default stays no-op-safe
+    info = split_by_size(spark, src, out, target_bytes=1 << 30)
+    assert info["n_bins"] == 1
