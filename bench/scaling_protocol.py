@@ -149,14 +149,23 @@ def main() -> None:
     eff = results[n]["gbps_median"] and round(
         results[n4]["gbps_median"] / (4 * results[n]["gbps_median"]), 3
     )
+    # min-based pair: with per-run walls swinging 2-3x under the host's
+    # externally-imposed contention windows, the min-of-R walls at each
+    # level estimate true capability; both pairings are published with
+    # the raw wall lists so the spread is never hidden
+    eff_min = results[n].get("gbps_min") and round(
+        results[n4]["gbps_min"] / (4 * results[n]["gbps_min"]), 3
+    )
     ctrl_eff = round(ctrl[n] / ctrl[n4] / 4, 3)
     membw_eff = round(membw[n4] / (4 * membw[n]), 3)
     report = {
-        "protocol": f"local[{n}] vs local[{n4}], {args.runs} runs, median",
+        "protocol": f"local[{n}] vs local[{n4}], {args.runs} runs, "
+                    "median + min-capability pairings",
         "rows": args.rows,
         "n": results[n],
         "n4": results[n4],
         "efficiency": eff,
+        "efficiency_min_pair": eff_min,
         "host_control_sha256_walls": ctrl,
         "host_control_efficiency": ctrl_eff,
         "efficiency_vs_host_ceiling": round(eff / ctrl_eff, 3) if ctrl_eff else None,
