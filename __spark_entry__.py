@@ -222,6 +222,185 @@ def q_encode_manifest_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encode_pruned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pid pruning + column pruning END-TO-END: after the sorted
+    layout, decode only the pids whose string zone maps can hold the first
+    source's prefix, project 3 of 5 columns, filter exact — must equal the
+    plain WHERE on the original table (pruning is a superset optimization,
+    the residual filter keeps it exact)."""
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = os.path.join(_TMP, "pruned_enc")
+    encode_pipeline(spark, docs, enc_dir, target_bytes=64 << 10, run_id="pr",
+                    range_keys=("source", "doc_id"),
+                    sort_keys=("source", "doc_id"))
+    src = docs.agg(F.min("source")).first()[0]
+    pids = pids_matching_prefix(spark, enc_dir, "source", src)
+    dec = decode_pipeline(spark, enc_dir,
+                          columns=["doc_id", "source", "text"], pids=pids)
+    return (
+        dec.where(F.col("source") == src)
+        .select("doc_id",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+    )
+
+
+def _docs_ddl(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+
+
+def q_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental encode (foreachBatch -> blob-store append):
+    two landing batches drain into the SAME encoded store under different
+    run ids; the decoded union must equal the full documents table."""
+    import shutil
+
+    from parquet_toolkit_spark.operators.encode import decode_pipeline
+    from parquet_toolkit_spark.streaming.incremental import incremental_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(_TMP, f"incenc_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    enc_dir, ckpt = os.path.join(base, "enc"), os.path.join(base, "ckpt")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    ddl = _docs_ddl(docs)
+    cols = [f.name for f in docs.schema.fields]
+    for i, part in enumerate([docs.where(F.col("doc_id") <= mid),
+                              docs.where(F.col("doc_id") > mid)]):
+        part.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"w{i}"))
+        import glob as _g
+
+        src = _g.glob(os.path.join(base, f"w{i}", "part-*.parquet"))[0]
+        os.replace(src, os.path.join(landing, f"b{i}.parquet"))
+        incremental_encode(spark, landing, enc_dir, ddl, ckpt,
+                           run_id=f"inc{i}")
+    dec = decode_pipeline(spark, enc_dir)
+    return dec.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
+# ------------------------------------------------------- iceberg source
+
+
+def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic filesystem Iceberg v2 table over the documents rows:
+    two data files, real Avro manifest list + manifest (avro_lite writer),
+    v1.metadata.json + version-hint — cached per (sf, version)."""
+    import glob as _g
+    import json
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tdir = os.path.join(_FIX_DIR, f"icetable_{base}_{_FIX_VERSION}")
+    done = os.path.join(tdir, "_DONE")
+    if os.path.exists(done):
+        return tdir
+    shutil.rmtree(tdir, ignore_errors=True)
+    meta = os.path.join(tdir, "metadata")
+    os.makedirs(meta)
+    os.makedirs(os.path.join(tdir, "data"))
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    _SPARK_TO_ICE = {"bigint": "long", "int": "int", "string": "string",
+                     "double": "double", "float": "float",
+                     "boolean": "boolean"}
+    fields = [(f.name, _SPARK_TO_ICE[f.dataType.simpleString()])
+              for f in docs.schema.fields]
+    data_files = []
+    for i, part in enumerate([docs.where(F.col("doc_id") <= mid),
+                              docs.where(F.col("doc_id") > mid)]):
+        tmp = os.path.join(tdir, f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = os.path.join(tdir, "data", f"f{i}.parquet")
+        os.replace(_g.glob(os.path.join(tmp, "part-*.parquet"))[0], f)
+        shutil.rmtree(tmp, ignore_errors=True)
+        data_files.append(f)
+
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+
+    mentry = {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {"type": "record", "name": "r2",
+         "fields": [
+             {"name": "content", "type": "int"},
+             {"name": "file_path", "type": "string"},
+             {"name": "file_format", "type": "string"},
+             {"name": "record_count", "type": "long"},
+             {"name": "file_size_in_bytes", "type": "long"}]}}]}
+    mlist = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"}]}
+    with open(os.path.join(meta, "m1.avro"), "wb") as fh:
+        fh.write(write_avro(mentry, [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 0, "file_path": p,
+                           "file_format": "PARQUET", "record_count": 1,
+                           "file_size_in_bytes": os.path.getsize(p)}}
+            for p in data_files], codec="deflate"))
+    with open(os.path.join(meta, "snap-1.avro"), "wb") as fh:
+        fh.write(write_avro(mlist, [
+            {"manifest_path": os.path.join(meta, "m1.avro"),
+             "manifest_length": 1, "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1}]))
+    md = {
+        "format-version": 2, "table-uuid": f"fix-{base}", "location": tdir,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": i + 1, "name": n, "type": t, "required": False}
+            for i, (n, t) in enumerate(fields)]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": os.path.join(meta, "snap-1.avro"),
+                       "summary": {"operation": "append"}}],
+    }
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as fh:
+        fh.write(json.dumps(md))
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return tdir
+
+
+def q_iceberg_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule source parity: read an Iceberg v2 table EXACTLY through
+    the pure-python metadata + Avro manifest layers (no runtime jar), run
+    it through the columnar encode/decode pipeline, and emit per-row
+    sha256 — must equal the oracle's sha over the original documents."""
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+    )
+    from parquet_toolkit_spark.sources.iceberg_compat import read_data
+
+    tdir = _build_iceberg_fixture(spark, sf_dir)
+    df = read_data(spark, tdir)
+    enc_dir = os.path.join(_TMP, "ice_enc")
+    encode_pipeline(spark, df, enc_dir, target_bytes=4 << 20, run_id="ice",
+                    range_keys=("source", "doc_id"),
+                    sort_keys=("source", "doc_id"))
+    dec = decode_pipeline(spark, enc_dir)
+    return dec.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
 # ----------------------------------------------------- analytics breadth
 
 
@@ -650,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_convert": q_csv_convert,
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
+        "encode_pruned_decode": q_encode_pruned_decode,
+        "incremental_encode": q_incremental_encode,
+        "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
@@ -745,6 +927,14 @@ def oracle_sql() -> dict[str, str]:
         "split_by_size": _LI_ORACLE_PROJ,
         "csv_convert": _CSV_ORACLE,
         "encode_roundtrip_sha":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "encode_pruned_decode": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE source = (SELECT min(source) FROM documents)"
+        ),
+        "incremental_encode":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "iceberg_encode_roundtrip":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "encode_manifest_coverage": (
             "SELECT c AS column, (SELECT count(*) FROM documents) AS total_rows "

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "source_stats_salted", "events_windowed_stream", "dedup_stream",
     "ivf_ann_topk", "media_features", "sessionize_stream", "quality",
     "ngram_jaccard", "ngram_jaccard_minhash", "csv_convert",
+    "encode_pruned_decode", "incremental_encode", "iceberg_encode_roundtrip",
 ]
 
 
