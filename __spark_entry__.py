@@ -401,6 +401,34 @@ def q_iceberg_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg COMMIT path: two write_table appends (data files + Avro
+    manifests + metadata, all pure python) then an exact manifest-layer
+    read — per-row sha must equal the oracle over the source table."""
+    import shutil
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        read_data,
+        write_table,
+    )
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    tdir = os.path.join(_FIX_DIR, f"icewrite_{base}_{_FIX_VERSION}")
+    done = os.path.join(tdir, "_DONE")
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(done):
+        shutil.rmtree(tdir, ignore_errors=True)
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        write_table(spark, docs.where(F.col("doc_id") <= mid), tdir)
+        write_table(spark, docs.where(F.col("doc_id") > mid), tdir)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    df = read_data(spark, tdir)
+    return df.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
 # ----------------------------------------------------- analytics breadth
 
 
@@ -832,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_pruned_decode": q_encode_pruned_decode,
         "incremental_encode": q_incremental_encode,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
+        "iceberg_write_read": q_iceberg_write_read,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
@@ -935,6 +964,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_encode":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "iceberg_encode_roundtrip":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "iceberg_write_read":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "encode_manifest_coverage": (
             "SELECT c AS column, (SELECT count(*) FROM documents) AS total_rows "

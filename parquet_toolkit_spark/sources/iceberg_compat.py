@@ -288,3 +288,252 @@ def read_data_fallback(spark: SparkSession, table_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(posixpath.join(table_dir.rstrip("/"), "data"))
     )
+
+
+# ------------------------------------------------------- write / commit
+# Filesystem-table WRITE path (spec §"File System Tables"): data files +
+# Avro manifest + manifest list + vN.metadata.json + version-hint, all
+# emitted pure-python through avro_lite. Field set follows the v2 spec
+# (optionals encoded as null-first unions) so the files are spec-shaped;
+# interop with the Java runtime cannot be validated in this image and the
+# committed guarantee is self-consistency: read_data/snapshot_data_files
+# above read every snapshot this writer commits, exactly. Single-writer
+# protocol (version-hint swap, no lock service) — the same contract as
+# Iceberg's HadoopTables without a catalog.
+
+_SPARK_TO_ICEBERG = {
+    "bigint": "long", "int": "int", "smallint": "int", "tinyint": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "date": "date", "binary": "binary",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+}
+
+
+def _spark_field_to_iceberg(f, next_id):
+    t = f.dataType.simpleString()
+    if t.startswith("array<"):
+        inner = t[6:-1]
+        if inner not in _SPARK_TO_ICEBERG:
+            raise ValueError(f"unsupported element type {inner!r}")
+        typ = {"type": "list", "element-id": next_id(),
+               "element": _SPARK_TO_ICEBERG[inner], "element-required": False}
+    elif t.startswith("decimal("):
+        typ = t
+    elif t in _SPARK_TO_ICEBERG:
+        typ = _SPARK_TO_ICEBERG[t]
+    else:
+        raise ValueError(f"unsupported spark type {t!r} for iceberg write")
+    return typ
+
+
+def _opt(t):
+    return ["null", t]
+
+
+_DATA_FILE_AVRO = {
+    "type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": {
+            "type": "record", "name": "r102", "fields": []}},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "split_offsets", "type": _opt(
+            {"type": "array", "items": "long"})},
+        {"name": "sort_order_id", "type": _opt("int")},
+    ]}
+
+MANIFEST_ENTRY_AVRO = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": _opt("long")},
+        {"name": "sequence_number", "type": _opt("long")},
+        {"name": "file_sequence_number", "type": _opt("long")},
+        {"name": "data_file", "type": _DATA_FILE_AVRO},
+    ]}
+
+MANIFEST_FILE_AVRO = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ]}
+
+
+def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
+                properties: dict | None = None) -> dict:
+    """Append `df` to a filesystem Iceberg v2 table (created on first
+    call): parquet data files + Avro manifest/manifest-list + new
+    vN.metadata.json committed via atomic version-hint swap. Local paths
+    only (the toolkit's staging/commit protocol covers remote stores).
+
+    Returns {"snapshot_id", "sequence_number", "version", "files"}."""
+    import glob as _g
+    import json
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
+    table_dir = strip_local_scheme(table_dir).rstrip("/")
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    existing = None
+    try:
+        existing = read_table_metadata(table_dir, spark)
+    except FileNotFoundError:
+        pass
+
+    # ---- schema (field ids assigned depth-first, spec rule)
+    ids = iter(range(1, 10_000))
+
+    def next_id():
+        return next(ids)
+
+    fields = []
+    for f in df.schema.fields:
+        fid = next_id()
+        fields.append({"id": fid, "name": f.name,
+                       "type": _spark_field_to_iceberg(f, next_id),
+                       "required": False})
+    if existing is not None:
+        want = [(n, t) for n, t, _req in existing["schema_fields"]]
+        got = [(f["name"], _iceberg_type_to_ddl(f["type"])) for f in fields]
+        if want != got:
+            raise ValueError(
+                f"schema mismatch appending to {table_dir}: table has "
+                f"{want}, dataframe has {got}"
+            )
+
+    # ---- data files: spark write to a temp dir, move parts into data/
+    tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    commit_uuid = uuid.uuid4().hex[:12]
+    data_files = []
+    for i, part in enumerate(sorted(_g.glob(os.path.join(tmp, "part-*.parquet")))):
+        dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
+        os.replace(part, dest)
+        data_files.append(dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    import pyarrow.parquet as pq
+
+    counts = {p: pq.ParquetFile(p).metadata.num_rows for p in data_files}
+
+    # ---- ids/sequencing
+    old_md = {}
+    if existing is not None:
+        with open(existing["metadata_file"]) as fh:
+            old_md = json.load(fh)
+    snapshot_id = max(
+        [s["snapshot_id"] for s in (existing or {}).get("snapshots", [])] or [0]
+    ) + 1
+    seq = int(old_md.get("last-sequence-number", 0)) + 1
+    version = 1
+    if existing is not None:
+        import re
+
+        m = re.search(r"v(\d+)\.metadata\.json$", existing["metadata_file"])
+        version = int(m.group(1)) + 1 if m else 2
+
+    # ---- manifest for the new files
+    entries = [
+        {"status": 1, "snapshot_id": snapshot_id, "sequence_number": None,
+         "file_sequence_number": None,
+         "data_file": {"content": 0, "file_path": p, "file_format": "PARQUET",
+                       "partition": {}, "record_count": counts[p],
+                       "file_size_in_bytes": os.path.getsize(p),
+                       "split_offsets": None, "sort_order_id": None}}
+        for p in data_files
+    ]
+    man_path = os.path.join(meta_dir, f"m-{commit_uuid}.avro")
+    with open(man_path, "wb") as fh:
+        fh.write(write_avro(MANIFEST_ENTRY_AVRO, entries, codec="deflate"))
+
+    # ---- manifest list = prior snapshot's manifests + the new one
+    prior_manifests = []
+    if existing is not None and existing["current_snapshot_id"] is not None:
+        cur = next(s for s in existing["snapshots"]
+                   if s["snapshot_id"] == existing["current_snapshot_id"])
+        mlist_path = _resolve_path(cur["manifest_list"], table_dir,
+                                   existing["location"])
+        for mf in read_manifest_list(mlist_path, spark):
+            row = {f["name"]: mf.get(f["name"])
+                   for f in MANIFEST_FILE_AVRO["fields"]}
+            for k, v in list(row.items()):
+                if v is None:
+                    row[k] = 0
+            row["manifest_path"] = mf["manifest_path"]
+            prior_manifests.append(row)
+    new_mf = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(data_files), "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(counts.values()),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro")
+    with open(mlist_path, "wb") as fh:
+        fh.write(write_avro(MANIFEST_FILE_AVRO,
+                            prior_manifests + [new_mf], codec="deflate"))
+
+    # ---- metadata json + atomic version-hint swap
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id, "sequence-number": seq,
+        "timestamp-ms": now_ms, "manifest-list": mlist_path,
+        "summary": {"operation": "append",
+                    "added-data-files": str(len(data_files)),
+                    "added-records": str(sum(counts.values()))},
+    }
+    md = {
+        "format-version": 2,
+        "table-uuid": old_md.get("table-uuid", str(uuid.uuid4())),
+        "location": table_dir,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(f["id"] for f in fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {**old_md.get("properties", {}), **(properties or {})},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": old_md.get("snapshots", []) + [snapshot],
+        "snapshot-log": old_md.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "metadata-log": old_md.get("metadata-log", []),
+    }
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(md_path, "w") as fh:
+        fh.write(json.dumps(md))
+    hint_tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"snapshot_id": snapshot_id, "sequence_number": seq,
+            "version": version, "files": data_files}

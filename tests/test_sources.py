@@ -741,3 +741,43 @@ def test_sessionize_stream_rejects_out_of_order_batches(spark, tmp_path):
                           gap_s=1800)
     assert "out-of-order" in str(exc.value) or "BEFORE committed" in str(
         exc.value)
+
+
+def test_iceberg_write_table_roundtrip(spark, tmp_path):
+    # pure-python Iceberg v2 COMMIT path: two appends -> two snapshots;
+    # our own manifest-layer reader must read back both exactly
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "wtable")
+    ddl = "repo string, path string, commit string, lang string, content string"
+    rows1 = [(f"r{i % 2}", f"f{i}.py", f"c{i}", "py", f"body {i}")
+             for i in range(10)]
+    rows2 = [("r9", "z.py", "c9", "py", "late file")]
+
+    info1 = ic.write_table(spark, spark.createDataFrame(rows1, ddl), tdir)
+    assert info1["snapshot_id"] == 1 and info1["version"] == 1
+    got1 = {tuple(r) for r in ic.read_data(spark, tdir).collect()}
+    assert got1 == set(rows1)
+
+    info2 = ic.write_table(spark, spark.createDataFrame(rows2, ddl), tdir)
+    assert info2["snapshot_id"] == 2 and info2["version"] == 2
+    assert info2["sequence_number"] == 2
+    got2 = {tuple(r) for r in ic.read_data(spark, tdir).collect()}
+    assert got2 == set(rows1) | set(rows2)
+
+    # time travel back to snapshot 1
+    back1 = {tuple(r) for r in ic.read_data(spark, tdir, snapshot_id=1).collect()}
+    assert back1 == set(rows1)
+
+    # the metadata layer agrees with the manifests
+    md = ic.read_table_metadata(tdir)
+    assert md["current_snapshot_id"] == 2
+    assert len(md["snapshots"]) == 2
+    assert md["schema_ddl"] == ddl
+    files2 = ic.snapshot_data_files(tdir)
+    assert len(files2) == len(info1["files"]) + len(info2["files"])
+
+    # appending a different schema refuses loudly
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ic.write_table(
+            spark, spark.createDataFrame([(1,)], "x long"), tdir)
