@@ -306,8 +306,8 @@ def main() -> None:
         "n4": {"cores": n4_cores, "wall_s": round(n4_med, 2),
                "walls": [round(w, 2) for w in n4_walls],
                "gbps": round(big_gb / n4_med, 4)},
-        "wider_pairs": "BENCH_SCALING_2v8/4v16.json: raw 0.71/0.76 = "
-                       "0.82-0.93 of the memcpy bandwidth ceiling",
+        "wider_pairs": "BENCH_SCALING_2v8/4v16.json (r3): raw 0.79/0.66 = "
+                       "0.99/0.90 of the memcpy bandwidth ceiling",
     }
     scaling["efficiency_n_to_4n"] = round(
         scaling["n4"]["gbps"] / (4 * scaling["n"]["gbps"]), 3
