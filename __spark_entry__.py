@@ -586,6 +586,26 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate CLUSTERS (iterative
+    min-label propagation, localCheckpoint per round): cluster_id = min
+    doc_id reachable through the minhash-LSH pair graph; singletons keep
+    their own id. Oracle: recursive CTE over the same band fixture."""
+    from parquet_toolkit_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_band_hashes,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    band_df = _write_fixture(
+        minhash_band_hashes(docs, k=16, bands=8), "minhash_bands", sf_dir
+    )
+    pairs = minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.5,
+                              band_df=band_df)
+    return dedup_clusters(docs, pairs)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_toolkit_spark.functions.dedup import simhash64, simhash_near_pairs
 
@@ -873,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_minhash": q_ngram_jaccard_minhash,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -1111,6 +1132,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b "
             "WHERE round(len(list_intersect(ga.sh, gb.sh))::DOUBLE "
             "/ greatest(len(list_distinct(ga.sh || gb.sh)), 1), 6) >= 0.2"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE bands AS (SELECT * FROM read_parquet("
+            f"'{_fixture_path('minhash_bands', 'sf0.01')}/*.parquet')), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h "
+            "AND a.doc_id < b.doc_id), "
+            "g AS (SELECT doc_id, "
+            "CASE WHEN length(trim(text)) = 0 THEN [] "
+            "WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3 THEN [] "
+            f"ELSE {grams} END AS sh "
+            "FROM (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS words "
+            "FROM documents)), "
+            "p AS (SELECT c.id_a, c.id_b FROM cand c "
+            "JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b "
+            "WHERE len(list_intersect(ga.sh, gb.sh))::DOUBLE "
+            "/ greatest(len(list_distinct(ga.sh || gb.sh)), 1) >= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(u, label) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u) "
+            "SELECT u AS doc_id, min(label) AS cluster_id "
+            "FROM reach GROUP BY u"
         ),
         "minhash_lsh": (
             "WITH bands AS (SELECT * FROM read_parquet("

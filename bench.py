@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "merge_compact", "sort_by_key", "split_by_size",
     "encode_roundtrip_sha", "q1_pricing_summary", "topk_per_group",
     "join_agg", "events_hourly", "text_stats", "lang_id",
-    "exact_dedup", "normalized_dedup", "minhash_lsh", "simhash_pairs",
+    "exact_dedup", "normalized_dedup", "minhash_lsh", "dedup_clusters",
+    "simhash_pairs",
     "ann_topk", "embedding_near_pairs_lsh", "sessionize",
     "source_stats_salted", "events_windowed_stream", "dedup_stream",
     "ivf_ann_topk", "media_features", "sessionize_stream", "quality",

@@ -361,3 +361,70 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return cand.select("id_a", "id_b", ham).where(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------------------- duplicate clusters
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   max_iters: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (id, cluster_id)
+    where cluster_id = min id reachable through the pair graph (singletons
+    keep their own id). The step after pair generation every dedup
+    pipeline needs — keep min-id per cluster, drop the rest.
+
+    Scalable shape: iterative min-label propagation — one equi-join +
+    map-side-combined groupBy(min) shuffle per round, converging in
+    O(longest path) rounds (near-dup components are shallow; boilerplate
+    stars converge in 2). Each round localCheckpoints the label frame:
+    without it the join lineage doubles per iteration and Catalyst
+    planning, not the data, becomes the bottleneck — the canonical Spark
+    iterative-algorithm discipline. Raises if max_iters rounds don't
+    converge (pathological chain longer than max_iters)."""
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = edges.union(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        df.select(F.col(id_col).alias("u")).distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnsRenamed({"u": "v", "label": "nlabel"}),
+                       "v")
+            .groupBy("u").agg(F.min("nlabel").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least(F.col("label"),
+                                 F.coalesce("nl", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("u").alias(id_col),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds — a "
+        "duplicate chain longer than max_iters; raise max_iters"
+    )
+
+
+def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """The corpus with one representative (min id) kept per duplicate
+    cluster — the materialized outcome of a near-dup dedup pass."""
+    clusters = dedup_clusters(df, pairs, id_col)
+    keep = clusters.where(F.col(id_col) == F.col("cluster_id")) \
+        .select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -436,3 +436,51 @@ def test_bruteforce_topk_tie_safety(spark):
     q = df.where(F.col("vec_id") == 0)
     got = similarity.ann_bruteforce_topk(df, q, k=3).orderBy("rank").collect()
     assert [r.neighbor_id for r in got] == [1, 2, 3]
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    # random graph + planted chain + singletons vs a python union-find
+    import random
+
+    rng = random.Random(11)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edges += [(i, i + 1) for i in range(100, 110)]  # a 10-hop chain
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in comp.values() for i in members}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == want
+
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    assert {r.doc_id for r in kept.collect()} == \
+        {i for i in range(n) if want[i] == i}
+
+
+def test_dedup_clusters_non_convergence_raises(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(docs, pairs, max_iters=1)
