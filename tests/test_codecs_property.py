@@ -106,3 +106,83 @@ def test_any_date_roundtrips(days):
     back = to_arrow(decode_blob(blob))
     assert back.type == pa.date32()
     assert back.to_pylist() == arr.to_pylist()
+
+
+# ----------------------------------------------------- avro_lite (property)
+# The Avro codec now carries the Iceberg manifest layer — round-trip
+# arbitrary schema shapes/values, both container codecs.
+
+from hypothesis import strategies as st
+
+
+def _avro_value(typ):
+    if typ == "null":
+        return st.none()
+    if typ == "boolean":
+        return st.booleans()
+    if typ == "int":
+        return st.integers(-2**31, 2**31 - 1)
+    if typ == "long":
+        return st.integers(-2**63, 2**63 - 1)
+    if typ == "double":
+        return st.floats(allow_nan=False, width=64)
+    if typ == "string":
+        return st.text(max_size=40)
+    if typ == "bytes":
+        return st.binary(max_size=40)
+    raise AssertionError(typ)
+
+
+_PRIMS = ["boolean", "int", "long", "double", "string", "bytes"]
+
+
+@st.composite
+def _avro_schema_and_records(draw):
+    n_fields = draw(st.integers(1, 6))
+    fields, row_strats = [], {}
+    for i in range(n_fields):
+        kind = draw(st.sampled_from(["prim", "optional", "array", "map",
+                                     "nested"]))
+        name = f"f{i}"
+        if kind == "prim":
+            t = draw(st.sampled_from(_PRIMS))
+            fields.append({"name": name, "type": t})
+            row_strats[name] = _avro_value(t)
+        elif kind == "optional":
+            t = draw(st.sampled_from(_PRIMS))
+            fields.append({"name": name, "type": ["null", t]})
+            row_strats[name] = st.one_of(st.none(), _avro_value(t))
+        elif kind == "array":
+            t = draw(st.sampled_from(_PRIMS))
+            fields.append({"name": name,
+                           "type": {"type": "array", "items": t}})
+            row_strats[name] = st.lists(_avro_value(t), max_size=5)
+        elif kind == "map":
+            t = draw(st.sampled_from(_PRIMS))
+            fields.append({"name": name,
+                           "type": {"type": "map", "values": t}})
+            row_strats[name] = st.dictionaries(
+                st.text(max_size=8), _avro_value(t), max_size=4)
+        else:
+            t = draw(st.sampled_from(_PRIMS))
+            fields.append({"name": name, "type": {
+                "type": "record", "name": f"rec{i}",
+                "fields": [{"name": "x", "type": t},
+                           {"name": "y", "type": ["null", "long"]}]}})
+            row_strats[name] = st.fixed_dictionaries(
+                {"x": _avro_value(t),
+                 "y": st.one_of(st.none(), _avro_value("long"))})
+    schema = {"type": "record", "name": "top", "fields": fields}
+    records = draw(st.lists(st.fixed_dictionaries(row_strats), max_size=8))
+    return schema, records
+
+
+@settings(max_examples=60, deadline=None)
+@given(_avro_schema_and_records(), st.sampled_from(["null", "deflate"]))
+def test_avro_lite_property_roundtrip(sr, codec):
+    from parquet_toolkit_spark.sources.avro_lite import read_avro, write_avro
+
+    schema, records = sr
+    got_schema, got = read_avro(write_avro(schema, records, codec=codec))
+    assert got_schema == schema
+    assert got == records
