@@ -45,12 +45,44 @@ _FIX_DIR = "/tmp/ptsk_oracle_fix"
 
 # bump when any fixture-producing plan changes: stale caches under the old
 # version are simply left behind in /tmp, never read
-_FIX_VERSION = "v3"
+_FIX_VERSION = "v4"
+
+_FP_MEMO: dict[str, str] = {}
+
+
+def _resolve_sf_dir(sf_dir: str) -> str:
+    # oracle_sql() passes the bare name ("sf0.01"); queries pass full paths
+    return sf_dir if os.path.isabs(sf_dir) else os.path.join(
+        "/root/testdata", sf_dir)
+
+
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint (name/size/mtime of every table file) in
+    the cache key: regenerated testdata at the same path must invalidate
+    cached fixtures, or both engines silently read bands/signatures built
+    from the OLD corpus (code-review r3)."""
+    sf_dir = _resolve_sf_dir(sf_dir)
+    fp = _FP_MEMO.get(sf_dir)
+    if fp is None:
+        import glob as _g
+        import hashlib
+
+        h = hashlib.sha256()
+        for p in sorted(_g.glob(os.path.join(sf_dir, "*.parquet"))):
+            st = os.stat(p)
+            h.update(
+                f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}"
+                .encode()
+            )
+        fp = h.hexdigest()[:10]
+        _FP_MEMO[sf_dir] = fp
+    return fp
 
 
 def _fixture_path(name: str, sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(_FIX_DIR, f"{name}_{base}_{_FIX_VERSION}")
+    return os.path.join(
+        _FIX_DIR, f"{name}_{base}_{_FIX_VERSION}_{_sf_fingerprint(sf_dir)}")
 
 
 def _write_fixture(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
@@ -300,8 +332,7 @@ def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
     import json
     import shutil
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    tdir = os.path.join(_FIX_DIR, f"icetable_{base}_{_FIX_VERSION}")
+    tdir = _fixture_path("icetable", sf_dir)
     done = os.path.join(tdir, "_DONE")
     if os.path.exists(done):
         return tdir
@@ -358,7 +389,7 @@ def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
              "manifest_length": 1, "partition_spec_id": 0, "content": 0,
              "added_snapshot_id": 1}]))
     md = {
-        "format-version": 2, "table-uuid": f"fix-{base}", "location": tdir,
+        "format-version": 2, "table-uuid": f"fix-{os.path.basename(tdir)}", "location": tdir,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": [
             {"id": i + 1, "name": n, "type": t, "required": False}
@@ -412,8 +443,7 @@ def q_iceberg_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table,
     )
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    tdir = os.path.join(_FIX_DIR, f"icewrite_{base}_{_FIX_VERSION}")
+    tdir = _fixture_path("icewrite", sf_dir)
     done = os.path.join(tdir, "_DONE")
     docs = _t(spark, sf_dir, "documents")
     if not os.path.exists(done):

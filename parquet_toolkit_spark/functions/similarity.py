@@ -59,6 +59,11 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 # it, collect() becomes a driver memory hazard and per-task query state
 # stops being "small". Callers with bigger query sets should self-join
 # through lsh/ivf bucketing instead of calling these entry points.
+# Broadcast lifetime: each call creates one broadcast that MUST outlive the
+# returned (lazy) DataFrame, so it is not unpersisted here; Spark's
+# ContextCleaner reclaims it once the caller drops the DataFrame. Callers
+# looping over many max-size query sets should release result frames
+# between iterations.
 MAX_QUERY_ROWS = 100_000
 
 

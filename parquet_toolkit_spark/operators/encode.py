@@ -436,26 +436,40 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
     if old_man is not None:
         keep = old_man.where(~F.col("pid").isin([int(p) for p in pending]))
         new_man = keep.select(*MANIFEST_COLS).unionByName(new_man)
-    # ONE job: encode tasks -> repartition(1) -> manifest file. repartition
-    # (unlike coalesce) inserts a shuffle boundary, so the single-reducer
-    # manifest write can't propagate upstream and serialize the encode
-    # tasks; the shuffled payload is just the tiny manifest rows. Commit by
-    # temp-dir + rename (atomic on HDFS/local, the reference's temp-suffix
-    # protocol, SimpleMergeThread.java:118-122).
+    _commit_manifest(dfs, out_dir, new_man)
+    dfs.delete(tmp_dir, recursive=True)
+    return read_manifest(spark, out_dir)
+
+
+def _commit_manifest(dfs, out_dir: str, man_df: DataFrame) -> None:
+    """Swap-commit the manifest — ONE job: manifest rows -> repartition(1)
+    -> manifest_new, then rename-swap into place. repartition (unlike
+    coalesce) inserts a shuffle boundary, so the single-reducer write
+    can't propagate upstream and serialize producer tasks; the shuffled
+    payload is just tiny manifest rows. Crash-safe at every boundary
+    (the reference's temp-suffix protocol, SimpleMergeThread.java:118-122):
+    read_manifest falls back to manifest_old inside the swap window, and
+    this function FIRST rolls an interrupted swap forward (manifest_old
+    present without manifest) instead of deleting the only committed copy
+    — deleting manifest_old before the new manifest lands would brick the
+    store if this run then crashed (code-review r3)."""
     man_dir = os.path.join(out_dir, "manifest")
     tmp_man = os.path.join(out_dir, "manifest_new")
     man_old = os.path.join(out_dir, "manifest_old")
-    new_man.repartition(1).write.mode("overwrite").parquet(tmp_man)
-    # swap via rename, never delete-then-rename (ADVICE r2): a crash between
-    # the two renames leaves manifest_old as a readable fallback instead of
-    # NO manifest (which decode would misread as "decode every pid dir")
-    dfs.delete(man_old, recursive=True)
+    if dfs.exists(man_old):
+        if dfs.exists(man_dir):
+            # crash after the forward rename but before cleanup: manifest
+            # is committed, manifest_old is a stale leftover
+            dfs.delete(man_old, recursive=True)
+        else:
+            # crash between the two renames: manifest_old IS the last
+            # committed manifest — restore it before anything else
+            dfs.rename(man_old, man_dir)
+    man_df.repartition(1).write.mode("overwrite").parquet(tmp_man)
     if dfs.exists(man_dir):
         dfs.rename(man_dir, man_old)
     dfs.rename(tmp_man, man_dir)
     dfs.delete(man_old, recursive=True)
-    dfs.delete(tmp_dir, recursive=True)
-    return read_manifest(spark, out_dir)
 
 
 def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
@@ -478,14 +492,18 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
     dfs.write_text(os.path.join(out_dir, "_schema.json"), json.dumps(schema_map))
 
     # manifest derives from the blob store (column-pruned scan: the binary
-    # blob column is never read), so it is always consistent with it
+    # blob column is never read), so it is always consistent with it.
+    # Commit through the same swap protocol as encode_partitions — a plain
+    # mode("overwrite") deletes the old manifest before the new one lands,
+    # and decode_pipeline's missing-manifest refusal would turn that crash
+    # window into an unreadable store (code-review r3)
     man = (
         spark.read.parquet(blobs_dir)
         .select("pid", "column", "codec", "nrows", "bytes_in", "bytes_out",
                 "checksum", "stats_json", "run_id")
         .withColumn("status", F.lit("committed"))
     )
-    man.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
+    _commit_manifest(dfs, out_dir, man)
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -731,7 +749,14 @@ def _prefix_upper_bound(prefix: str) -> str | None:
     while cps:
         o = ord(cps[-1])
         if o < 0x10FFFF:
-            cps[-1] = chr(o + 1)
+            nxt = o + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # surrogate code points aren't encodable scalar values —
+                # chr(0xD800) would crash py4j's UTF-8 transfer; jumping
+                # to U+E000 stays sound because no valid string contains
+                # a lone surrogate between the two (code-review r3)
+                nxt = 0xE000
+            cps[-1] = chr(nxt)
             return "".join(cps)
         cps.pop()
     return None

@@ -166,6 +166,10 @@ class DriverFS:
         return True
 
     def total_size(self, folder: str) -> int:
+        """NON-recursive byte sum — returns 0 for a partitioned/nested
+        layout. Sizing decisions (bin counts, records-per-file) must use
+        total_size_recursive; this flat variant once collapsed compact()
+        to a single coalesce(1) task on nested input (ADVICE r2)."""
         return sum(size for _, size in self.list_files(folder))
 
     def total_size_recursive(self, folder: str) -> int:

@@ -392,20 +392,32 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     table_dir = strip_local_scheme(table_dir).rstrip("/")
     meta_dir = os.path.join(table_dir, "metadata")
     data_dir = os.path.join(table_dir, "data")
-    os.makedirs(meta_dir, exist_ok=True)
-    os.makedirs(data_dir, exist_ok=True)
 
     existing = None
     try:
         existing = read_table_metadata(table_dir, spark)
     except FileNotFoundError:
-        pass
+        # a metadata dir with files but no readable vN.metadata.json is a
+        # table this writer doesn't understand (e.g. catalog-style
+        # 00001-<uuid>.metadata.json) — re-initializing would orphan every
+        # prior snapshot behind a fresh version-hint (code-review r3)
+        if os.path.isdir(meta_dir) and os.listdir(meta_dir):
+            raise ValueError(
+                f"{meta_dir} holds metadata this writer cannot resolve "
+                "(no vN.metadata.json / version-hint); refusing to "
+                "re-initialize over an existing table"
+            )
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
 
-    # ---- schema (field ids assigned depth-first, spec rule)
-    ids = iter(range(1, 10_000))
+    # ---- schema (field ids assigned depth-first, spec rule); the counter
+    # tracks the HIGHEST id handed out incl. nested element ids, which is
+    # what last-column-id must record (code-review r3)
+    id_state = {"last": 0}
 
     def next_id():
-        return next(ids)
+        id_state["last"] += 1
+        return id_state["last"]
 
     fields = []
     for f in df.schema.fields:
@@ -514,7 +526,7 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
         "location": table_dir,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max(f["id"] for f in fields),
+        "last-column-id": id_state["last"],
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "default-spec-id": 0,

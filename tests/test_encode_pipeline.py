@@ -296,3 +296,49 @@ def test_prefix_upper_bound_soundness():
     assert tricky.startswith("repo/")
     assert tricky > "repo/" + "\U0010FFFF"          # old bound: pruned (bug)
     assert tricky < _prefix_upper_bound("repo/")     # new bound: kept
+
+
+def test_manifest_swap_crash_recovery(spark, corpus_df, tmp_path):
+    # code-review r3: a crash between the swap's two renames leaves only
+    # manifest_old; the NEXT commit must roll it forward, never delete the
+    # sole committed manifest before the new one is in place
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    staging = str(tmp_path / "stg")
+    enc = str(tmp_path / "enc")
+    layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
+    encode_partitions(spark, staging, enc, run_id="a", resume=False)
+
+    dfs = DriverFS(spark)
+    man = os.path.join(enc, "manifest")
+    man_old = os.path.join(enc, "manifest_old")
+    # simulate the crash window: forward rename happened, new never landed
+    dfs.rename(man, man_old)
+
+    # reads fall back to the pre-swap copy
+    assert read_manifest(spark, enc).count() > 0
+    assert decode_pipeline(spark, enc).count() == N_ROWS
+
+    # the next commit rolls the interrupted swap forward and completes
+    encode_partitions(spark, staging, enc, run_id="b", resume=False)
+    assert os.path.exists(man) and not os.path.exists(man_old)
+    assert decode_pipeline(spark, enc).count() == N_ROWS
+
+
+def test_prefix_upper_bound_skips_surrogates(spark, corpus_df, tmp_path):
+    # code-review r3: incrementing U+D7FF must jump the surrogate range —
+    # chr(0xD800) is unencodable and crashed the py4j literal transfer
+    from parquet_toolkit_spark.operators.encode import (
+        _prefix_upper_bound,
+        pids_matching_prefix,
+    )
+
+    assert _prefix_upper_bound("x퟿") == "x"
+    assert _prefix_upper_bound("a") == "b"
+    assert _prefix_upper_bound("") is None
+
+    enc = str(tmp_path / "enc_sur")
+    encode_pipeline(spark, corpus_df, enc, target_bytes=1 << 20, run_id="sur")
+    # a surrogate-boundary prefix must RUN (superset semantics, no crash)
+    pids = pids_matching_prefix(spark, enc, "repo", "x퟿")
+    assert isinstance(pids, set)

@@ -781,3 +781,16 @@ def test_iceberg_write_table_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         ic.write_table(
             spark, spark.createDataFrame([(1,)], "x long"), tdir)
+
+
+def test_iceberg_write_refuses_foreign_metadata(spark, tmp_path):
+    # code-review r3: a metadata dir with files but no resolvable
+    # vN.metadata.json (catalog-style names) must refuse, not re-init
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = tmp_path / "foreign"
+    (tdir / "metadata").mkdir(parents=True)
+    (tdir / "metadata" / "00001-abc.metadata.json").write_text("{}")
+    with pytest.raises(ValueError, match="refusing to"):
+        ic.write_table(spark, spark.createDataFrame([(1,)], "v long"),
+                       str(tdir))
