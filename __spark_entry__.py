@@ -459,6 +459,26 @@ def q_iceberg_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fsck_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store integrity check on a fresh encode: every column blob's
+    recomputed sha256 must match its manifest entry (distinct
+    (column, status) pairs — all ok)."""
+    from parquet_toolkit_spark.operators.encode import (
+        encode_pipeline,
+        fsck_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = os.path.join(_TMP, "fsck_enc")
+    encode_pipeline(spark, docs, enc_dir, target_bytes=4 << 20, run_id="fs",
+                    range_keys=("source", "doc_id"),
+                    sort_keys=("source", "doc_id"))
+    return (
+        fsck_store(spark, enc_dir)
+        .select("column", "status").distinct()
+    )
+
+
 # ----------------------------------------------------- analytics breadth
 
 
@@ -908,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
+        "fsck_store": q_fsck_store,
         "incremental_encode": q_incremental_encode,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "iceberg_write_read": q_iceberg_write_read,
@@ -1014,6 +1035,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "incremental_encode":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "fsck_store": (
+            "SELECT c AS column, 'ok' AS status FROM (VALUES ('doc_id'), "
+            "('lang'), ('n_chars'), ('source'), ('text')) t(c)"
+        ),
         "iceberg_encode_roundtrip":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "iceberg_write_read":

@@ -520,6 +520,106 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return None
 
 
+def fsck_store(spark: SparkSession, enc_dir: str,
+               concurrency: int | None = None) -> DataFrame:
+    """Distributed blob-store integrity check (F6 quarantine parity at the
+    store level): one task per committed pid recomputes sha256 of every
+    column blob and reconciles against the manifest. Returns
+    (pid, column, status, expected_sha, actual_sha) with status one of
+    ok | corrupt | missing_blob (manifest entry, no blob row) |
+    orphan (blob row, no manifest entry) | unreadable (file won't parse).
+    Orphan PID DIRS (no committed manifest rows at all) are ignored, same
+    as decode — the manifest is the source of truth."""
+    import posixpath
+
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    dfs = DriverFS(spark)
+    man = read_manifest(spark, enc_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest under {enc_dir}")
+    committed = {
+        r.pid for r in man.where(F.col("status") == "committed")
+        .select("pid").distinct().collect()
+    }
+    blobs_dir = os.path.join(enc_dir, "blobs")
+    pid_files: list[tuple[int, str]] = []
+    for d in dfs.list_dirs(blobs_dir) if dfs.exists(blobs_dir) else []:
+        base = posixpath.basename(d.rstrip("/"))
+        if not base.startswith("pid="):
+            continue
+        try:
+            pid = int(base.split("=", 1)[1])
+        except ValueError:
+            continue
+        if pid not in committed:
+            continue
+        for f, _sz in dfs.list_files(d):
+            if f.endswith((".parquet", ".arrow")):
+                pid_files.append((pid, f))
+
+    man_side = (
+        man.where(F.col("status") == "committed")
+        .select("pid", "column", F.col("checksum").alias("expected_sha"))
+    )
+    if not pid_files:
+        return man_side.select(
+            "pid", "column", F.lit("missing_blob").alias("status"),
+            "expected_sha", F.lit(None).cast("string").alias("actual_sha"),
+        )
+
+    tasks = _striped_task_df(
+        spark, pid_files, "pid INT, file STRING",
+        concurrency or len(pid_files),
+    )
+
+    def scan_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from parquet_toolkit_spark.runtime import tune_malloc
+        from parquet_toolkit_spark.sources.fs import (
+            task_open_ipc,
+            task_read_table,
+        )
+
+        tune_malloc()
+        for pdf in batches:
+            rows = {"pid": [], "column": [], "actual_sha": []}
+            for _, task in pdf.iterrows():
+                pid, f = int(task["pid"]), task["file"]
+                try:
+                    if f.endswith(".arrow"):
+                        t = task_open_ipc(f).read_all()
+                    else:
+                        t = task_read_table([f])
+                    cols = t.column("column").to_pylist()
+                    blobs = t.column("blob")
+                    for i, name in enumerate(cols):
+                        buf = blobs[i].as_buffer()
+                        rows["pid"].append(pid)
+                        rows["column"].append(name)
+                        rows["actual_sha"].append(
+                            hashlib.sha256(memoryview(buf)).hexdigest())
+                except Exception as exc:  # torn/truncated file
+                    rows["pid"].append(pid)
+                    rows["column"].append("__file__")
+                    rows["actual_sha"].append(f"UNREADABLE: {exc}"[:120])
+            yield pd.DataFrame(rows)
+
+    scanned = tasks.mapInPandas(
+        scan_task, "pid INT, column STRING, actual_sha STRING")
+    joined = man_side.join(scanned, ["pid", "column"], "full_outer")
+    status = (
+        F.when(F.col("column") == "__file__", F.lit("unreadable"))
+        .when(F.col("actual_sha").isNull(), F.lit("missing_blob"))
+        .when(F.col("expected_sha").isNull(), F.lit("orphan"))
+        .when(F.col("expected_sha") == F.col("actual_sha"), F.lit("ok"))
+        .otherwise(F.lit("corrupt"))
+    )
+    return joined.select("pid", "column", status.alias("status"),
+                         "expected_sha", "actual_sha")
+
+
 def decode_pipeline(spark: SparkSession, enc_dir: str,
                     keep_pid: bool = False,
                     concurrency: int | None = None,

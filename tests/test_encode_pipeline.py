@@ -342,3 +342,39 @@ def test_prefix_upper_bound_skips_surrogates(spark, corpus_df, tmp_path):
     # a surrogate-boundary prefix must RUN (superset semantics, no crash)
     pids = pids_matching_prefix(spark, enc, "repo", "x퟿")
     assert isinstance(pids, set)
+
+
+def test_fsck_store_detects_corruption_and_loss(spark, corpus_df, tmp_path):
+    import shutil
+
+    from parquet_toolkit_spark.operators.encode import fsck_store
+
+    staging = str(tmp_path / "stg_fsck")
+    enc = str(tmp_path / "enc_fsck")
+    layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
+    encode_partitions(spark, staging, enc, run_id="f", resume=False)
+
+    # pristine store: every (pid, column) ok
+    rep = fsck_store(spark, enc)
+    assert {r.status for r in rep.collect()} == {"ok"}
+
+    pid_dirs = sorted(glob.glob(os.path.join(enc, "blobs", "pid=*")))
+    assert len(pid_dirs) >= 2
+
+    # flip one byte mid-file: either a blob sha mismatch (corrupt) or a
+    # torn container (unreadable) — both must surface for THAT pid only
+    victim = glob.glob(os.path.join(pid_dirs[0], "*.arrow"))[0]
+    data = bytearray(open(victim, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    bad_pid = int(os.path.basename(pid_dirs[0]).split("=")[1])
+    ok_pid = int(os.path.basename(pid_dirs[1]).split("=")[1])
+
+    # lose a whole pid dir
+    shutil.rmtree(pid_dirs[1])
+
+    rep = {(r.pid, r.status) for r in fsck_store(spark, enc).collect()}
+    assert any(p == bad_pid and s in ("corrupt", "unreadable")
+               for p, s in rep)
+    assert (ok_pid, "missing_blob") in rep
+    assert all(s == "ok" for p, s in rep if p not in (bad_pid, ok_pid))
