@@ -19,7 +19,8 @@ Iceberg constructs it needs:
   snapshot commit            write-temp-then-rename blob commit + full
                              manifest rewrite (atomic swap)
   rewrite_data_files         operators/layout.compact / compact_in_place
-  expire_snapshots           superseded pid dirs replaced in place
+  expire_snapshots           iceberg_compat.expire_snapshots (real
+                             impl below) / superseded pid dirs
 
 On a cluster with the iceberg-spark runtime on the classpath,
 `read_table` resolves through the catalog; here it raises with the exact
@@ -549,3 +550,88 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return {"snapshot_id": snapshot_id, "sequence_number": seq,
             "version": version, "files": data_files}
+
+
+def expire_snapshots(spark: SparkSession | None, table_dir: str,
+                     keep_last: int = 1) -> dict:
+    """Iceberg maintenance: drop all but the newest `keep_last` snapshots
+    and physically delete everything only they referenced — data files no
+    kept snapshot holds LIVE, plus the removed snapshots' manifest lists
+    and manifests (spec `expire_snapshots`; the engine-side analogue of
+    the toolkit's delete-inputs cleanup, ParquetMergerImpl.java:90-110).
+
+    The current snapshot is always kept. Commits a new vN.metadata.json +
+    version-hint swap; local filesystem tables only (single-writer)."""
+    import json
+    import os
+    import re
+    import time
+
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
+    table_dir = strip_local_scheme(table_dir).rstrip("/")
+    info = read_table_metadata(table_dir, spark)
+    with open(info["metadata_file"]) as fh:
+        md = json.load(fh)
+    snaps = md.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return {"removed_snapshots": 0, "deleted_files": 0}
+    ordered = sorted(snaps, key=lambda s: (s.get("sequence-number", 0),
+                                           s.get("timestamp-ms", 0)))
+    kept, removed = ordered[-keep_last:], ordered[:-keep_last]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    if md.get("current-snapshot-id") not in kept_ids:
+        raise ValueError("expire_snapshots would drop the current snapshot")
+
+    loc = info["location"]
+
+    def _paths_of(snapshot_json) -> tuple[str, list[str], list[str]]:
+        """(manifest_list, manifest paths, ALL referenced data files)."""
+        mlist = _resolve_path(snapshot_json["manifest-list"], table_dir, loc)
+        mans, dfiles = [], []
+        for mf in read_manifest_list(mlist, spark):
+            mp = _resolve_path(mf["manifest_path"], table_dir, loc)
+            mans.append(mp)
+            for e in read_manifest(mp, spark):
+                dfiles.append(_resolve_path(e["data_file"]["file_path"],
+                                            table_dir, loc))
+        return mlist, mans, dfiles
+
+    live_kept: set[str] = set()
+    meta_kept: set[str] = set()
+    for s in kept:
+        live_kept.update(snapshot_data_files(table_dir, s["snapshot-id"],
+                                             spark))
+        mlist, mans, _ = _paths_of(s)
+        meta_kept.add(mlist)
+        meta_kept.update(mans)
+
+    doomed: set[str] = set()
+    for s in removed:
+        mlist, mans, dfiles = _paths_of(s)
+        doomed.update(p for p in [mlist, *mans] if p not in meta_kept)
+        doomed.update(p for p in dfiles if p not in live_kept)
+
+    deleted = 0
+    for p in sorted(doomed):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+
+    m = re.search(r"v(\d+)\.metadata\.json$", info["metadata_file"])
+    version = (int(m.group(1)) if m else 1) + 1
+    md["snapshots"] = kept
+    md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", [])
+        if e.get("snapshot-id") in kept_ids
+    ]
+    md["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        fh.write(json.dumps(md))
+    hint_tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"removed_snapshots": len(removed), "deleted_files": deleted,
+            "version": version}

@@ -794,3 +794,77 @@ def test_iceberg_write_refuses_foreign_metadata(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing to"):
         ic.write_table(spark, spark.createDataFrame([(1,)], "v long"),
                        str(tdir))
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    # append, append, hand-committed delete snapshot, then expire: files
+    # live only in dropped snapshots are physically removed, the current
+    # snapshot still reads exactly, history is truncated
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+
+    tdir = str(tmp_path / "exp")
+    ddl = "repo string, path string, commit string, lang string, content string"
+    rows1 = [("r1", "a.py", "c1", "py", "one")]
+    rows2 = [("r2", "b.py", "c2", "py", "two")]
+    ic.write_table(spark, spark.createDataFrame(rows1, ddl), tdir)
+    info2 = ic.write_table(spark, spark.createDataFrame(rows2, ddl), tdir)
+    files1 = set(ic.snapshot_data_files(tdir, 1))
+    files2 = set(ic.snapshot_data_files(tdir, 2)) - files1
+
+    # snapshot 3: rewrite-style delete of files2 (files1 stay live)
+    meta = os.path.join(tdir, "metadata")
+
+    def entry(status, p):
+        return {"status": status, "snapshot_id": 3, "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {"content": 0, "file_path": p,
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": 1,
+                              "file_size_in_bytes": os.path.getsize(p),
+                              "split_offsets": None, "sort_order_id": None}}
+
+    m3 = os.path.join(meta, "m3.avro")
+    with open(m3, "wb") as fh:
+        fh.write(write_avro(
+            ic.MANIFEST_ENTRY_AVRO,
+            [entry(0, p) for p in sorted(files1)]
+            + [entry(2, p) for p in sorted(files2)]))
+    ml3 = os.path.join(meta, "snap-3.avro")
+    with open(ml3, "wb") as fh:
+        fh.write(write_avro(ic.MANIFEST_FILE_AVRO, [{
+            "manifest_path": m3, "manifest_length": os.path.getsize(m3),
+            "partition_spec_id": 0, "content": 0, "sequence_number": 3,
+            "min_sequence_number": 3, "added_snapshot_id": 3,
+            "added_files_count": 0, "existing_files_count": len(files1),
+            "deleted_files_count": len(files2),
+            "added_rows_count": 0, "existing_rows_count": 1,
+            "deleted_rows_count": 1}]))
+    with open(os.path.join(meta, f"v{info2['version']}.metadata.json")) as fh:
+        md = json.load(fh)
+    md["snapshots"].append({"snapshot-id": 3, "sequence-number": 3,
+                            "timestamp-ms": 9, "manifest-list": ml3,
+                            "summary": {"operation": "delete"}})
+    md["current-snapshot-id"] = 3
+    md["last-sequence-number"] = 3
+    v3 = info2["version"] + 1
+    with open(os.path.join(meta, f"v{v3}.metadata.json"), "w") as fh:
+        fh.write(json.dumps(md))
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(v3))
+
+    assert {tuple(r) for r in ic.read_data(spark, tdir).collect()} == set(rows1)
+
+    out = ic.expire_snapshots(spark, tdir, keep_last=1)
+    assert out["removed_snapshots"] == 2
+    # files2 lived only in dropped snapshots -> physically gone
+    assert all(not os.path.exists(p) for p in files2)
+    assert all(os.path.exists(p) for p in files1)
+    # current snapshot unchanged, history truncated
+    assert {tuple(r) for r in ic.read_data(spark, tdir).collect()} == set(rows1)
+    md2 = ic.read_table_metadata(tdir)
+    assert len(md2["snapshots"]) == 1 and md2["current_snapshot_id"] == 3
+    with pytest.raises(ValueError, match="not found"):
+        ic.snapshot_data_files(tdir, 1)
