@@ -690,7 +690,8 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
         if unknown:
             raise KeyError(f"unknown columns {sorted(unknown)}")
         schema_map = {c: t for c, t in schema_map.items() if c in columns}
-    out_fields = [("pid", "integer")] if keep_pid else []
+    # "int", not "integer": the DDL string feeds _out_pa_type's map too
+    out_fields = [("pid", "int")] if keep_pid else []
     out_fields += list(schema_map.items())
     out_schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
     def _out_pa_type(ddl: str) -> pa.DataType:

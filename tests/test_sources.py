@@ -868,3 +868,42 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     assert len(md2["snapshots"]) == 1 and md2["current_snapshot_id"] == 3
     with pytest.raises(ValueError, match="not found"):
         ic.snapshot_data_files(tdir, 1)
+
+
+def test_avro_lite_rejects_malformed():
+    from parquet_toolkit_spark.sources.avro_lite import read_avro, write_avro
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    good = write_avro(schema, [{"x": 1}, {"x": 2}])
+
+    with pytest.raises(ValueError, match="magic"):
+        read_avro(b"NOPE" + good[4:])
+    with pytest.raises(EOFError):
+        read_avro(good[:len(good) - 17])  # sync gone + torn payload
+    # corrupt the trailing sync marker -> mismatch vs header sync
+    with pytest.raises(ValueError, match="sync"):
+        read_avro(good[:-16] + b"\xff" * 16)
+    with pytest.raises(NotImplementedError, match="codec"):
+        write_avro(schema, [{"x": 1}], codec="snappy")
+
+
+def test_decode_pids_pruning_is_exact(spark, tmp_path):
+    # decode_pipeline(pids={p}) must schedule/return ONLY that partition
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(f"r{i % 4}", f"f{i}.py", f"c{i}", "py", f"line {i}\n" * 5)
+         for i in range(400)],
+        "repo string, path string, commit string, lang string, content string")
+    enc = str(tmp_path / "enc_pids")
+    encode_pipeline(spark, df, enc, target_bytes=4 << 10, run_id="pp")
+    all_pids = {r.pid for r in decode_pipeline(spark, enc, keep_pid=True)
+                .select("pid").distinct().collect()}
+    assert len(all_pids) >= 3
+    one = sorted(all_pids)[1]
+    got = decode_pipeline(spark, enc, keep_pid=True, pids={one})
+    assert {r.pid for r in got.select("pid").distinct().collect()} == {one}
