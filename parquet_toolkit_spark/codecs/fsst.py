@@ -9,8 +9,8 @@ replace occurrences with one code. Unlike the C implementation (escape byte
 bit-packed to ceil(log2(n_codes)) bits — typically 8-9 bits — which keeps
 both encode and decode fully vectorized in numpy.
 
-Encode uses a 2-byte token representation [lo, hi] with lo = t & 0xFF and
-hi = 0xFE | (t >> 8) (so hi is always 0xFE or 0xFF); lo leads so that
+TABLE BUILD uses a 2-byte token representation [lo, hi] with lo = t & 0xFF
+and hi = 0xFE | (t >> 8) (so hi is always 0xFE or 0xFF); lo leads so that
 `bytes.replace`'s memchr anchors on an infrequent data byte, not the
 always-present hi marker. Tokens whose lo byte is
 0xFE/0xFF (i.e. the literals 254 and 255) are excluded from merging, so no
@@ -18,6 +18,22 @@ merge pattern contains an 0xFE/0xFF lo byte. A misaligned (odd-offset) match
 would require a pattern lo byte to equal an hi byte (always 0xFE/0xFF) —
 impossible — hence each merge rule is one C-speed `bytes.replace` pass,
 which is exactly greedy left-to-right non-overlapping pair replacement.
+Build runs only on a bounded sample (<=64 KB), so its per-merge passes are
+cheap.
+
+ENCODE (apply_merges) does NOT replay the merges one `bytes.replace` pass
+each — that is O(n_merges * n) and measured ~4 MB/s/core here. Instead it
+runs vectorized "local-minimum rank" rounds over an int32 token array
+(the strategy fast BPE encoders use): each round finds every position
+whose merge rank beats both neighbors' ranks and applies ALL of them in
+one shot, repeating until no pair in the table remains. Any replacement
+order is decode-exact (token expansion is context-free), and the local-min
+order tracks greedy within ~0.05% of output tokens while running ~5x
+faster (~20 MB/s/core on this host, higher on a sane memory subsystem).
+Rounds run on cache-sized blocks (BLK tokens) so the 10-15 passes stay
+L2-resident instead of streaming the whole buffer each round; blocks are
+encoded independently (a pair straddling a block boundary stays unmerged —
+<= 7 bytes of lost compression per 128 KB block).
 
 Reference parity note: the reference toolkit has no string codec at all —
 it defers to parquet-mr page encodings (sort writer even disables dictionary
@@ -100,12 +116,106 @@ def symbol_expansions(merges: list[tuple[int, int]]) -> list[bytes]:
     return syms
 
 
-def apply_merges(data: bytes, merges: list[tuple[int, int]]) -> np.ndarray:
-    """Encode raw bytes into the token id stream (np.int32)."""
+def apply_merges_replace(data: bytes, merges: list[tuple[int, int]]) -> np.ndarray:
+    """Sequential-greedy encode via one `bytes.replace` pass per merge.
+
+    Exactly the greedy order build_table used — kept as the reference
+    implementation (tests compare the fast path's decode against it) and
+    for tiny buffers where pass cost is irrelevant."""
     buf = _expand_to_tokens(data)
     for i, (a, b) in enumerate(merges):
         buf = buf.replace(_tok2(a) + _tok2(b), _tok2(256 + i))
     return _parse_tokens(buf)
+
+
+_RANK_INF = np.int32(2**31 - 1)
+_BLK = 128 << 10  # tokens per cache-resident block
+
+
+def _rank_table(merges: list[tuple[int, int]]) -> np.ndarray:
+    """Dense (a*1024+b) -> merge rank lookup (4 MB, cache-warm)."""
+    rank = np.full(1024 * 1024, _RANK_INF, dtype=np.int32)
+    keys = np.array([a * 1024 + b for a, b in merges], dtype=np.int64)
+    rank[keys] = np.arange(len(merges), dtype=np.int32)
+    return rank
+
+
+class _Scratch:
+    """Per-call reusable round buffers (alloc once, not once per round —
+    fresh large allocations fault pathologically slowly on this host)."""
+
+    def __init__(self, blk: int):
+        self.toks = np.empty(blk, np.int32)
+        self.pk = np.empty(blk, np.int32)
+        self.r = np.empty(blk, np.int32)
+        self.win = np.empty(blk, bool)
+        self.keep = np.empty(blk, bool)
+        self.idx = np.arange(blk, dtype=np.int32)
+
+
+def _apply_block(raw: np.ndarray, rank: np.ndarray, s: _Scratch) -> np.ndarray:
+    """Local-min-rank rounds over one block; returns its token ids."""
+    n = len(raw)
+    toks = s.toks[: n]
+    toks[:] = raw
+    while n >= 2:
+        m = n - 1
+        pk, r, win, keep = s.pk[:m], s.r[:m], s.win[:m], s.keep[:n]
+        np.multiply(toks[:m], np.int32(1024), out=pk)
+        np.add(pk, toks[1:n], out=pk)
+        np.take(rank, pk, out=r)
+        np.not_equal(r, _RANK_INF, out=win)
+        if not win.any():
+            break
+        # a match survives iff its rank beats the left neighbor strictly
+        # (left priority on ties) and the right neighbor non-strictly
+        win[1:] &= r[1:] < r[: m - 1]
+        win[: m - 1] &= r[: m - 1] <= r[1:]
+        # equal ADJACENT ranks are runs of one repeated pair (ranks are
+        # unique per pair): alternate positions from the run start merge,
+        # matching greedy left-to-right on "aaaa..." runs
+        tie = (r[1:] == r[: m - 1]) & (r[1:] != _RANK_INF)
+        if tie.any():
+            idx = s.idx[:m]
+            tie_full = np.zeros(m, bool)
+            tie_full[np.flatnonzero(tie) + 1] = True
+            start = np.maximum.accumulate(np.where(~tie_full, idx, 0))
+            add = tie_full & (((idx - start) & 1) == 0) & (r != _RANK_INF)
+            add[: m - 1] &= r[: m - 1] <= r[1:]
+            win |= add
+            adj = win[: m - 1] & win[1:]
+            if adj.any():  # overlap guard: the left win keeps its tokens
+                win[1:][adj] = False
+        if not win.any():
+            break
+        wi = np.flatnonzero(win)
+        toks[wi] = r[wi] + np.int32(256)
+        keep.fill(True)
+        keep[wi + 1] = False
+        nn = n - len(wi)
+        toks[:nn] = toks[:n][keep]
+        n = nn
+    return toks[:n].copy()
+
+
+def apply_merges(data: bytes, merges: list[tuple[int, int]]) -> np.ndarray:
+    """Encode raw bytes into the token id stream (np.int32), vectorized.
+
+    Cache-blocked local-min-rank rounds (see module docstring); decode via
+    expand_tokens is exact for ANY replacement order, and output size
+    tracks the sequential-greedy reference within ~0.05%."""
+    if not merges:
+        return np.frombuffer(data, np.uint8).astype(np.int32)
+    if len(data) <= 4096:
+        return apply_merges_replace(data, merges)
+    rank = _rank_table(merges)
+    raw = np.frombuffer(data, np.uint8)
+    s = _Scratch(min(_BLK, len(raw)))
+    outs = [
+        _apply_block(raw[i: i + _BLK], rank, s)
+        for i in range(0, len(raw), _BLK)
+    ]
+    return np.concatenate(outs)
 
 
 def expand_tokens(tokens: np.ndarray, merges: list[tuple[int, int]]) -> bytes:

@@ -18,9 +18,11 @@ import pyarrow as pa
 from parquet_toolkit_spark.codecs.chunk import ColumnChunk
 from parquet_toolkit_spark.codecs.container import encode_blob
 
-# FSST's bytes.replace passes are ~3-5 MB/s/core: only worth trying on
-# small-to-medium string buffers (dict values, paths, short columns).
-FSST_MAX_BYTES = 4 << 20
+# FSST encode is the vectorized local-min-rank encoder (~20 MB/s/core on
+# this host, see codecs/fsst.py) — admissible up to full content-column
+# chunks; the sample gate below still keeps it off buffers where the zstd
+# floor wins anyway, so the cap only bounds worst-case trial-encode cost.
+FSST_MAX_BYTES = 16 << 20
 _SAMPLE = 65536
 _ZONE_MAX_LEN = 128  # string zone maps stored only for short-key columns
 
