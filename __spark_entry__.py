@@ -50,10 +50,21 @@ _FIX_VERSION = "v4"
 _FP_MEMO: dict[str, str] = {}
 
 
+def _testdata_root() -> str:
+    """Root the oracle's bare sf names against the SAME tree the harness
+    hands queries via SPARK_GRAFT_SF_DIR (ADVICE r4): a harness pointed at
+    testdata outside /root/testdata would otherwise fingerprint different
+    fixture paths on the two sides of the compare."""
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env:
+        return os.path.dirname(os.path.abspath(env).rstrip("/"))
+    return "/root/testdata"
+
+
 def _resolve_sf_dir(sf_dir: str) -> str:
     # oracle_sql() passes the bare name ("sf0.01"); queries pass full paths
     return sf_dir if os.path.isabs(sf_dir) else os.path.join(
-        "/root/testdata", sf_dir)
+        _testdata_root(), sf_dir)
 
 
 def _sf_fingerprint(sf_dir: str) -> str:

@@ -346,6 +346,11 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
             n: sample_table.column(n).combine_chunks()
             for n in sample_table.schema.names
         })
+        # evict prior entries for this staging dir (ADVICE r4): a driver
+        # re-staging the same path in a loop must not accumulate one stale
+        # hint dict per content fingerprint
+        for k in [k for k in _HINTS_MEMO if k[0] == staging_dir]:
+            del _HINTS_MEMO[k]
         _HINTS_MEMO[memo_key] = hints
 
     by_size = sorted(pending, key=lambda p: -pid_sizes[p])
@@ -473,7 +478,8 @@ def _commit_manifest(dfs, out_dir: str, man_df: DataFrame) -> None:
 
 
 def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
-                   schema_map: dict[str, str], append_pids: bool = False) -> None:
+                   schema_map: dict[str, str], append_pids: bool = False,
+                   pids: list[int] | None = None) -> None:
     blobs_dir = os.path.join(out_dir, "blobs")
     # dynamic overwrite: only re-encoded pid directories are replaced
     # (idempotent resume); static mode wipes the whole store first.
@@ -496,13 +502,39 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
     # Commit through the same swap protocol as encode_partitions — a plain
     # mode("overwrite") deletes the old manifest before the new one lands,
     # and decode_pipeline's missing-manifest refusal would turn that crash
-    # window into an unreadable store (code-review r3)
-    man = (
-        spark.read.parquet(blobs_dir)
-        .select("pid", "column", "codec", "nrows", "bytes_in", "bytes_out",
-                "checksum", "stats_json", "run_id")
-        .withColumn("status", F.lit("committed"))
-    )
+    # window into an unreadable store (code-review r3).
+    # When the caller knows WHICH pids it just wrote (`pids`, the
+    # incremental path), only those pid directories are scanned and the
+    # rest of the manifest is carried over from the committed one — the
+    # commit cost is O(batch), not O(store) (VERDICT r3 #3: a stream's
+    # per-batch cost must not grow with store history).
+    man_cols = ["pid", "column", "codec", "nrows", "bytes_in", "bytes_out",
+                "checksum", "stats_json", "run_id"]
+    if pids is not None:
+        # a round-robin repartition can leave a trailing partition empty,
+        # so its pid dir never materializes — filter to what was written
+        pids = [p for p in pids
+                if dfs.exists(os.path.join(blobs_dir, f"pid={p}"))]
+        if not pids:
+            return  # nothing actually landed; the manifest is unchanged
+        new_man = (
+            spark.read.option("basePath", blobs_dir)
+            .parquet(*[os.path.join(blobs_dir, f"pid={p}") for p in pids])
+            .select(*man_cols)
+            .withColumn("status", F.lit("committed"))
+        )
+        old_man = read_manifest(spark, out_dir)
+        if old_man is not None:
+            keep = old_man.where(~F.col("pid").isin([int(p) for p in pids]))
+            new_man = keep.select(*MANIFEST_COLS).unionByName(
+                new_man.select(*MANIFEST_COLS))
+        man = new_man
+    else:
+        man = (
+            spark.read.parquet(blobs_dir)
+            .select(*man_cols)
+            .withColumn("status", F.lit("committed"))
+        )
     _commit_manifest(dfs, out_dir, man)
 
 

@@ -122,7 +122,10 @@ def _decode(schema, buf: io.BytesIO, names: _Names):
         return schema["symbols"][_read_long(buf)]
     if t == "fixed":
         names.register(schema)
-        return buf.read(schema["size"])
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:  # ADVICE r4: short read must be loud
+            raise EOFError("truncated avro fixed")
+        return data
     if t == "array":
         out = []
         while True:
@@ -261,6 +264,8 @@ def read_avro(data: bytes) -> tuple[dict, list]:
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r} (null/deflate only)")
     sync = buf.read(16)
+    if len(sync) != 16:  # ADVICE r4: header cut off mid-sync must be loud
+        raise EOFError("truncated avro sync marker")
     records = []
     while True:
         head = buf.read(1)

@@ -4,8 +4,9 @@ are encoded into the blob store as they arrive.
 The reference is batch-only (SURVEY.md §2.8); this is the Spark-native
 extension the north star anticipates ("incremental encode of new
 partitions maps to readStream + foreachBatch"). Each micro-batch becomes
-one or more encoded pids appended to the store; the manifest stays
-consistent because _write_encoded rebuilds it from the blob store.
+one or more encoded pids appended to the store; the manifest commit reads
+only the batch's new pid dirs and unions them with the committed manifest
+(O(batch) per batch — a stream's cost must not grow with store history).
 
 Pid allocation: micro-batch pids continue after the current manifest max
 (batch 0 starts at 0), so streamed partitions never collide with batch
@@ -68,7 +69,11 @@ def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
             yield _encode_pdf(pdf, pid, schema_map, f"{run_id}-e{epoch_id}")
 
         encoded = laid.mapInPandas(encode_iter, ENCODED_SCHEMA)
-        _write_encoded(spark, encoded, enc_dir, schema_map, append_pids=True)
+        # pass the batch's pid range so the manifest commit reads ONLY the
+        # just-written pid dirs and unions with the committed manifest —
+        # O(batch) per micro-batch, not an O(store) rebuild (VERDICT r3 #3)
+        _write_encoded(spark, encoded, enc_dir, schema_map, append_pids=True,
+                       pids=list(range(base_pid, base_pid + n_parts)))
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -153,6 +153,56 @@ def test_incremental_encode_stream(spark, tmp_path):
     assert decoded.count() == 800
 
 
+def test_incremental_encode_manifest_commit_is_o_batch(spark, tmp_path,
+                                                       monkeypatch):
+    """VERDICT r3 #3: each micro-batch's manifest commit must read only
+    the NEW pids' blob dirs, never rescan the whole store. Spies on
+    DataFrameReader.parquet to record which paths each commit touches."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from parquet_toolkit_spark.datagen import gen_source_code_files
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        read_manifest,
+    )
+    from parquet_toolkit_spark.streaming.incremental import incremental_encode
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    enc = str(tmp_path / "enc")
+    blob_reads: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths):
+        if any("/blobs/" in p or p.endswith("/blobs") for p in paths):
+            blob_reads.append(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    for batch in range(3):
+        t = gen_source_code_files(200, seed=20 + batch)
+        pq.write_table(t, landing / f"b{batch}.parquet")
+        blob_reads.clear()
+        incremental_encode(spark, str(landing), enc, ddl,
+                           str(tmp_path / "ckpt_inc"),
+                           run_id=f"b{batch}")
+        # every blob read this batch names pid dirs explicitly — and only
+        # THIS batch's new pid(s); never the bare store root
+        assert blob_reads, "manifest commit should read the new pid dirs"
+        for paths in blob_reads:
+            assert all("pid=" in p for p in paths), paths
+            assert all(f"pid={batch}" in p for p in paths), (batch, paths)
+
+    man = read_manifest(spark, enc)
+    pids = {r.pid for r in man.select("pid").distinct().collect()}
+    assert pids == {0, 1, 2}
+    assert man.count() == 15  # 5 columns x 3 pids
+    assert decode_pipeline(spark, enc).count() == 600
+
+
 def test_int96_legacy_timestamp_passthrough(spark, tmp_path):
     """FIXTURES.md F5: legacy INT96 timestamps read correctly (F8 parity:
     the reference flags parquet.avro.readInt96AsFixed per field or
