@@ -100,34 +100,61 @@ def fingerprint_sha256(col: Column) -> Column:
     return F.sha2(col.cast("binary"), 256)
 
 
-_MOD = np.uint64(0xFFFFFFFFFFFFFFC5)  # largest 64-bit prime
 _BASE = np.uint64(1099511628211)
+
+
+_OFFSET = np.uint64(14695981039346656037)
+# B is odd, hence invertible mod 2^64 — the whole-batch closed form below
+# relies on exact modular inverses, not division
+_INV_BASE = np.uint64(pow(1099511628211, -1, 2**64))
+
+
+def _rolling_hash_batch(texts: pd.Series) -> np.ndarray:
+    """Whole-batch polynomial rolling hash, zero per-document Python
+    (VERDICT r3 #8 — the old path looped docs inside the UDF).
+
+    Per doc: h = offset*B^n + sum_j b_j * B^(n-1-j)  (mod 2^64).
+    Vectorized over the concatenated buffer via modular inverses: with
+    global position p in a doc starting at s (local j = p - s),
+    B^(n-1-j) = B^(end-1) * B^(-p), so
+    h = offset*B^n + B^(end-1) * sum_p b_p * invB^p — two cumprods, one
+    elementwise multiply and one segment reduceat over the whole batch."""
+    docs = [t.encode("utf-8", "surrogatepass")
+            for t in texts.fillna("").astype(str)]
+    n_docs = len(docs)
+    if n_docs == 0:
+        return np.zeros(0, np.uint64)
+    lens = np.fromiter((len(d) for d in docs), np.int64, n_docs)
+    buf = np.frombuffer(b"".join(docs), np.uint8).astype(np.uint64)
+    total = len(buf)
+    with np.errstate(over="ignore"):
+        powB = np.full(total + 1, _BASE, np.uint64)
+        powB[0] = 1
+        np.cumprod(powB, out=powB)  # B^0 .. B^total
+        powI = np.full(max(total, 1), _INV_BASE, np.uint64)
+        powI[0] = 1
+        np.cumprod(powI, out=powI)  # invB^0 .. invB^(total-1)
+        c = buf * powI[:total]
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # pad one zero so a trailing empty doc's start == total stays a
+        # valid reduceat index (same discipline as dedup._simhash_batch);
+        # empty segments return a neighbor value and are masked below
+        cpad = np.concatenate([c, np.zeros(1, np.uint64)])
+        seg = np.add.reduceat(cpad, starts)
+        last = np.where(lens > 0, ends - 1, 0)
+        h = _OFFSET * powB[lens] + powB[last] * seg
+        return np.where(lens > 0, h, _OFFSET)
 
 
 @F.pandas_udf(LongType())
 def rolling_hash(texts: pd.Series) -> pd.Series:
     """Polynomial rolling hash of the whole document (vectorized per batch).
 
-    FNV-ish base/modulus; stable across runs/partitions. Python oracle in
-    tests (not SQL-expressible portably)."""
+    FNV-ish base; arithmetic mod 2^64 (numpy uint64 wraparound); stable
+    across runs/partitions. Python oracle in tests (not portably
+    SQL-expressible)."""
     from parquet_toolkit_spark.runtime import tune_malloc
 
     tune_malloc()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    data = texts.fillna("").astype(str)
-    offset = np.uint64(14695981039346656037)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(data):
-            raw = t.encode("utf-8", "surrogatepass")
-            seg = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
-            n = len(seg)
-            if n == 0:
-                out[i] = offset
-                continue
-            # closed form of Horner: h = offset*B^n + sum b_j * B^(n-1-j),
-            # all mod 2^64 (numpy uint64 wraparound)
-            pw = np.full(n, _BASE, dtype=np.uint64)
-            pw[0] = 1
-            np.cumprod(pw, out=pw)  # B^0 .. B^(n-1)
-            out[i] = offset * pw[-1] * _BASE + np.sum(seg * pw[::-1], dtype=np.uint64)
-    return pd.Series(out.view(np.int64))
+    return pd.Series(_rolling_hash_batch(texts).view(np.int64))
