@@ -214,54 +214,131 @@ def read_manifest(path: str, spark: SparkSession | None = None) -> list[dict]:
     return rows
 
 
-def snapshot_data_files(table_dir: str, snapshot_id: int | None = None,
-                        spark: SparkSession | None = None) -> list[str]:
-    """EXACT live data-file paths of a snapshot via the manifest layer.
+def snapshot_files(table_dir: str, snapshot_id: int | None = None,
+                   spark: SparkSession | None = None) -> dict:
+    """EXACT live file sets of a snapshot via the manifest layer.
 
+    Returns {"data": [resolved paths], "position_deletes": [resolved
+    paths], "raw_to_resolved": {manifest-recorded path -> resolved}}.
     Walks manifest-list -> manifests -> entries, keeping entries with
-    status != 2 (DELETED). Raises NotImplementedError when live row-level
-    delete files exist (content=1 manifests / delete data_files): those
-    need merge-on-read, not a file-list scan."""
+    status != 2 (DELETED). Positional delete files (v2 merge-on-read,
+    content=1) are RETURNED for read_data to apply; equality delete files
+    (content=2) still raise — applying them needs the equality-field ids
+    and value comparison semantics this engine does not implement."""
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
     md = read_table_metadata(table_dir, spark)
     sid = snapshot_id if snapshot_id is not None else md["current_snapshot_id"]
     snap = next((s for s in md["snapshots"] if s["snapshot_id"] == sid), None)
     if snap is None:
         raise ValueError(f"snapshot {sid} not found in {table_dir}")
     mlist_path = _resolve_path(snap["manifest_list"], table_dir, md["location"])
-    files: list[str] = []
+    data: list[str] = []
+    pos_deletes: list[str] = []
+    raw_to_resolved: dict[str, str] = {}
     for mf in read_manifest_list(mlist_path, spark):
         mpath = _resolve_path(mf["manifest_path"], table_dir, md["location"])
-        entries = read_manifest(mpath, spark)
-        live = [e for e in entries if e.get("status", 0) != 2]
-        if mf.get("content", 0) == 1:
-            if live:
-                raise NotImplementedError(
-                    f"manifest {mpath} holds live row-level delete files; "
-                    "reading them needs merge-on-read semantics"
-                )
-            continue
-        for e in live:
+        for e in read_manifest(mpath, spark):
+            if e.get("status", 0) == 2:
+                continue
             dfile = e["data_file"]
-            if dfile.get("content", 0) != 0:
+            content = dfile.get("content", 0)
+            resolved = _resolve_path(dfile["file_path"], table_dir,
+                                     md["location"])
+            if content == 0:
+                data.append(resolved)
+                raw_to_resolved[strip_local_scheme(dfile["file_path"])] = \
+                    resolved
+            elif content == 1:
+                pos_deletes.append(resolved)
+            else:
                 raise NotImplementedError(
-                    f"live delete file {dfile['file_path']} needs "
-                    "merge-on-read semantics"
+                    f"live EQUALITY delete file {dfile['file_path']}: "
+                    "equality-delete merge-on-read is not implemented "
+                    "(positional deletes are)"
                 )
-            files.append(_resolve_path(dfile["file_path"], table_dir,
-                                       md["location"]))
-    return files
+    return {"data": data, "position_deletes": pos_deletes,
+            "raw_to_resolved": raw_to_resolved}
+
+
+def snapshot_data_files(table_dir: str, snapshot_id: int | None = None,
+                        spark: SparkSession | None = None) -> list[str]:
+    """EXACT live data-file paths of a snapshot via the manifest layer.
+
+    File-level view only: live positional delete files do not change this
+    list — row-exact reads go through read_data, which anti-joins them
+    (VERDICT r3 #4). Equality deletes raise (see snapshot_files)."""
+    return snapshot_files(table_dir, snapshot_id, spark)["data"]
+
+
+# file_path values written by Spark's _metadata column are URIs
+# (file:///...); manifests usually record plain or scheme-prefixed paths.
+# One normalization on both join sides makes them comparable.
+_STRIP_FILE_SCHEME = "^file:(//)?"
+
+
+def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
+    """Scan a snapshot's data files with positional deletes applied,
+    keeping row lineage columns (_fp = normalized source file path,
+    _pos = row index) for callers that need them (delete_where).
+
+    The delete parquet rows (file_path, pos) anti-join the data rows on
+    (normalized _metadata.file_path, _metadata.row_index) — a distributed
+    equi-join, no driver-side row handling. Path uniqueness (uuid file
+    names) makes sequence-number scoping unnecessary: a delete row can
+    only ever name one data file."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(md["schema_ddl"]).parquet(*sf["data"])
+        .withColumn(
+            "_fp",
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             _STRIP_FILE_SCHEME, ""),
+        )
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+    if sf["position_deletes"]:
+        dels = (
+            spark.read.parquet(*sf["position_deletes"])
+            .select(
+                F.regexp_replace(F.col("file_path"), _STRIP_FILE_SCHEME, "")
+                .alias("_del_fp"),
+                F.col("pos").alias("_del_pos"),
+            )
+            .distinct()
+        )
+        # delete rows reference the path AS RECORDED IN THE MANIFEST; a
+        # relocated table re-roots those via the same mapping the manifest
+        # walk produced (broadcast: one row per live data file)
+        fmap = spark.createDataFrame(
+            list(sf["raw_to_resolved"].items()),
+            "_del_fp string, _res_fp string",
+        )
+        dels = (
+            dels.join(F.broadcast(fmap), "_del_fp", "left")
+            .select(F.coalesce("_res_fp", "_del_fp").alias("_del_fp"),
+                    "_del_pos")
+        )
+        df = df.join(dels, (F.col("_fp") == F.col("_del_fp"))
+                     & (F.col("_pos") == F.col("_del_pos")), "left_anti")
+    return df
 
 
 def read_data(spark: SparkSession, table_dir: str,
               snapshot_id: int | None = None) -> DataFrame:
     """Read an Iceberg table EXACTLY: declared schema + the manifest
     layer's live-file list (append, delete and replace snapshots all read
-    the correct pruned set). Time travel via snapshot_id."""
+    the correct pruned set). Time travel via snapshot_id.
+
+    v2 merge-on-read POSITIONAL deletes are applied (VERDICT r3 #4) via a
+    distributed anti-join (see _scan_live_rows); equality deletes raise."""
     md = read_table_metadata(table_dir, spark)
-    files = snapshot_data_files(table_dir, snapshot_id, spark)
-    if not files:  # fully-deleted table: empty frame with the declared schema
+    sf = snapshot_files(table_dir, snapshot_id, spark)
+    if not sf["data"]:  # fully-deleted table: empty frame, declared schema
         return spark.createDataFrame([], md["schema_ddl"])
-    return spark.read.schema(md["schema_ddl"]).parquet(*files)
+    cols = [f[0] for f in md["schema_fields"]]
+    return _scan_live_rows(spark, md, sf).select(*cols)
 
 
 def read_data_fallback(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -380,14 +457,9 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     only (the toolkit's staging/commit protocol covers remote stores).
 
     Returns {"snapshot_id", "sequence_number", "version", "files"}."""
-    import glob as _g
-    import json
     import os
-    import shutil
-    import time
     import uuid
 
-    from parquet_toolkit_spark.sources.avro_lite import write_avro
     from parquet_toolkit_spark.sources.fs import strip_local_scheme
 
     table_dir = strip_local_scheme(table_dir).rstrip("/")
@@ -436,104 +508,204 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
             )
 
     # ---- data files: spark write to a temp dir, move parts into data/
-    tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(tmp)
     commit_uuid = uuid.uuid4().hex[:12]
-    data_files = []
-    for i, part in enumerate(sorted(_g.glob(os.path.join(tmp, "part-*.parquet")))):
-        dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
-        os.replace(part, dest)
-        data_files.append(dest)
-    shutil.rmtree(tmp, ignore_errors=True)
+    data_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
 
     import pyarrow.parquet as pq
 
     counts = {p: pq.ParquetFile(p).metadata.num_rows for p in data_files}
 
-    # ---- ids/sequencing
-    old_md = {}
-    if existing is not None:
-        with open(existing["metadata_file"]) as fh:
-            old_md = json.load(fh)
+    old_md = _load_old_md(existing)
+    snapshot_id, seq, version = _next_commit_ids(existing, old_md)
+
+    # ---- manifest for the new files
+    man_path = _write_manifest(
+        meta_dir, f"m-{commit_uuid}.avro",
+        [_added_entry(p, snapshot_id, counts[p]) for p in data_files])
+    new_mf = _manifest_file_row(man_path, content=0, seq=seq,
+                                snapshot_id=snapshot_id,
+                                added_files=len(data_files),
+                                added_rows=sum(counts.values()))
+    mlist_path = _write_manifest_list(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro",
+        _prior_manifest_rows(existing, table_dir, spark) + [new_mf])
+
+    summary = {"operation": "append",
+               "added-data-files": str(len(data_files)),
+               "added-records": str(sum(counts.values()))}
+    _commit_metadata(
+        meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
+        mlist_path, summary,
+        schemas=[{"schema-id": 0, "type": "struct", "fields": fields}],
+        last_column_id=id_state["last"], properties=properties)
+    return {"snapshot_id": snapshot_id, "sequence_number": seq,
+            "version": version, "files": data_files}
+
+
+def _land_parquet_parts(df: DataFrame, table_dir: str, data_dir: str,
+                        commit_uuid: str) -> list[str]:
+    """Write df's parts to a temp dir, then move them under data/ with
+    commit-unique names (path uniqueness is what lets positional deletes
+    skip sequence-number scoping)."""
+    import glob as _g
+    import os
+    import shutil
+    import uuid
+
+    tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    out = []
+    for i, part in enumerate(sorted(_g.glob(os.path.join(tmp, "part-*.parquet")))):
+        dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
+        os.replace(part, dest)
+        out.append(dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _load_old_md(existing: dict | None) -> dict:
+    import json
+
+    if existing is None:
+        return {}
+    with open(existing["metadata_file"]) as fh:
+        return json.load(fh)
+
+
+def _next_commit_ids(existing: dict | None, old_md: dict) -> tuple[int, int, int]:
+    """(snapshot_id, sequence_number, metadata version) for a new commit."""
+    import re
+
     snapshot_id = max(
         [s["snapshot_id"] for s in (existing or {}).get("snapshots", [])] or [0]
     ) + 1
     seq = int(old_md.get("last-sequence-number", 0)) + 1
     version = 1
     if existing is not None:
-        import re
-
         m = re.search(r"v(\d+)\.metadata\.json$", existing["metadata_file"])
         version = int(m.group(1)) + 1 if m else 2
+    return snapshot_id, seq, version
 
-    # ---- manifest for the new files
-    entries = [
-        {"status": 1, "snapshot_id": snapshot_id, "sequence_number": None,
-         "file_sequence_number": None,
-         "data_file": {"content": 0, "file_path": p, "file_format": "PARQUET",
-                       "partition": {}, "record_count": counts[p],
-                       "file_size_in_bytes": os.path.getsize(p),
-                       "split_offsets": None, "sort_order_id": None}}
-        for p in data_files
-    ]
-    man_path = os.path.join(meta_dir, f"m-{commit_uuid}.avro")
-    with open(man_path, "wb") as fh:
+
+def _added_entry(path: str, snapshot_id: int, record_count: int,
+                 status: int = 1, content: int = 0) -> dict:
+    import os
+
+    return {
+        "status": status, "snapshot_id": snapshot_id,
+        "sequence_number": None, "file_sequence_number": None,
+        "data_file": {"content": content, "file_path": path,
+                      "file_format": "PARQUET", "partition": {},
+                      "record_count": record_count,
+                      "file_size_in_bytes": os.path.getsize(path)
+                      if os.path.exists(path) else 0,
+                      "split_offsets": None, "sort_order_id": None},
+    }
+
+
+def _write_manifest(meta_dir: str, name: str, entries: list[dict]) -> str:
+    import os
+
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+
+    path = os.path.join(meta_dir, name)
+    with open(path, "wb") as fh:
         fh.write(write_avro(MANIFEST_ENTRY_AVRO, entries, codec="deflate"))
+    return path
 
-    # ---- manifest list = prior snapshot's manifests + the new one
-    prior_manifests = []
-    if existing is not None and existing["current_snapshot_id"] is not None:
-        cur = next(s for s in existing["snapshots"]
-                   if s["snapshot_id"] == existing["current_snapshot_id"])
-        mlist_path = _resolve_path(cur["manifest_list"], table_dir,
-                                   existing["location"])
-        for mf in read_manifest_list(mlist_path, spark):
-            row = {f["name"]: mf.get(f["name"])
-                   for f in MANIFEST_FILE_AVRO["fields"]}
-            for k, v in list(row.items()):
-                if v is None:
-                    row[k] = 0
-            row["manifest_path"] = mf["manifest_path"]
-            prior_manifests.append(row)
-    new_mf = {
+
+def _manifest_file_row(man_path: str, content: int, seq: int,
+                       snapshot_id: int, added_files: int = 0,
+                       added_rows: int = 0, deleted_files: int = 0,
+                       deleted_rows: int = 0) -> dict:
+    import os
+
+    return {
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": 0, "content": 0,
+        "partition_spec_id": 0, "content": content,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(data_files), "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(counts.values()),
-        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "added_files_count": added_files, "existing_files_count": 0,
+        "deleted_files_count": deleted_files,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0, "deleted_rows_count": deleted_rows,
     }
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro")
-    with open(mlist_path, "wb") as fh:
-        fh.write(write_avro(MANIFEST_FILE_AVRO,
-                            prior_manifests + [new_mf], codec="deflate"))
 
-    # ---- metadata json + atomic version-hint swap
+
+def _prior_manifest_rows(existing: dict | None, table_dir: str,
+                         spark: SparkSession | None) -> list[dict]:
+    """Current snapshot's manifest-list rows, normalized to the full v2
+    field set (v1/hand-built lists may omit counters)."""
+    if existing is None or existing["current_snapshot_id"] is None:
+        return []
+    cur = next(s for s in existing["snapshots"]
+               if s["snapshot_id"] == existing["current_snapshot_id"])
+    mlist_path = _resolve_path(cur["manifest_list"], table_dir,
+                               existing["location"])
+    rows = []
+    for mf in read_manifest_list(mlist_path, spark):
+        row = {f["name"]: mf.get(f["name"])
+               for f in MANIFEST_FILE_AVRO["fields"]}
+        for k, v in list(row.items()):
+            if v is None:
+                row[k] = 0
+        row["manifest_path"] = mf["manifest_path"]
+        rows.append(row)
+    return rows
+
+
+def _write_manifest_list(meta_dir: str, name: str, rows: list[dict]) -> str:
+    import os
+
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+
+    path = os.path.join(meta_dir, name)
+    with open(path, "wb") as fh:
+        fh.write(write_avro(MANIFEST_FILE_AVRO, rows, codec="deflate"))
+    return path
+
+
+def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
+                     old_md: dict, snapshot_id: int, seq: int, version: int,
+                     mlist_path: str, summary: dict,
+                     schemas: list | None = None,
+                     last_column_id: int | None = None,
+                     properties: dict | None = None) -> None:
+    """New vN.metadata.json + atomic version-hint swap.
+
+    The table LOCATION is carried forward from the existing metadata
+    (ADVICE r4): prior manifests and their data-file paths keep the old
+    location prefix, and _resolve_path can only re-root them while
+    `location` still names that old prefix. New absolute paths under the
+    current table_dir pass through _resolve_path unchanged."""
+    import json
+    import os
+    import time
+    import uuid
+
     now_ms = int(time.time() * 1000)
     snapshot = {
         "snapshot-id": snapshot_id, "sequence-number": seq,
         "timestamp-ms": now_ms, "manifest-list": mlist_path,
-        "summary": {"operation": "append",
-                    "added-data-files": str(len(data_files)),
-                    "added-records": str(sum(counts.values()))},
+        "summary": summary,
     }
     md = {
         "format-version": 2,
         "table-uuid": old_md.get("table-uuid", str(uuid.uuid4())),
-        "location": table_dir,
+        "location": old_md.get("location", table_dir),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": id_state["last"],
-        "current-schema-id": 0,
-        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "last-column-id": (last_column_id if last_column_id is not None
+                           else old_md.get("last-column-id", 0)),
+        "current-schema-id": old_md.get("current-schema-id", 0),
+        "schemas": schemas if schemas is not None else old_md.get("schemas"),
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": old_md.get(
+            "partition-specs", [{"spec-id": 0, "fields": []}]),
         "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "sort-orders": old_md.get(
+            "sort-orders", [{"order-id": 0, "fields": []}]),
         "properties": {**old_md.get("properties", {}), **(properties or {})},
         "current-snapshot-id": snapshot_id,
         "snapshots": old_md.get("snapshots", []) + [snapshot],
@@ -544,12 +716,153 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(md_path, "w") as fh:
         fh.write(json.dumps(md))
+    _swap_version_hint(meta_dir, version)
+
+
+def _swap_version_hint(meta_dir: str, version: int) -> None:
+    import os
+
     hint_tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
     with open(hint_tmp, "w") as fh:
         fh.write(str(version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
-    return {"snapshot_id": snapshot_id, "sequence_number": seq,
-            "version": version, "files": data_files}
+
+
+def delete_where(spark: SparkSession, table_dir: str,
+                 condition: str) -> dict:
+    """Merge-on-read DELETE: commit a positional-delete snapshot marking
+    every current row matching `condition` (SQL boolean expression over
+    the table's columns) as deleted — no data file is rewritten.
+
+    The delete file is spec-shaped (file_path string, pos long), its
+    manifest carries content=1, and read_data applies it via anti-join.
+    Returns {"snapshot_id", "version", "deleted_rows", "delete_file"}."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
+    import os
+
+    table_dir = strip_local_scheme(table_dir).rstrip("/")
+    existing = read_table_metadata(table_dir, spark)
+    sf = snapshot_files(table_dir, None, spark)
+    if not sf["data"]:
+        return {"snapshot_id": None, "version": None, "deleted_rows": 0,
+                "delete_file": None}
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    # prior deletes already applied; _fp/_pos carry the row lineage
+    hits = (
+        _scan_live_rows(spark, existing, sf)
+        .where(condition)
+        .select(F.col("_fp").alias("file_path"),
+                F.col("_pos").alias("pos"))
+    )
+    commit_uuid = uuid.uuid4().hex[:12]
+    delete_files = _land_parquet_parts(
+        hits.repartition(1).sortWithinPartitions("file_path", "pos"),
+        table_dir, data_dir, f"delete-{commit_uuid}")
+    import pyarrow.parquet as pq
+
+    n_deleted = sum(pq.ParquetFile(p).metadata.num_rows
+                    for p in delete_files)
+    if n_deleted == 0:
+        for p in delete_files:
+            os.remove(p)
+        return {"snapshot_id": None, "version": None, "deleted_rows": 0,
+                "delete_file": None}
+
+    old_md = _load_old_md(existing)
+    snapshot_id, seq, version = _next_commit_ids(existing, old_md)
+    man_path = _write_manifest(
+        meta_dir, f"m-del-{commit_uuid}.avro",
+        [_added_entry(p, snapshot_id, n_deleted, content=1)
+         for p in delete_files])
+    del_mf = _manifest_file_row(man_path, content=1, seq=seq,
+                                snapshot_id=snapshot_id,
+                                added_files=len(delete_files),
+                                added_rows=n_deleted)
+    mlist_path = _write_manifest_list(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro",
+        _prior_manifest_rows(existing, table_dir, spark) + [del_mf])
+    _commit_metadata(
+        meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
+        mlist_path, {"operation": "delete",
+                     "added-delete-files": str(len(delete_files)),
+                     "added-position-deletes": str(n_deleted)})
+    return {"snapshot_id": snapshot_id, "version": version,
+            "deleted_rows": n_deleted, "delete_file": delete_files[0]}
+
+
+def rewrite_data_files(spark: SparkSession, table_dir: str,
+                       target_file_rows: int | None = None) -> dict:
+    """Compaction as a REPLACE snapshot — the reference's delete-inputs
+    merge semantics (SimpleMultithreadedParquetMerger.java:233-276) on a
+    modern table format (VERDICT r3 #5): read the current live row set
+    (positional deletes applied), write compacted data files, and commit
+    a snapshot whose manifest list references ONLY the new files plus a
+    DELETED-entries manifest recording the replaced ones. Prior snapshots
+    still time-travel to the old files; expire_snapshots reclaims them.
+    Positional-delete debt is absorbed: the new snapshot carries no
+    delete files."""
+    import os
+    import uuid
+
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
+    table_dir = strip_local_scheme(table_dir).rstrip("/")
+    existing = read_table_metadata(table_dir, spark)
+    sf = snapshot_files(table_dir, None, spark)
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+
+    df = read_data(spark, table_dir)
+    if target_file_rows:
+        n = df.count()
+        parts = max(1, (n + target_file_rows - 1) // target_file_rows)
+        df = df.repartition(parts)
+    commit_uuid = uuid.uuid4().hex[:12]
+    new_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
+    import pyarrow.parquet as pq
+
+    counts = {p: pq.ParquetFile(p).metadata.num_rows for p in new_files}
+
+    old_md = _load_old_md(existing)
+    snapshot_id, seq, version = _next_commit_ids(existing, old_md)
+    add_man = _write_manifest(
+        meta_dir, f"m-rw-{commit_uuid}.avro",
+        [_added_entry(p, snapshot_id, counts[p]) for p in new_files])
+    # DELETED entries for every replaced data + delete file: readers skip
+    # status=2, expire_snapshots sees the files only via old snapshots
+    del_entries = [
+        _added_entry(p, snapshot_id, 0, status=2, content=0)
+        for p in sf["data"]
+    ] + [
+        _added_entry(p, snapshot_id, 0, status=2, content=1)
+        for p in sf["position_deletes"]
+    ]
+    rows = [_manifest_file_row(add_man, content=0, seq=seq,
+                               snapshot_id=snapshot_id,
+                               added_files=len(new_files),
+                               added_rows=sum(counts.values()))]
+    if del_entries:
+        del_man = _write_manifest(
+            meta_dir, f"m-rwdel-{commit_uuid}.avro", del_entries)
+        rows.append(_manifest_file_row(
+            del_man, content=0, seq=seq, snapshot_id=snapshot_id,
+            deleted_files=len(del_entries)))
+    mlist_path = _write_manifest_list(
+        meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro", rows)
+    _commit_metadata(
+        meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
+        mlist_path, {"operation": "replace",
+                     "added-data-files": str(len(new_files)),
+                     "deleted-data-files": str(len(sf["data"]))})
+    return {"snapshot_id": snapshot_id, "version": version,
+            "files": new_files,
+            "replaced_files": len(sf["data"]) + len(sf["position_deletes"])}
 
 
 def expire_snapshots(spark: SparkSession | None, table_dir: str,
@@ -585,14 +898,31 @@ def expire_snapshots(spark: SparkSession | None, table_dir: str,
 
     loc = info["location"]
 
-    def _paths_of(snapshot_json) -> tuple[str, list[str], list[str]]:
-        """(manifest_list, manifest paths, ALL referenced data files)."""
+    def _paths_of(snapshot_json, tolerate_missing: bool
+                  ) -> tuple[str | None, list[str], list[str]]:
+        """(manifest_list, manifest paths, ALL referenced files).
+
+        With tolerate_missing (removed snapshots only): manifests already
+        gone — e.g. a re-run after a crash mid-delete — contribute
+        nothing instead of raising (ADVICE r4)."""
         mlist = _resolve_path(snapshot_json["manifest-list"], table_dir, loc)
         mans, dfiles = [], []
-        for mf in read_manifest_list(mlist, spark):
+        try:
+            mf_rows = read_manifest_list(mlist, spark)
+        except (FileNotFoundError, OSError):
+            if tolerate_missing:
+                return None, [], []
+            raise
+        for mf in mf_rows:
             mp = _resolve_path(mf["manifest_path"], table_dir, loc)
+            try:
+                entries = read_manifest(mp, spark)
+            except (FileNotFoundError, OSError):
+                if tolerate_missing:
+                    continue
+                raise
             mans.append(mp)
-            for e in read_manifest(mp, spark):
+            for e in entries:
                 dfiles.append(_resolve_path(e["data_file"]["file_path"],
                                             table_dir, loc))
         return mlist, mans, dfiles
@@ -600,24 +930,25 @@ def expire_snapshots(spark: SparkSession | None, table_dir: str,
     live_kept: set[str] = set()
     meta_kept: set[str] = set()
     for s in kept:
-        live_kept.update(snapshot_data_files(table_dir, s["snapshot-id"],
-                                             spark))
-        mlist, mans, _ = _paths_of(s)
+        sfiles = snapshot_files(table_dir, s["snapshot-id"], spark)
+        live_kept.update(sfiles["data"])
+        live_kept.update(sfiles["position_deletes"])
+        mlist, mans, _ = _paths_of(s, tolerate_missing=False)
         meta_kept.add(mlist)
         meta_kept.update(mans)
 
     doomed: set[str] = set()
     for s in removed:
-        mlist, mans, dfiles = _paths_of(s)
-        doomed.update(p for p in [mlist, *mans] if p not in meta_kept)
+        mlist, mans, dfiles = _paths_of(s, tolerate_missing=True)
+        doomed.update(p for p in [mlist, *mans]
+                      if p is not None and p not in meta_kept)
         doomed.update(p for p in dfiles if p not in live_kept)
 
-    deleted = 0
-    for p in sorted(doomed):
-        if os.path.exists(p):
-            os.remove(p)
-            deleted += 1
-
+    # Iceberg's commit order (ADVICE r4): publish the pruned metadata +
+    # version-hint FIRST, only then delete the newly-orphaned files. A
+    # crash mid-delete leaves orphans (harmless; a re-run or fsck reclaims
+    # them) instead of committed metadata pointing at deleted manifests —
+    # which would break time travel AND make expire itself unrunnable.
     m = re.search(r"v(\d+)\.metadata\.json$", info["metadata_file"])
     version = (int(m.group(1)) if m else 1) + 1
     md["snapshots"] = kept
@@ -629,9 +960,14 @@ def expire_snapshots(spark: SparkSession | None, table_dir: str,
     meta_dir = os.path.join(table_dir, "metadata")
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
         fh.write(json.dumps(md))
-    hint_tmp = os.path.join(meta_dir, ".version-hint.text.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    _swap_version_hint(meta_dir, version)
+
+    deleted = 0
+    for p in sorted(doomed):
+        try:
+            os.remove(p)
+            deleted += 1
+        except FileNotFoundError:
+            pass  # already gone (prior crashed run): deletion is idempotent
     return {"removed_snapshots": len(removed), "deleted_files": deleted,
             "version": version}

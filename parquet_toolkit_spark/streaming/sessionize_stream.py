@@ -2,21 +2,29 @@
 correctly ACROSS micro-batches.
 
 The batch sessionizer (a LAG window) needs all events at once; the
-streaming one carries (last_event_ts, n_sessions, n_events) per user in
-applyInPandasWithState state, so a session spanning two micro-batches is
-counted once — the canonical custom-stateful-streaming operator. State is
-partitioned by user across the shuffle (O(users), never driver-held).
+streaming one carries per-user state in applyInPandasWithState, so a
+session spanning two micro-batches is counted once — the canonical
+custom-stateful-streaming operator. State is partitioned by user across
+the shuffle (O(users), never driver-held).
 
-Each batch emits the user's running totals; the latest emission per user
-(max batch_seq) is the final answer and — when batches arrive in event-
-time order per user — equals the batch sessionizer exactly (oracled in
-__spark_entry__.q_sessionize_stream). A batch carrying an event OLDER
-than the committed per-user state fails loudly instead of silently
-inflating session counts (see the guard in _make_handler).
+Bounded disorder (VERDICT r3 #6): real landing feeds interleave files, so
+events may arrive out of event-time order. Each user's state buffers the
+TAIL of recent events — those within `lateness_s` of the user's max seen
+timestamp — and only freezes (commits) session counts for events older
+than that watermark. A late event landing inside the window merges into
+the tail and session boundaries recompute exactly; an event older than
+the frozen watermark fails loudly (it could silently split or merge an
+already-committed session). lateness_s=0 restores strict-order behavior.
+
+Each batch emits the user's running totals over ALL events seen (frozen +
+tail); the latest emission per user (max batch_seq) is the final answer
+and equals the batch sessionizer exactly whenever no event violated the
+lateness bound (oracled in __spark_entry__.q_sessionize_stream).
 """
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections.abc import Iterable, Iterator
 
 import numpy as np
@@ -26,8 +34,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+_NEG_INF = -(2 ** 62)
 
-def _make_handler(gap_s: int):
+
+def _count_sessions(ts: list[int], prev: int | None, gap_s: int) -> int:
+    """# of sessions STARTED by `ts` (sorted), given the previous event."""
+    if not ts:
+        return 0
+    arr = np.asarray(ts, dtype=np.int64)
+    n = int((np.diff(arr) > gap_s).sum())
+    if prev is None or ts[0] - prev > gap_s:
+        n += 1
+    return n
+
+
+def _make_handler(gap_s: int, lateness_s: int):
     def update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -37,38 +58,49 @@ def _make_handler(gap_s: int):
         if not parts:
             return
         ev = pd.concat(parts) if len(parts) > 1 else parts[0]
-        ev = ev.sort_values(["ts_epoch", "event_id"])
-        ts = ev["ts_epoch"].to_numpy(dtype=np.int64)
+        new_ts = sorted(ev["ts_epoch"].astype("int64").tolist())
 
-        last_ts, n_sessions, n_events, batch_seq = (
-            state.get if state.exists else (None, 0, 0, 0)
-        )
-        # out-of-order batch guard (VERDICT r2 wrong #4): the state keeps
-        # only last_ts, so an event older than it would silently START A
-        # SPURIOUS SESSION (its gap vs last_ts looks large). Normal at
-        # 100 TB ingest when landing files arrive out of event-time order
-        # — fail loudly instead of over-counting; the fix upstream is to
-        # order the landing feed or widen micro-batches past the disorder.
-        if last_ts is not None and int(ts[0]) < last_ts:
+        if state.exists:
+            frozen_wm, last_ev, n_sessions, n_events, batch_seq, tail = \
+                state.get
+            tail = list(tail or [])
+        else:
+            frozen_wm, last_ev = _NEG_INF, None
+            n_sessions = n_events = batch_seq = 0
+            tail = []
+
+        # disorder beyond the lateness window: the event belongs to a
+        # FROZEN region whose session boundaries are already committed —
+        # recomputing would require unbounded state, so fail loudly. The
+        # fix upstream is a larger lateness_s or ordering the feed.
+        if new_ts[0] < frozen_wm:
             raise ValueError(
-                f"sessionize_stream: user {key[0]!r} got event at "
-                f"t={int(ts[0])} BEFORE committed state last_ts={last_ts}; "
-                "out-of-order micro-batches would inflate session counts"
+                f"sessionize_stream: user {key[0]!r} got out-of-order "
+                f"event at t={new_ts[0]} BEFORE committed watermark "
+                f"{frozen_wm} (lateness_s={lateness_s}); counts would "
+                "corrupt — widen the window or order the landing feed"
             )
-        gaps = np.diff(ts) > gap_s
-        new_sessions = int(gaps.sum())
-        # first event of the batch: new session iff no state or gap passed
-        if last_ts is None or ts[0] - last_ts > gap_s:
-            new_sessions += 1
-        n_sessions += new_sessions
-        n_events += len(ts)
+
+        merged = sorted(tail + new_ts)
+        wm = merged[-1] - lateness_s
+        k = bisect_right(merged, wm)
+        frozen, tail = merged[:k], merged[k:]
+        if frozen:
+            n_sessions += _count_sessions(frozen, last_ev, gap_s)
+            n_events += len(frozen)
+            last_ev = frozen[-1]
+            frozen_wm = max(frozen_wm, wm)
         batch_seq += 1
-        state.update((int(ts[-1]), int(n_sessions), int(n_events),
-                      int(batch_seq)))
+        state.update((int(frozen_wm),
+                      None if last_ev is None else int(last_ev),
+                      int(n_sessions), int(n_events), int(batch_seq),
+                      [int(t) for t in tail]))
+        # running totals INCLUDING the still-buffered tail
+        disp_sessions = n_sessions + _count_sessions(tail, last_ev, gap_s)
         yield pd.DataFrame({
             "user_id": [key[0]],
-            "n_sessions": [n_sessions],
-            "n_events": [n_events],
+            "n_sessions": [disp_sessions],
+            "n_events": [n_events + len(tail)],
             "batch_seq": [batch_seq],
         })
 
@@ -77,12 +109,14 @@ def _make_handler(gap_s: int):
 
 def sessionize_stream(spark: SparkSession, landing_dir: str, out_dir: str,
                       checkpoint_dir: str, schema_ddl: str,
-                      gap_s: int = 1800,
+                      gap_s: int = 1800, lateness_s: int = 1800,
                       ts_col: str = "ts", user_col: str = "user_id",
                       id_col: str = "event_id",
                       available_now: bool = True):
     """Drain event files from landing_dir, appending per-user running
-    session totals to out_dir (latest batch_seq per user = final)."""
+    session totals to out_dir (latest batch_seq per user = final).
+    Disorder within `lateness_s` of each user's max timestamp is
+    buffered and resolved exactly; beyond it the stream fails loudly."""
     stream = spark.readStream.schema(schema_ddl) \
         .option("maxFilesPerTrigger", 1).parquet(landing_dir)
     ev = stream.select(
@@ -91,12 +125,13 @@ def sessionize_stream(spark: SparkSession, landing_dir: str, out_dir: str,
         F.col(id_col).alias("event_id"),
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
-        _make_handler(gap_s),
+        _make_handler(gap_s, lateness_s),
         outputStructType=(
             "user_id LONG, n_sessions LONG, n_events LONG, batch_seq LONG"
         ),
         stateStructType=(
-            "last_ts LONG, n_sessions LONG, n_events LONG, batch_seq LONG"
+            "frozen_wm LONG, last_ev LONG, n_sessions LONG, n_events LONG, "
+            "batch_seq LONG, tail ARRAY<LONG>"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -620,22 +620,51 @@ def test_iceberg_manifest_layer_exact_reads(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         ic.read_data_fallback(spark, str(tdir))
 
-    # live row-level delete files (merge-on-read) are detected, not ignored
+    # live POSITIONAL delete files (v2 merge-on-read) are APPLIED on read
+    # (VERDICT r3 #4): snapshot 79 = both data files + a delete file
+    # removing f2's row 0
+    del_pq = str(tdir / "data" / "del.parquet")
+    pq.write_table(pa.table({"file_path": pa.array([f2], pa.string()),
+                             "pos": pa.array([0], pa.int64())}), del_pq)
     (meta / "m3.avro").write_bytes(write_avro(
-        mentry_schema, [_ice_entry(1, str(tdir / "data" / "del.parquet"),
-                                   1, content=1)]))
+        mentry_schema, [_ice_entry(1, del_pq, 1, content=1)]))
     (meta / "snap-79.avro").write_bytes(write_avro(
         mlist_schema,
-        [{"manifest_path": str(meta / "m3.avro"), "manifest_length": 1,
+        [{"manifest_path": str(meta / "m1.avro"), "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 77},
+         {"manifest_path": str(meta / "m3.avro"), "manifest_length": 1,
           "partition_spec_id": 0, "content": 1, "added_snapshot_id": 79}]))
     md3 = dict(md, **{"current-snapshot-id": 79,
                       "snapshots": md["snapshots"] + [
                           {"snapshot-id": 79, "timestamp-ms": 3,
                            "manifest-list": str(meta / "snap-79.avro"),
-                           "summary": {"operation": "overwrite"}}]})
+                           "summary": {"operation": "delete"}}]})
     (meta / "v2.metadata.json").write_text(json.dumps(md3))
     (meta / "version-hint.text").write_text("2")
-    with pytest.raises(NotImplementedError):
+    # the file LIST is unchanged by row-level deletes...
+    assert set(ic.snapshot_data_files(str(tdir))) == {f1, f2}
+    # ...but the ROWS drop exactly f2's position 0
+    dropped = tuple(
+        pq.read_table(f2).slice(0, 1).to_pylist()[0][c]
+        for c in ["repo", "path", "commit", "lang", "content"])
+    got79 = {tuple(r) for r in ic.read_data(spark, str(tdir)).collect()}
+    assert got79 == (set(rows1) | set(rows2)) - {dropped}
+
+    # EQUALITY delete files (content=2) still refuse loudly
+    (meta / "m4.avro").write_bytes(write_avro(
+        mentry_schema, [_ice_entry(1, del_pq, 1, content=2)]))
+    (meta / "snap-80.avro").write_bytes(write_avro(
+        mlist_schema,
+        [{"manifest_path": str(meta / "m4.avro"), "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 80}]))
+    md4 = dict(md3, **{"current-snapshot-id": 80,
+                       "snapshots": md3["snapshots"] + [
+                           {"snapshot-id": 80, "timestamp-ms": 4,
+                            "manifest-list": str(meta / "snap-80.avro"),
+                            "summary": {"operation": "overwrite"}}]})
+    (meta / "v3.metadata.json").write_text(json.dumps(md4))
+    (meta / "version-hint.text").write_text("3")
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
         ic.snapshot_data_files(str(tdir))
 
 
@@ -776,19 +805,25 @@ def test_sessionize_stream_rejects_out_of_order_batches(spark, tmp_path):
     def ts(s):
         return dtm.datetime(2026, 1, 1) + dtm.timedelta(seconds=s)
 
-    # the LATER half lands first (b0 sorts before b1 -> processed first)
-    pq.write_table(pa.table({
-        "user_id": [1, 1], "ts": [ts(5000), ts(5100)], "event_id": [3, 4],
-    }), str(landing / "b0.parquet"))
-    pq.write_table(pa.table({
-        "user_id": [1, 1], "ts": [ts(0), ts(100)], "event_id": [1, 2],
-    }), str(landing / "b1.parquet"))
-
+    # drain 1 freezes events older than max-lateness (wm = 10000-1800);
+    # drain 2 then lands an event BELOW that committed watermark -> abort
+    # (disorder within the window is absorbed; see the converge test).
+    # Sequential drains on one checkpoint pin the arrival order — the
+    # file source does not promise filename order within a drain.
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ddl = "user_id LONG, ts TIMESTAMP, event_id LONG"
+    pq.write_table(pa.table({
+        "user_id": [1, 1, 1], "ts": [ts(0), ts(100), ts(10000)],
+        "event_id": [1, 2, 3],
+    }), str(landing / "b0.parquet"))
+    sessionize_stream(spark, str(landing), out, ckpt, ddl,
+                      gap_s=1800, lateness_s=1800)
+    pq.write_table(pa.table({
+        "user_id": [1], "ts": [ts(3000)], "event_id": [4],
+    }), str(landing / "b1.parquet"))
     with pytest.raises((StreamingQueryException, Exception)) as exc:
-        sessionize_stream(spark, str(landing), out, ckpt,
-                          "user_id LONG, ts TIMESTAMP, event_id LONG",
-                          gap_s=1800)
+        sessionize_stream(spark, str(landing), out, ckpt, ddl,
+                          gap_s=1800, lateness_s=1800)
     assert "out-of-order" in str(exc.value) or "BEFORE committed" in str(
         exc.value)
 
@@ -957,3 +992,163 @@ def test_decode_pids_pruning_is_exact(spark, tmp_path):
     one = sorted(all_pids)[1]
     got = decode_pipeline(spark, enc, keep_pid=True, pids={one})
     assert {r.pid for r in got.select("pid").distinct().collect()} == {one}
+
+
+def test_iceberg_delete_where_merge_on_read(spark, tmp_path):
+    # merge-on-read DELETE: positional delete snapshot, applied on read,
+    # time travel sees pre-delete rows (VERDICT r3 #4)
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "mor")
+    rows = [(i, f"name{i}", i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, name string, grp long")
+    c1 = ic.write_table(spark, df, tdir)
+
+    d = ic.delete_where(spark, tdir, "grp = 1")
+    assert d["deleted_rows"] == 10
+    got = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert got == {i for i in range(30) if i % 3 != 1}
+    # file list unchanged (no rewrite happened)
+    assert len(ic.snapshot_data_files(tdir)) == len(c1["files"])
+    # time travel to the append snapshot: all 30 rows
+    pre = {r.id for r in ic.read_data(spark, tdir, c1["snapshot_id"]).collect()}
+    assert pre == set(range(30))
+
+    # a second delete composes with the first
+    d2 = ic.delete_where(spark, tdir, "id = 0")
+    assert d2["deleted_rows"] == 1
+    got2 = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert got2 == {i for i in range(1, 30) if i % 3 != 1}
+
+    # deleting nothing commits nothing
+    d3 = ic.delete_where(spark, tdir, "id = -5")
+    assert d3["deleted_rows"] == 0 and d3["snapshot_id"] is None
+
+
+def test_iceberg_rewrite_data_files_replace_snapshot(spark, tmp_path):
+    # VERDICT r3 #5: compact-with-delete-inputs as a replace snapshot;
+    # time travel intact; expire reclaims the replaced files
+    import glob as _g
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "rw")
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(20)],
+                                "id long, v string")
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(20, 40)],
+                                "id long, v string")
+    c1 = ic.write_table(spark, df1, tdir)
+    c2 = ic.write_table(spark, df2, tdir)
+    ic.delete_where(spark, tdir, "id = 39")
+    n_before = len(_g.glob(str(tmp_path / "rw" / "data" / "*.parquet")))
+
+    rw = ic.rewrite_data_files(spark, tdir, target_file_rows=100)
+    # exact rows at the new snapshot (delete absorbed, no delete files)
+    got = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert got == set(range(39))
+    sf = ic.snapshot_files(tdir)
+    assert sf["position_deletes"] == []
+    assert set(sf["data"]) == set(rw["files"])
+    # time travel still reads the old snapshots exactly
+    assert {r.id for r in
+            ic.read_data(spark, tdir, c1["snapshot_id"]).collect()} == \
+        set(range(20))
+    assert {r.id for r in
+            ic.read_data(spark, tdir, c2["snapshot_id"]).collect()} == \
+        set(range(40))
+
+    # expire everything but the rewrite -> replaced data + delete files go
+    out = ic.expire_snapshots(spark, tdir, keep_last=1)
+    assert out["removed_snapshots"] == 3
+    left = set(_g.glob(str(tmp_path / "rw" / "data" / "*.parquet")))
+    assert left == set(rw["files"])
+    assert len(left) < n_before
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        set(range(39))
+
+
+def test_iceberg_relocated_table_append(spark, tmp_path):
+    # ADVICE r4 medium: appending to a MOVED table must keep prior
+    # snapshots readable (location carried forward, not overwritten)
+    import shutil
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    src_dir = str(tmp_path / "orig")
+    dst_dir = str(tmp_path / "moved_here")
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    c1 = ic.write_table(spark, df1, src_dir)
+    shutil.move(src_dir, dst_dir)
+
+    df2 = spark.createDataFrame([(3, "z")], "id long, v string")
+    ic.write_table(spark, df2, dst_dir)
+    got = {r.id for r in ic.read_data(spark, dst_dir).collect()}
+    assert got == {1, 2, 3}
+    # the first snapshot still resolves AT THE NEW LOCATION
+    pre = {r.id for r in
+           ic.read_data(spark, dst_dir, c1["snapshot_id"]).collect()}
+    assert pre == {1, 2}
+
+
+def test_iceberg_expire_crash_window_rerunnable(spark, tmp_path):
+    # ADVICE r4 medium: metadata commits BEFORE file deletion, and a
+    # rerun after a crash mid-delete (manifests already gone) succeeds
+    import glob as _g
+    import os
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "exp")
+    for k in range(3):
+        df = spark.createDataFrame([(k, "v")], "id long, v string")
+        ic.write_table(spark, df, tdir)
+
+    # simulate the old-bug crash shape: delete a doomed snapshot's
+    # manifest list by hand, then run expire — must not raise
+    md = ic.read_table_metadata(tdir)
+    oldest = sorted(md["snapshots"], key=lambda s: s["snapshot_id"])[0]
+    os.remove(oldest["manifest_list"])
+    out = ic.expire_snapshots(spark, tdir, keep_last=1)
+    assert out["removed_snapshots"] == 2
+    # table still reads exactly, and a re-run is a no-op
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {0, 1, 2}
+    again = ic.expire_snapshots(spark, tdir, keep_last=1)
+    assert again["removed_snapshots"] == 0
+
+
+def test_sessionize_stream_reordered_halves_converge(spark, tmp_path):
+    # VERDICT r3 #6: the event halves land in REVERSE event-time order but
+    # within the lateness window — totals must converge to the batch
+    # sessionizer exactly instead of aborting
+    import datetime as dtm
+
+    from parquet_toolkit_spark.streaming.sessionize_stream import (
+        final_totals,
+        sessionize_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def ts(s):
+        return dtm.datetime(2026, 1, 1) + dtm.timedelta(seconds=s)
+
+    # user 1 timeline: 0, 100, 200 | (gap) | 5000, 5100 -> 2 sessions.
+    # the LATER chunk lands (and drains) FIRST; all disorder within
+    # lateness 6000. Sequential drains pin the arrival order.
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ddl = "user_id LONG, ts TIMESTAMP, event_id LONG"
+    pq.write_table(pa.table({
+        "user_id": [1, 1], "ts": [ts(5000), ts(5100)], "event_id": [4, 5],
+    }), str(landing / "b0.parquet"))
+    sessionize_stream(spark, str(landing), out, ckpt, ddl,
+                      gap_s=1800, lateness_s=6000)
+    pq.write_table(pa.table({
+        "user_id": [1, 1, 1], "ts": [ts(0), ts(100), ts(200)],
+        "event_id": [1, 2, 3],
+    }), str(landing / "b1.parquet"))
+    sessionize_stream(spark, str(landing), out, ckpt, ddl,
+                      gap_s=1800, lateness_s=6000)
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in final_totals(spark, out).collect()}
+    assert got == {1: (2, 5)}
