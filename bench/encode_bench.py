@@ -31,6 +31,11 @@ def main() -> None:
                          "fault their heaps once; steady state is what a "
                          "long-running cluster job sees)")
     ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the per-task 1-deep read-ahead thread so "
+                         "each task is exactly one thread — required on "
+                         "BOTH legs of the scaling protocol so threads-"
+                         "per-task is constant across parallelism levels")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -70,7 +75,8 @@ def main() -> None:
         t0 = time.time()
         man = encode_partitions(spark, args.staging, args.out,
                                 run_id=f"scale{i}", resume=False,
-                                concurrency=cores)
+                                concurrency=cores,
+                                prefetch=not args.no_prefetch)
         if i >= args.warmup:
             walls.append(round(time.time() - t0, 2))
     from pyspark.sql import functions as F
@@ -84,6 +90,7 @@ def main() -> None:
     mn = min(walls)
     print(json.dumps({
         "cores": cores,
+        "prefetch": not args.no_prefetch,
         "walls": walls,
         "gb_in": round(gb, 3),
         "staged_gb": round(staged_bytes / 1e9, 3),

@@ -86,6 +86,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/ptsk_scaling")
     ap.add_argument("--out", default="BENCH_SCALING.json")
+    ap.add_argument("--prefetch", action="store_true",
+                    help="leave the per-task read-ahead thread ON (default "
+                         "OFF for this protocol: both legs must run exactly "
+                         "one thread per task, or the small leg gets a "
+                         "hidden 2nd IO thread that deflates efficiency)")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -132,6 +137,8 @@ def main() -> None:
             "--staging", staging, "--out", out,
             "--runs", str(args.runs), "--cores", str(cores),
         ]
+        if not args.prefetch:
+            cmd.append("--no-prefetch")
         env = dict(os.environ)
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
@@ -161,6 +168,8 @@ def main() -> None:
     report = {
         "protocol": f"local[{n}] vs local[{n4}], {args.runs} runs, "
                     "median + min-capability pairings",
+        "prefetch": bool(args.prefetch),
+        "threads_per_task": 2 if args.prefetch else 1,
         "rows": args.rows,
         "n": results[n],
         "n4": results[n4],

@@ -244,8 +244,15 @@ def _striped_task_df(spark: SparkSession, rows: list[tuple], ddl: str,
 def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                       run_id: str = "r0", resume: bool = True,
                       fail_after: int | None = None,
-                      concurrency: int | None = None) -> DataFrame:
+                      concurrency: int | None = None,
+                      prefetch: bool = True) -> DataFrame:
     """Phase B: encode staged pid partitions, skipping committed ones.
+
+    prefetch=False disables the per-task 1-deep read-ahead thread so each
+    task uses exactly one thread end-to-end — the mode the scaling
+    protocol runs on BOTH parallelism legs, keeping threads-per-task
+    identical across cluster sizes (the N-vs-4N comparison must not give
+    the small leg a hidden second IO thread).
 
     Spark schedules; the data plane stays in the python workers: each task
     reads its pid's staged parquet file(s) directly with pyarrow (no
@@ -383,6 +390,38 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                 for _, task in pdf.iterrows():
                     yield task
 
+        def encode_one(pid: int, table: pa.Table) -> pd.DataFrame:
+            cols = {
+                name: (table.column(name).chunk(0)
+                       if table.column(name).num_chunks == 1
+                       else table.column(name).combine_chunks())
+                for name in table.schema.names
+            }
+            rows = _encode_columns(cols, pid, run_id, hints=hints)
+            blob_table = pa.Table.from_batches([_rows_to_batch(rows)])
+            dest_dir = os.path.join(blobs_dir, f"pid={pid}")
+            wfs, dest_plain = task_fs(dest_dir)
+            wfs.create_dir(dest_plain, recursive=True)
+            # Arrow IPC, not parquet: blob sections are already
+            # compressed, so the store wants a raw-memcpy format —
+            # IPC writes ~4x faster here and memory-maps on decode
+            blob_table = blob_table.drop_columns(["pid"])
+            task_write_ipc_atomic(
+                blob_table,
+                os.path.join(tmp_dir, f"pid-{pid}-{run_id}.arrow"),
+                os.path.join(dest_dir, "part-0.arrow"),
+            )
+            return pd.DataFrame(rows).drop(columns=["blob"])
+
+        if not prefetch:
+            # strictly one thread per task: read pid k, encode pid k.
+            # The scaling protocol runs this mode on both legs so
+            # threads-per-task is constant across parallelism levels.
+            for task in pid_tasks():
+                pid, table = read_pid(task)
+                yield encode_one(pid, table)
+            return
+
         # 1-deep read prefetch: the parquet read+decompress of pid k+1 runs
         # (GIL-released, in Arrow C++) while pid k encodes — overlapping
         # the two halves of the per-pid wall (~0.1s IO + ~0.13s kernel on
@@ -400,28 +439,7 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
                 for task in it:
                     nxt = pool.submit(read_pid, task)
                     break
-                cols = {
-                    name: (table.column(name).chunk(0)
-                           if table.column(name).num_chunks == 1
-                           else table.column(name).combine_chunks())
-                    for name in table.schema.names
-                }
-                rows = _encode_columns(cols, pid, run_id, hints=hints)
-                blob_table = pa.Table.from_batches([_rows_to_batch(rows)])
-                dest_dir = os.path.join(blobs_dir, f"pid={pid}")
-                wfs, dest_plain = task_fs(dest_dir)
-                wfs.create_dir(dest_plain, recursive=True)
-                # Arrow IPC, not parquet: blob sections are already
-                # compressed, so the store wants a raw-memcpy format —
-                # IPC writes ~4x faster here and memory-maps on decode
-                blob_table = blob_table.drop_columns(["pid"])
-                task_write_ipc_atomic(
-                    blob_table,
-                    os.path.join(tmp_dir, f"pid-{pid}-{run_id}.arrow"),
-                    os.path.join(dest_dir, "part-0.arrow"),
-                )
-                out = pd.DataFrame(rows).drop(columns=["blob"])
-                yield out
+                yield encode_one(pid, table)
 
     manifest_schema = ENCODED_SCHEMA.replace(", blob BINARY", "")
     new_rows = tasks.mapInPandas(encode_task, manifest_schema)

@@ -378,3 +378,26 @@ def test_fsck_store_detects_corruption_and_loss(spark, corpus_df, tmp_path):
                for p, s in rep)
     assert (ok_pid, "missing_blob") in rep
     assert all(s == "ok" for p, s in rep if p not in (bad_pid, ok_pid))
+
+
+def test_encode_without_prefetch_matches_prefetch(spark, corpus_df, tmp_path):
+    """prefetch=False (the scaling-protocol mode: exactly one thread per
+    task) must produce byte-identical decoded rows and the same manifest
+    codec/byte accounting as the default prefetching path."""
+    staging = str(tmp_path / "staging")
+    layout_stage(spark, corpus_df, staging, target_bytes=1 << 20)
+
+    enc_pre = str(tmp_path / "enc_pre")
+    enc_nopre = str(tmp_path / "enc_nopre")
+    man_pre = encode_partitions(spark, staging, enc_pre, run_id="p1",
+                                resume=False, prefetch=True)
+    man_nopre = encode_partitions(spark, staging, enc_nopre, run_id="p2",
+                                  resume=False, prefetch=False)
+
+    acc_cols = ["pid", "column", "codec", "bytes_in", "bytes_out", "checksum"]
+    acc_pre = sorted(map(tuple, man_pre.select(*acc_cols).collect()))
+    acc_nopre = sorted(map(tuple, man_nopre.select(*acc_cols).collect()))
+    assert acc_pre == acc_nopre
+
+    res = verify_roundtrip(corpus_df, decode_pipeline(spark, enc_nopre))
+    assert res["ok"], res
