@@ -470,6 +470,46 @@ def q_iceberg_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read: append documents, commit a POSITIONAL
+    delete (doc_id % 7 = 3) and an EQUALITY delete (lang = min lang),
+    then re-append a subset of the equality-deleted rows. The exact read
+    must apply both delete shapes with sequence scoping: re-appended rows
+    survive the earlier equality delete, positional deletes only hit the
+    original files."""
+    import shutil
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        delete_where,
+        delete_where_equality,
+        read_data,
+        write_table,
+    )
+
+    tdir = _fixture_path("icemor", sf_dir)
+    done = os.path.join(tdir, "_DONE")
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(done):
+        shutil.rmtree(tdir, ignore_errors=True)
+        write_table(spark, docs, tdir)
+        delete_where(spark, tdir, "doc_id % 7 = 3")
+        min_lang = docs.agg(F.min("lang")).first()[0]
+        delete_where_equality(
+            spark, tdir, ["lang"],
+            keys=spark.createDataFrame([(min_lang,)], "lang string"))
+        write_table(
+            spark,
+            docs.where((F.col("doc_id") % 11 == 0)
+                       & (F.col("lang") == min_lang)),
+            tdir)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    df = read_data(spark, tdir)
+    return df.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
 def q_fsck_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store integrity check on a fresh encode: every column blob's
     recomputed sha256 must match its manifest entry (distinct
@@ -943,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_encode": q_incremental_encode,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "iceberg_write_read": q_iceberg_write_read,
+        "iceberg_mor_delete": q_iceberg_mor_delete,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
@@ -1054,6 +1095,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "iceberg_write_read":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "iceberg_mor_delete": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE doc_id % 7 <> 3 "
+            "AND lang <> (SELECT min(lang) FROM documents) "
+            "UNION ALL "
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE doc_id % 11 = 0 "
+            "AND lang = (SELECT min(lang) FROM documents)"
+        ),
         "encode_manifest_coverage": (
             "SELECT c AS column, (SELECT count(*) FROM documents) AS total_rows "
             "FROM (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), "

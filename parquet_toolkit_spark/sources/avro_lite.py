@@ -197,6 +197,16 @@ def _encode(schema, value, out: io.BytesIO, names: _Names) -> None:
     if t == "record":
         names.register(schema)
         for f in schema["fields"]:
+            if f["name"] not in value:
+                # a key absent from the dict encodes as null IF the field
+                # is a nullable union (lets callers omit newly-added
+                # optional fields); anything else is a caller bug
+                ft = f["type"]
+                if isinstance(ft, list) and "null" in ft:
+                    _encode(ft, None, out, names)
+                    continue
+                raise KeyError(
+                    f"record field {f['name']!r} missing and not nullable")
             _encode(f["type"], value[f["name"]], out, names)
         return
     if t == "enum":

@@ -1152,3 +1152,87 @@ def test_sessionize_stream_reordered_halves_converge(spark, tmp_path):
     got = {r.user_id: (r.n_sessions, r.n_events)
            for r in final_totals(spark, out).collect()}
     assert got == {1: (2, 5)}
+
+
+def test_iceberg_equality_delete_merge_on_read(spark, tmp_path):
+    # v2 equality deletes: key-based merge-on-read DELETE with sequence
+    # scoping — rows appended AFTER the delete with the same key survive
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "eq")
+    df1 = spark.createDataFrame(
+        [(i, f"u{i % 5}", i * 10) for i in range(20)],
+        "id long, user string, amount long")
+    c1 = ic.write_table(spark, df1, tdir)
+
+    # delete by key derived from a condition (user u1 -> ids 1,6,11,16)
+    d = ic.delete_where_equality(spark, tdir, ["user"], condition="user = 'u1'")
+    assert d["key_rows"] == 1
+    got = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert got == {i for i in range(20) if i % 5 != 1}
+    # data file list unchanged; time travel sees pre-delete rows
+    assert len(ic.snapshot_data_files(tdir)) == len(c1["files"])
+    pre = {r.id for r in ic.read_data(spark, tdir, c1["snapshot_id"]).collect()}
+    assert pre == set(range(20))
+
+    # sequence scoping: re-append a row with the deleted key AFTER the
+    # delete commit — it must survive (data seq > delete seq)
+    df2 = spark.createDataFrame([(100, "u1", 999)],
+                                "id long, user string, amount long")
+    ic.write_table(spark, df2, tdir)
+    got2 = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert 100 in got2
+    assert got2 == {i for i in range(20) if i % 5 != 1} | {100}
+
+    # explicit multi-column keys DataFrame; composes with prior delete
+    keys = spark.createDataFrame([(0, "u0"), (5, "u0")], "id long, user string")
+    d2 = ic.delete_where_equality(spark, tdir, ["id", "user"], keys=keys)
+    assert d2["key_rows"] == 2
+    got3 = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert got3 == ({i for i in range(20) if i % 5 != 1} | {100}) - {0, 5}
+
+    # empty key set commits nothing
+    d3 = ic.delete_where_equality(spark, tdir, ["user"],
+                                  condition="user = 'nope'")
+    assert d3["key_rows"] == 0 and d3["snapshot_id"] is None
+
+
+def test_iceberg_equality_delete_rewrite_and_expire(spark, tmp_path):
+    # rewrite_data_files absorbs equality-delete debt; expire reclaims
+    # the equality delete files with the old snapshots
+    import glob as _g
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "eqrw")
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)],
+                               "id long, bucket long")
+    ic.write_table(spark, df, tdir)
+    ic.delete_where_equality(spark, tdir, ["bucket"], condition="bucket = 3")
+
+    rw = ic.rewrite_data_files(spark, tdir)
+    sf = ic.snapshot_files(tdir)
+    assert sf["equality_deletes"] == [] and sf["position_deletes"] == []
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        {i for i in range(40) if i % 4 != 3}
+
+    out = ic.expire_snapshots(spark, tdir, keep_last=1)
+    assert out["removed_snapshots"] == 2
+    left = set(_g.glob(str(tmp_path / "eqrw" / "data" / "*.parquet")))
+    assert left == set(rw["files"])  # eq-delete parquet reclaimed too
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        {i for i in range(40) if i % 4 != 3}
+
+
+def test_iceberg_equality_delete_null_keys(spark, tmp_path):
+    # null-safe equality: a null key tuple deletes rows with null keys
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "eqnull")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, tag string")
+    ic.write_table(spark, df, tdir)
+    keys = spark.createDataFrame([(None,)], "tag string")
+    d = ic.delete_where_equality(spark, tdir, ["tag"], keys=keys)
+    assert d["key_rows"] == 1
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 3}
