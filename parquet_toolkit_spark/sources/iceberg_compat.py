@@ -225,13 +225,18 @@ def read_manifest(path: str, spark: SparkSession | None = None) -> list[dict]:
 
 
 def snapshot_files(table_dir: str, snapshot_id: int | None = None,
-                   spark: SparkSession | None = None) -> dict:
+                   spark: SparkSession | None = None,
+                   partition_filter: dict | None = None) -> dict:
     """EXACT live file sets of a snapshot via the manifest layer.
 
     Returns {"data": [resolved paths], "position_deletes": [resolved
     paths], "equality_deletes": [{"path", "seq", "equality_ids"}],
     "data_seq": {resolved data path -> data sequence number},
+    "partition_values": {resolved data path -> {col: identity value}},
     "raw_to_resolved": {manifest-recorded path -> resolved}}.
+    partition_filter={"col": value} drops data entries whose manifest
+    partition record holds a different value for that column — pruning
+    at the METADATA layer, before any data file is opened.
     Walks manifest-list -> manifests -> entries, keeping entries with
     status != 2 (DELETED). Positional (content=1) AND equality
     (content=2) delete files are returned for read_data to apply;
@@ -251,6 +256,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
     data_seq: dict[str, int] = {}
+    partition_values: dict[str, dict] = {}
     raw_to_resolved: dict[str, str] = {}
     for mf in read_manifest_list(mlist_path, spark):
         mpath = _resolve_path(mf["manifest_path"], table_dir, md["location"])
@@ -265,8 +271,15 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
             if seq is None:  # spec inheritance: ADDED entries written with
                 seq = mf.get("sequence_number", 0)  # null inherit the
             if content == 0:                        # manifest's commit seq
+                pvals = dict(dfile.get("partition") or {})
+                if partition_filter and any(
+                        k in pvals and pvals[k] != v
+                        for k, v in partition_filter.items()):
+                    continue  # manifest-level pruning: zero data IO
                 data.append(resolved)
                 data_seq[resolved] = seq
+                if pvals:
+                    partition_values[resolved] = pvals
                 raw_to_resolved[strip_local_scheme(dfile["file_path"])] = \
                     resolved
             elif content == 1:
@@ -283,6 +296,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                                    "equality_ids": list(eq_ids)})
     return {"data": data, "position_deletes": pos_deletes,
             "equality_deletes": eq_deletes, "data_seq": data_seq,
+            "partition_values": partition_values,
             "raw_to_resolved": raw_to_resolved}
 
 
@@ -323,6 +337,24 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
         )
         .withColumn("_pos", F.col("_metadata.row_index"))
     )
+    if sf.get("partition_values"):
+        # spec-partitioned data files don't carry their partition columns
+        # (the values live in the manifest) — re-inject them via one
+        # broadcast map keyed by file path, Iceberg's own read semantics
+        ddl_types = {n: t for n, t, _r in md["schema_fields"]}
+        pcols = sorted({k for v in sf["partition_values"].values()
+                        for k in v})
+        pmap = spark.createDataFrame(
+            [tuple([_norm_fp(fp)] + [vals.get(c) for c in pcols])
+             for fp, vals in sf["partition_values"].items()],
+            ", ".join(["_pv_fp string"]
+                      + [f"_pv_{c} {ddl_types[c]}" for c in pcols]),
+        )
+        df = df.join(F.broadcast(pmap), df["_fp"] == pmap["_pv_fp"],
+                     "left").drop("_pv_fp")
+        for c in pcols:
+            df = (df.withColumn(c, F.coalesce(F.col(c), F.col(f"_pv_{c}")))
+                  .drop(f"_pv_{c}"))
     if sf["position_deletes"]:
         dels = (
             spark.read.parquet(*sf["position_deletes"])
@@ -411,7 +443,8 @@ def _norm_fp(p: str) -> str:
 
 
 def read_data(spark: SparkSession, table_dir: str,
-              snapshot_id: int | None = None) -> DataFrame:
+              snapshot_id: int | None = None,
+              partition_filter: dict | None = None) -> DataFrame:
     """Read an Iceberg table EXACTLY: declared schema + the manifest
     layer's live-file list (append, delete and replace snapshots all read
     the correct pruned set). Time travel via snapshot_id.
@@ -419,9 +452,15 @@ def read_data(spark: SparkSession, table_dir: str,
     v2 merge-on-read POSITIONAL deletes are applied (VERDICT r3 #4) via a
     distributed anti-join (see _scan_live_rows); EQUALITY deletes are
     applied too (VERDICT r3 missing #1 closed) with sequence-number
-    scoping and null-safe key equality (see _apply_equality_deletes)."""
+    scoping and null-safe key equality (see _apply_equality_deletes).
+
+    partition_filter={"col": value, ...}: manifest-level identity-
+    partition pruning — non-matching data files are never opened (zero
+    data IO), the metadata-layer analogue of parquet partition pruning.
+    Row-level residual filtering is the caller's .where()."""
     md = read_table_metadata(table_dir, spark)
-    sf = snapshot_files(table_dir, snapshot_id, spark)
+    sf = snapshot_files(table_dir, snapshot_id, spark,
+                        partition_filter=partition_filter)
     if not sf["data"]:  # fully-deleted table: empty frame, declared schema
         return spark.createDataFrame([], md["schema_ddl"])
     cols = [f[0] for f in md["schema_fields"]]
@@ -539,11 +578,22 @@ MANIFEST_FILE_AVRO = {
 
 
 def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
-                properties: dict | None = None) -> dict:
+                properties: dict | None = None,
+                partition_by: list[str] | None = None) -> dict:
     """Append `df` to a filesystem Iceberg v2 table (created on first
     call): parquet data files + Avro manifest/manifest-list + new
     vN.metadata.json committed via atomic version-hint swap. Local paths
     only (the toolkit's staging/commit protocol covers remote stores).
+
+    partition_by: identity partition spec (spec-id 0, declared in the
+    table metadata on first write; appends must repeat the same columns
+    or omit them). Partition VALUES are stored in the manifest entries'
+    typed partition record — not in directory names or the data files —
+    so `read_data(partition_filter=...)` prunes whole files at the
+    metadata layer with zero data IO, the scale move for 10^12-file
+    corpora. The read path re-injects the partition columns from the
+    manifest (data files don't carry them, matching engines that write
+    Iceberg spec-partitioned tables).
 
     Returns {"snapshot_id", "sequence_number", "version", "files"}."""
     import os
@@ -595,10 +645,36 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
                 f"schema mismatch appending to {table_dir}: table has "
                 f"{want}, dataframe has {got}"
             )
+        spec_cols = _default_spec_columns(existing)
+        if partition_by is None and spec_cols:
+            partition_by = spec_cols  # appends inherit the table's spec
+        elif (partition_by or []) != spec_cols:
+            raise ValueError(
+                f"partition spec mismatch appending to {table_dir}: table "
+                f"is partitioned by {spec_cols}, append requested "
+                f"{partition_by or []}"
+            )
+
+    name_to_fid = {f["name"]: f["id"] for f in fields}
+    part_fields = (_partition_avro_fields(df, partition_by)
+                   if partition_by else None)
+    partition_specs = None
+    if partition_by:
+        partition_specs = [{"spec-id": 0, "fields": [
+            {"name": c, "transform": "identity",
+             "source-id": name_to_fid[c], "field-id": 1000 + i}
+            for i, c in enumerate(partition_by)]}]
 
     # ---- data files: spark write to a temp dir, move parts into data/
     commit_uuid = uuid.uuid4().hex[:12]
-    data_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
+    if part_fields:
+        landed = _land_partitioned_parts(df, table_dir, data_dir,
+                                         commit_uuid, part_fields)
+        data_files = [p for p, _v in landed]
+        part_vals = dict(landed)
+    else:
+        data_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
+        part_vals = {}
 
     import pyarrow.parquet as pq
 
@@ -610,7 +686,9 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     # ---- manifest for the new files
     man_path = _write_manifest(
         meta_dir, f"m-{commit_uuid}.avro",
-        [_added_entry(p, snapshot_id, counts[p]) for p in data_files])
+        [_added_entry(p, snapshot_id, counts[p],
+                      partition=part_vals.get(p)) for p in data_files],
+        partition_fields=part_fields)
     new_mf = _manifest_file_row(man_path, content=0, seq=seq,
                                 snapshot_id=snapshot_id,
                                 added_files=len(data_files),
@@ -626,9 +704,27 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
         meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
         mlist_path, summary,
         schemas=[{"schema-id": 0, "type": "struct", "fields": fields}],
-        last_column_id=id_state["last"], properties=properties)
+        last_column_id=id_state["last"], properties=properties,
+        partition_specs=partition_specs)
     return {"snapshot_id": snapshot_id, "sequence_number": seq,
             "version": version, "files": data_files}
+
+
+def _default_spec_columns(md_info: dict) -> list[str]:
+    """Identity-partition column names of the table's default spec
+    (read_table_metadata dict). Non-identity transforms raise — this
+    writer only appends to specs it can produce."""
+    specs = md_info.get("partition_specs") or []
+    spec = next((s for s in specs if s.get("spec-id", 0) == 0),
+                specs[0] if specs else {"fields": []})
+    cols = []
+    for f in spec.get("fields", []):
+        if f.get("transform", "identity") != "identity":
+            raise NotImplementedError(
+                f"partition transform {f['transform']!r} unsupported "
+                "(identity only)")
+        cols.append(f["name"])
+    return cols
 
 
 def _land_parquet_parts(df: DataFrame, table_dir: str, data_dir: str,
@@ -648,6 +744,77 @@ def _land_parquet_parts(df: DataFrame, table_dir: str, data_dir: str,
         dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
         os.replace(part, dest)
         out.append(dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_SPARK_TO_AVRO = {"string": "string", "bigint": "long", "int": "int",
+                  "double": "double", "float": "float", "boolean": "boolean"}
+
+
+def _partition_avro_fields(df: DataFrame, cols: list[str]
+                           ) -> list[tuple[str, str]]:
+    ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out = []
+    for c in cols:
+        if c not in ddl:
+            raise ValueError(f"partition column {c!r} not in dataframe")
+        t = _SPARK_TO_AVRO.get(ddl[c])
+        if t is None:
+            raise ValueError(
+                f"unsupported identity-partition column type {ddl[c]!r} "
+                f"for {c!r} (supported: {sorted(_SPARK_TO_AVRO)})")
+        out.append((c, t))
+    return out
+
+
+def _parse_partition_value(raw: str, avro_type: str):
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if avro_type in ("long", "int"):
+        return int(raw)
+    if avro_type in ("double", "float"):
+        return float(raw)
+    if avro_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _land_partitioned_parts(df: DataFrame, table_dir: str, data_dir: str,
+                            commit_uuid: str,
+                            part_fields: list[tuple[str, str]]
+                            ) -> list[tuple[str, dict]]:
+    """Write df hive-partitioned on the identity columns, then move the
+    parts flat under data/ with commit-unique names, returning
+    [(dest_path, {col: typed value})]. Partition values live in the
+    MANIFEST (Iceberg semantics), not in directory names or the data
+    files — the read path re-injects them from metadata."""
+    import glob as _g
+    import os
+    import shutil
+    import uuid
+
+    cols = [n for n, _t in part_fields]
+    tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").partitionBy(*cols).parquet(tmp)
+    out = []
+    i = 0
+    for part in sorted(_g.glob(os.path.join(
+            tmp, *(["*"] * len(cols)), "part-*.parquet"))):
+        rel = os.path.relpath(part, tmp).split(os.sep)[:-1]
+        vals = {}
+        for seg, (name, t) in zip(rel, part_fields):
+            k, _, raw = seg.partition("=")
+            if k != name:
+                raise ValueError(f"unexpected partition dir segment {seg!r}")
+            vals[name] = _parse_partition_value(raw, t)
+        dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
+        os.replace(part, dest)
+        out.append((dest, vals))
+        i += 1
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -678,14 +845,16 @@ def _next_commit_ids(existing: dict | None, old_md: dict) -> tuple[int, int, int
 
 def _added_entry(path: str, snapshot_id: int, record_count: int,
                  status: int = 1, content: int = 0,
-                 equality_ids: list[int] | None = None) -> dict:
+                 equality_ids: list[int] | None = None,
+                 partition: dict | None = None) -> dict:
     import os
 
     return {
         "status": status, "snapshot_id": snapshot_id,
         "sequence_number": None, "file_sequence_number": None,
         "data_file": {"content": content, "file_path": path,
-                      "file_format": "PARQUET", "partition": {},
+                      "file_format": "PARQUET",
+                      "partition": partition or {},
                       "record_count": record_count,
                       "file_size_in_bytes": os.path.getsize(path)
                       if os.path.exists(path) else 0,
@@ -695,14 +864,36 @@ def _added_entry(path: str, snapshot_id: int, record_count: int,
     }
 
 
-def _write_manifest(meta_dir: str, name: str, entries: list[dict]) -> str:
+def _manifest_entry_avro(partition_fields: list[tuple[str, str]]) -> dict:
+    """MANIFEST_ENTRY_AVRO with a TYPED partition record (identity
+    transform: one nullable field per partition column, named after it) —
+    the spec's partition-value storage, which is what makes manifest-level
+    partition pruning possible without touching any data file."""
+    import copy
+
+    schema = copy.deepcopy(MANIFEST_ENTRY_AVRO)
+    part = {"type": "record", "name": "r102", "fields": [
+        {"name": n, "type": _opt(t)} for n, t in partition_fields]}
+    for f in schema["fields"]:
+        if f["name"] == "data_file":
+            for df_f in f["type"]["fields"]:
+                if df_f["name"] == "partition":
+                    df_f["type"] = part
+    return schema
+
+
+def _write_manifest(meta_dir: str, name: str, entries: list[dict],
+                    partition_fields: list[tuple[str, str]] | None = None
+                    ) -> str:
     import os
 
     from parquet_toolkit_spark.sources.avro_lite import write_avro
 
+    schema = (_manifest_entry_avro(partition_fields) if partition_fields
+              else MANIFEST_ENTRY_AVRO)
     path = os.path.join(meta_dir, name)
     with open(path, "wb") as fh:
-        fh.write(write_avro(MANIFEST_ENTRY_AVRO, entries, codec="deflate"))
+        fh.write(write_avro(schema, entries, codec="deflate"))
     return path
 
 
@@ -763,7 +954,8 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
                      mlist_path: str, summary: dict,
                      schemas: list | None = None,
                      last_column_id: int | None = None,
-                     properties: dict | None = None) -> None:
+                     properties: dict | None = None,
+                     partition_specs: list | None = None) -> None:
     """New vN.metadata.json + atomic version-hint swap.
 
     The table LOCATION is carried forward from the existing metadata
@@ -793,8 +985,9 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
         "current-schema-id": old_md.get("current-schema-id", 0),
         "schemas": schemas if schemas is not None else old_md.get("schemas"),
         "default-spec-id": 0,
-        "partition-specs": old_md.get(
-            "partition-specs", [{"spec-id": 0, "fields": []}]),
+        "partition-specs": (partition_specs if partition_specs is not None
+                            else old_md.get("partition-specs",
+                                            [{"spec-id": 0, "fields": []}])),
         "default-sort-order-id": 0,
         "sort-orders": old_md.get(
             "sort-orders", [{"order-id": 0, "fields": []}]),
@@ -993,7 +1186,17 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
         parts = max(1, (n + target_file_rows - 1) // target_file_rows)
         df = df.repartition(parts)
     commit_uuid = uuid.uuid4().hex[:12]
-    new_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
+    spec_cols = _default_spec_columns(existing)
+    if spec_cols:  # compaction keeps the table's identity partition spec
+        part_fields = _partition_avro_fields(df, spec_cols)
+        landed = _land_partitioned_parts(df, table_dir, data_dir,
+                                         commit_uuid, part_fields)
+        new_files = [p for p, _v in landed]
+        part_vals = dict(landed)
+    else:
+        part_fields = None
+        new_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
+        part_vals = {}
     import pyarrow.parquet as pq
 
     counts = {p: pq.ParquetFile(p).metadata.num_rows for p in new_files}
@@ -1002,7 +1205,9 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
     add_man = _write_manifest(
         meta_dir, f"m-rw-{commit_uuid}.avro",
-        [_added_entry(p, snapshot_id, counts[p]) for p in new_files])
+        [_added_entry(p, snapshot_id, counts[p],
+                      partition=part_vals.get(p)) for p in new_files],
+        partition_fields=part_fields)
     # DELETED entries for every replaced data + delete file: readers skip
     # status=2, expire_snapshots sees the files only via old snapshots
     del_entries = [

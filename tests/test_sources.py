@@ -1236,3 +1236,104 @@ def test_iceberg_equality_delete_null_keys(spark, tmp_path):
     d = ic.delete_where_equality(spark, tdir, ["tag"], keys=keys)
     assert d["key_rows"] == 1
     assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 3}
+
+
+def test_iceberg_partitioned_write_read_prune(spark, tmp_path):
+    # identity partition spec: values live in the manifest's typed
+    # partition record; reads re-inject them; partition_filter prunes at
+    # the metadata layer (non-matching files never opened)
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "pt")
+    rows = [(i, ["py", "go", "rs"][i % 3], f"body{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, lang string, content string")
+    ic.write_table(spark, df, tdir, partition_by=["lang"])
+
+    # spec recorded in metadata
+    md = ic.read_table_metadata(tdir)
+    spec = md["partition_specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["lang"]
+    assert spec[0]["transform"] == "identity"
+
+    # full read: partition column re-injected exactly
+    got = {(r.id, r.lang) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(i, ["py", "go", "rs"][i % 3]) for i in range(30)}
+
+    # manifest-level pruning: only the matching files are listed
+    sf_all = ic.snapshot_files(tdir)
+    sf_py = ic.snapshot_files(tdir, partition_filter={"lang": "py"})
+    assert 0 < len(sf_py["data"]) < len(sf_all["data"])
+    assert all(sf_py["partition_values"][p]["lang"] == "py"
+               for p in sf_py["data"])
+    pruned = {r.id for r in
+              ic.read_data(spark, tdir,
+                           partition_filter={"lang": "py"}).collect()}
+    assert pruned == {i for i in range(30) if i % 3 == 0}
+
+    # appends inherit the spec; mismatched respec refuses
+    df2 = spark.createDataFrame([(100, "py", "x")],
+                                "id long, lang string, content string")
+    ic.write_table(spark, df2, tdir)
+    assert 100 in {r.id for r in
+                   ic.read_data(spark, tdir,
+                                partition_filter={"lang": "py"}).collect()}
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        ic.write_table(spark, df2, tdir, partition_by=["id"])
+
+    # unpartitioned table refuses a partitioned append
+    tdir2 = str(tmp_path / "flat")
+    ic.write_table(spark, df, tdir2)
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        ic.write_table(spark, df2, tdir2, partition_by=["lang"])
+
+
+def test_iceberg_partitioned_deletes_and_rewrite(spark, tmp_path):
+    # merge-on-read deletes and compaction preserve the partition spec
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "ptd")
+    rows = [(i, "even" if i % 2 == 0 else "odd", i * 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, par string, v long")
+    ic.write_table(spark, df, tdir, partition_by=["par"])
+
+    # positional delete on a predicate over a NON-partition column
+    ic.delete_where(spark, tdir, "id < 4")
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        set(range(4, 20))
+    # equality delete on the partition column itself
+    ic.delete_where_equality(spark, tdir, ["par"], condition="par = 'odd'")
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        {i for i in range(4, 20) if i % 2 == 0}
+
+    # rewrite keeps the spec: new files carry manifest partition values
+    rw = ic.rewrite_data_files(spark, tdir)
+    sf = ic.snapshot_files(tdir)
+    assert set(sf["data"]) == set(rw["files"])
+    assert all(p in sf["partition_values"] for p in sf["data"])
+    assert {r.id for r in
+            ic.read_data(spark, tdir,
+                         partition_filter={"par": "even"}).collect()} == \
+        {i for i in range(4, 20) if i % 2 == 0}
+    assert ic.read_data(spark, tdir,
+                        partition_filter={"par": "odd"}).count() == 0
+
+
+def test_iceberg_partitioned_null_values(spark, tmp_path):
+    # null partition values round-trip through the hive dir encoding and
+    # the manifest record
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "ptnull")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, k string")
+    ic.write_table(spark, df, tdir, partition_by=["k"])
+    got = {(r.id, r.k) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, None), (3, "b"), (4, None)}
+    # integer partition values parse back typed
+    tdir2 = str(tmp_path / "ptint")
+    df2 = spark.createDataFrame([(1, 10), (2, 20), (3, 10)],
+                                "id long, bucket long")
+    ic.write_table(spark, df2, tdir2, partition_by=["bucket"])
+    assert {r.id for r in
+            ic.read_data(spark, tdir2,
+                         partition_filter={"bucket": 10}).collect()} == {1, 3}
