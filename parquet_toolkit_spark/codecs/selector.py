@@ -142,29 +142,54 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict) -> list[str]:
     return cands
 
 
+_FSST_TRIAL_BYTES = 1 << 20
+
+
 def _fsst_sample_wins(data: bytes) -> bool:
-    """64KB trial: admit FSST only if it beats zstd on the sample by >10%.
+    """1MB-slice trial: admit FSST only if the REAL codec shape — dense
+    bit-packed token stream, zstd'd like the container does — beats
+    zstd(plain) on the slice by >20%.
 
-    Guards against paying FSST's encode cost on buffers where the
-    general-purpose floor wins anyway (e.g. random hex, FIXTURES.md
-    `random_hex`)."""
-    import pyarrow as pa
+    The 20% margin is COST-aware, not just size-aware: the from-scratch
+    FSST encodes ~100x slower than the zstd floor (~2-3 vs ~250 MB/s per
+    core), so a marginal size win (F0 `path`: 11% for 120x the encode
+    cost) would trade the north rule's throughput headline for noise.
+    Columns where FSST earns its keep (homogeneous natural/structured
+    text: documents `text` wins 34-38%) clear 20% comfortably.
 
+    Two prior gates both mispredicted, in opposite directions. Comparing
+    raw FSST bits (or a 96-symbol economy table) against zstd vetoed FSST
+    on columns the 255-symbol codec beats the floor by 30%+. And a 32KB
+    slice ADMITS it on corpora where the full chunk loses 1.6x: zstd's
+    long-range match finder recovers cross-file duplicate text from the
+    plain buffer, but the bit-packed token stream breaks those repeats'
+    byte alignment — an effect only visible once the trial slice spans
+    multiple files (measured: 256KB still mispredicts the F0 code corpus,
+    1MB flips to the correct reject; a homogeneous text column keeps its
+    0.62 win at every slice size). ~0.5s per gate call at the 1MB cap,
+    paid once per job on the plan_hints sample partition."""
     from parquet_toolkit_spark.codecs import fsst as fsst_mod
+    from parquet_toolkit_spark.codecs.bits import bit_width, pack_uints
+    from parquet_toolkit_spark.codecs.container import _ZSTD
 
-    sample = data[: _SAMPLE // 2]
+    sample = data[:_FSST_TRIAL_BYTES]
     if len(sample) < 1024:
         return True  # tiny buffers: trial cost is irrelevant, just compete
-    merges = fsst_mod.build_table(sample, max_symbols=96)
+    # table from the slice HEAD (enc_bin_fsst's own build policy), applied
+    # across the slice — the trial must mirror what the codec will do
+    merges = fsst_mod.build_table(sample[:65536])
     if not merges:
         return False
     tokens = fsst_mod.apply_merges(sample, merges)
-    nused = len(np.unique(tokens))
-    fsst_bits = len(tokens) * max(1, math.ceil(math.log2(max(2, nused))))
-    from parquet_toolkit_spark.codecs.container import _ZSTD
-
-    zstd_bytes = len(_ZSTD.compress(sample, asbytes=True))
-    return fsst_bits / 8 < 0.9 * zstd_bytes
+    used = np.unique(tokens)
+    remap = np.zeros(512, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    codes = remap[tokens].view(np.uint64)
+    w = bit_width(len(used) - 1) if len(used) > 1 else 0
+    packed = pack_uints(codes, w)
+    fsst_zstd = len(_ZSTD.compress(bytes(packed), asbytes=True))
+    plain_zstd = len(_ZSTD.compress(sample, asbytes=True))
+    return fsst_zstd < 0.80 * plain_zstd
 
 
 def select_codec(chunk: ColumnChunk, stats: dict | None = None,

@@ -260,3 +260,38 @@ def test_date_roundtrip():
         back = to_arrow(decode_blob(blob))
         assert back.type == arr.type
         assert back.to_pylist() == arr.to_pylist(), codec
+
+
+def test_fsst_gate_admits_big_wins_rejects_marginal():
+    """The FSST admission trial mirrors the real codec shape (255-symbol
+    table, bit-packed tokens, zstd) on a 1MB slice and demands a >=20%
+    win over the zstd floor: homogeneous text columns (where fsst+zstd
+    beats plain+zstd by 30%+) are admitted and WIN the final
+    smallest-blob pick; heterogeneous multi-file buffers (zstd's
+    long-range matches beat the alignment-breaking token stream) and
+    random bytes are rejected before any expensive full-chunk trial."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+
+    from parquet_toolkit_spark.codecs.chunk import from_arrow
+    from parquet_toolkit_spark.codecs.selector import (
+        _fsst_sample_wins,
+        select_codec,
+    )
+
+    rng = random.Random(7)
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "while", "reading", "spark", "manifests", "daily"]
+    docs = [" ".join(rng.choices(words, k=120)) for _ in range(1200)]
+    arr = pa.array(docs, type=pa.string())
+    ch = from_arrow(arr)
+    assert _fsst_sample_wins(ch.data)
+    name, blob, _ = select_codec(ch)
+    assert name == "bin_fsst"
+
+    # random hex: no structure, zstd floor wins, gate must reject
+    rnd = "".join(hashlib.sha256(str(i).encode()).hexdigest()
+                  for i in range(4000)).encode()
+    assert not _fsst_sample_wins(rnd)
