@@ -145,12 +145,23 @@ def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> di
         for f in schema["fields"]
     )
     snaps = md.get("snapshots", [])
+
+    def _fields_of(s):
+        return [(f["name"], _iceberg_type_to_ddl(f["type"]),
+                 f.get("required", False)) for f in s["fields"]]
+
     return {
         "metadata_file": target,
         "format_version": md.get("format-version"),
         "table_uuid": md.get("table-uuid"),
         "location": md.get("location", table_dir),
         "schema_ddl": ddl,
+        # every schema ever committed, by id — time travel to a
+        # pre-evolution snapshot reads with ITS schema (snapshot
+        # schema-id pin), not the current one
+        "schemas_by_id": {
+            s.get("schema-id", 0): _fields_of(s) for s in schemas
+        },
         "schema_fields": [
             (f["name"], _iceberg_type_to_ddl(f["type"]), f.get("required", False))
             for f in schema["fields"]
@@ -172,6 +183,7 @@ def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> di
             {"snapshot_id": s.get("snapshot-id"),
              "timestamp_ms": s.get("timestamp-ms"),
              "manifest_list": s.get("manifest-list"),
+             "schema_id": s.get("schema-id"),
              "summary": s.get("summary", {})}
             for s in snaps
         ],
@@ -459,6 +471,16 @@ def read_data(spark: SparkSession, table_dir: str,
     data IO), the metadata-layer analogue of parquet partition pruning.
     Row-level residual filtering is the caller's .where()."""
     md = read_table_metadata(table_dir, spark)
+    if snapshot_id is not None:
+        # time travel reads the snapshot's pinned schema (evolution-aware)
+        snap = next((s for s in md["snapshots"]
+                     if s["snapshot_id"] == snapshot_id), None)
+        sid = snap.get("schema_id") if snap else None
+        if sid is not None and sid in md["schemas_by_id"]:
+            sf_fields = md["schemas_by_id"][sid]
+            md = {**md, "schema_fields": sf_fields,
+                  "schema_ddl": ", ".join(f"{n} {t}"
+                                          for n, t, _r in sf_fields)}
     sf = snapshot_files(table_dir, snapshot_id, spark,
                         partition_filter=partition_filter)
     if not sf["data"]:  # fully-deleted table: empty frame, declared schema
@@ -579,7 +601,8 @@ MANIFEST_FILE_AVRO = {
 
 def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
                 properties: dict | None = None,
-                partition_by: list[str] | None = None) -> dict:
+                partition_by: list[str] | None = None,
+                allow_schema_evolution: bool = False) -> dict:
     """Append `df` to a filesystem Iceberg v2 table (created on first
     call): parquet data files + Avro manifest/manifest-list + new
     vN.metadata.json committed via atomic version-hint swap. Local paths
@@ -594,6 +617,14 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     corpora. The read path re-injects the partition columns from the
     manifest (data files don't carry them, matching engines that write
     Iceberg spec-partitioned tables).
+
+    allow_schema_evolution: append-only column ADDS are committed as a
+    new schema (fresh schema-id; new field ids continue from the table's
+    last-column-id — spec rule: ids are never reused) with the old
+    schemas retained; each snapshot pins its schema-id, so time travel
+    reads pre-evolution snapshots with the schema they were written
+    under. Old data files read the added columns as null. Type changes,
+    drops, and reorders still refuse.
 
     Returns {"snapshot_id", "sequence_number", "version", "files"}."""
     import os
@@ -637,13 +668,48 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
         fields.append({"id": fid, "name": f.name,
                        "type": _spark_field_to_iceberg(f, next_id),
                        "required": False})
+    # schema/commit metadata plumbing: None = carry the existing table's
+    # values forward through _commit_metadata unchanged
+    schemas_out: list | None = [
+        {"schema-id": 0, "type": "struct", "fields": fields}]
+    current_schema_id: int | None = None
+    last_col_out: int | None = id_state["last"]
     if existing is not None:
         want = [(n, t) for n, t, _req in existing["schema_fields"]]
         got = [(f["name"], _iceberg_type_to_ddl(f["type"])) for f in fields]
-        if want != got:
+        if want == got:
+            # plain append: never rewrite the schema history (an evolved
+            # table's schemas list + current-schema-id must survive)
+            schemas_out, last_col_out = None, None
+        elif allow_schema_evolution and got[:len(want)] == want:
+            old_md0 = _load_old_md(existing)
+            old_schemas = old_md0.get("schemas") or [old_md0["schema"]]
+            cur_sid = old_md0.get("current-schema-id", 0)
+            old_schema = next(s for s in old_schemas
+                              if s.get("schema-id", 0) == cur_sid)
+            # new field ids CONTINUE from last-column-id: ids are never
+            # reused across evolutions (Iceberg spec rule)
+            id_state["last"] = int(old_md0.get("last-column-id", 0))
+            new_fields = list(old_schema["fields"])
+            for f in df.schema.fields[len(want):]:
+                fid = next_id()
+                new_fields.append({"id": fid, "name": f.name,
+                                   "type": _spark_field_to_iceberg(f, next_id),
+                                   "required": False})
+            new_sid = max(s.get("schema-id", 0) for s in old_schemas) + 1
+            schemas_out = old_schemas + [
+                {"schema-id": new_sid, "type": "struct",
+                 "fields": new_fields}]
+            current_schema_id = new_sid
+            last_col_out = id_state["last"]
+            fields = new_fields
+        else:
+            hint = (" (append-only column adds commit with "
+                    "allow_schema_evolution=True)"
+                    if got[:len(want)] == want else "")
             raise ValueError(
                 f"schema mismatch appending to {table_dir}: table has "
-                f"{want}, dataframe has {got}"
+                f"{want}, dataframe has {got}{hint}"
             )
         spec_cols = _default_spec_columns(existing)
         if partition_by is None and spec_cols:
@@ -659,7 +725,8 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     part_fields = (_partition_avro_fields(df, partition_by)
                    if partition_by else None)
     partition_specs = None
-    if partition_by:
+    if partition_by and existing is None:
+        # spec declared at table creation; appends carry the existing one
         partition_specs = [{"spec-id": 0, "fields": [
             {"name": c, "transform": "identity",
              "source-id": name_to_fid[c], "field-id": 1000 + i}
@@ -703,9 +770,9 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     _commit_metadata(
         meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
         mlist_path, summary,
-        schemas=[{"schema-id": 0, "type": "struct", "fields": fields}],
-        last_column_id=id_state["last"], properties=properties,
-        partition_specs=partition_specs)
+        schemas=schemas_out, last_column_id=last_col_out,
+        properties=properties, partition_specs=partition_specs,
+        current_schema_id=current_schema_id)
     return {"snapshot_id": snapshot_id, "sequence_number": seq,
             "version": version, "files": data_files}
 
@@ -955,7 +1022,8 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
                      schemas: list | None = None,
                      last_column_id: int | None = None,
                      properties: dict | None = None,
-                     partition_specs: list | None = None) -> None:
+                     partition_specs: list | None = None,
+                     current_schema_id: int | None = None) -> None:
     """New vN.metadata.json + atomic version-hint swap.
 
     The table LOCATION is carried forward from the existing metadata
@@ -969,9 +1037,15 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
     import uuid
 
     now_ms = int(time.time() * 1000)
+    schema_id = (current_schema_id if current_schema_id is not None
+                 else old_md.get("current-schema-id", 0))
     snapshot = {
         "snapshot-id": snapshot_id, "sequence-number": seq,
         "timestamp-ms": now_ms, "manifest-list": mlist_path,
+        # per-snapshot schema pin (spec): time travel after a schema
+        # evolution reads each snapshot with the schema it was written
+        # under, not the current one
+        "schema-id": schema_id,
         "summary": summary,
     }
     md = {
@@ -982,7 +1056,7 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
         "last-updated-ms": now_ms,
         "last-column-id": (last_column_id if last_column_id is not None
                            else old_md.get("last-column-id", 0)),
-        "current-schema-id": old_md.get("current-schema-id", 0),
+        "current-schema-id": schema_id,
         "schemas": schemas if schemas is not None else old_md.get("schemas"),
         "default-spec-id": 0,
         "partition-specs": (partition_specs if partition_specs is not None

@@ -1337,3 +1337,60 @@ def test_iceberg_partitioned_null_values(spark, tmp_path):
     assert {r.id for r in
             ic.read_data(spark, tdir2,
                          partition_filter={"bucket": 10}).collect()} == {1, 3}
+
+
+def test_iceberg_schema_evolution_add_column(spark, tmp_path):
+    # append-only column adds: new schema-id, field ids continue from
+    # last-column-id, old snapshots time-travel with their own schema
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "evo")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    c1 = ic.write_table(spark, df1, tdir)
+
+    df2 = spark.createDataFrame([(3, "c", 30)], "id long, v string, extra long")
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        ic.write_table(spark, df2, tdir)
+    c2 = ic.write_table(spark, df2, tdir, allow_schema_evolution=True)
+
+    # current read: old rows null-fill the added column
+    got = {(r.id, r.v, r.extra) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 30)}
+
+    # time travel to the pre-evolution snapshot: ITS schema, no extra col
+    pre = ic.read_data(spark, tdir, c1["snapshot_id"])
+    assert pre.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in pre.collect()} == {(1, "a"), (2, "b")}
+
+    # metadata invariants: schema history retained, ids never reused
+    with open(ic.read_table_metadata(tdir)["metadata_file"]) as fh:
+        md = json.load(fh)
+    assert len(md["schemas"]) == 2
+    assert md["current-schema-id"] == 1
+    assert md["last-column-id"] == 3
+    new_schema = next(s for s in md["schemas"] if s["schema-id"] == 1)
+    assert [(f["name"], f["id"]) for f in new_schema["fields"]] == \
+        [("id", 1), ("v", 2), ("extra", 3)]
+
+    # plain append of the evolved schema keeps the history intact
+    ic.write_table(spark, spark.createDataFrame(
+        [(4, "d", 40)], "id long, v string, extra long"), tdir)
+    with open(ic.read_table_metadata(tdir)["metadata_file"]) as fh:
+        md2 = json.load(fh)
+    assert len(md2["schemas"]) == 2 and md2["current-schema-id"] == 1
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 2, 3, 4}
+
+    # equality delete on the ADDED column uses its evolved field id
+    d = ic.delete_where_equality(spark, tdir, ["extra"], condition="extra = 30")
+    assert d["key_rows"] == 1
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 2, 4}
+
+    # type changes refuse even with evolution on
+    bad = spark.createDataFrame([(5, 9, 1)], "id long, v long, extra long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ic.write_table(spark, bad, tdir, allow_schema_evolution=True)
+    # still-older snapshot readable after all of it (c2 schema has extra)
+    assert ic.read_data(spark, tdir, c2["snapshot_id"]).columns == \
+        ["id", "v", "extra"]
