@@ -38,8 +38,16 @@ def csv_to_df(spark: SparkSession, path: str,
               column_names: list[str] | None = None,
               delimiter: str = ",", quote: str = '"',
               skip_lines: int = 0,
-              line_sep: str | None = None) -> DataFrame:
+              line_sep: str | None = None,
+              allow_missing_column_names: bool = False) -> DataFrame:
     """Read CSV (or .gz) with reference-parity options into a typed DF.
+
+    allow_missing_column_names: reference `withAllowMissingColumnNames`
+    (CsvToParquetConverter.java:206-208,293-295). Commons CSV refuses a
+    header with empty cells unless the flag is set; Spark silently
+    synthesizes `_cN` names instead. Default False restores the refusal
+    (one tiny head job checks the raw header row); True keeps Spark's
+    synthesized names for the unnamed columns.
 
     line_sep: custom record separator (reference withLineSeparator,
     CsvToParquetConverter.java:287-301); Spark supports 1-2 char values.
@@ -66,6 +74,20 @@ def csv_to_df(spark: SparkSession, path: str,
             for name, t in field_types.items()
         ])
         reader = reader.schema(schema)
+
+    if header and not allow_missing_column_names:
+        raw_hdr = (
+            spark.read.option("sep", delimiter).option("quote", quote)
+            .option("header", False)
+            .csv(path).limit(1).collect()
+        )
+        if raw_hdr and any(v is None or str(v).strip() == ""
+                           for v in raw_hdr[0]):
+            raise ValueError(
+                f"CSV header in {path} has empty column name(s); pass "
+                "allow_missing_column_names=True to accept them as _cN "
+                "(reference withAllowMissingColumnNames)"
+            )
 
     source = path
     if skip_lines > 0 and not header:

@@ -1394,3 +1394,23 @@ def test_iceberg_schema_evolution_add_column(spark, tmp_path):
     # still-older snapshot readable after all of it (c2 schema has extra)
     assert ic.read_data(spark, tdir, c2["snapshot_id"]).columns == \
         ["id", "v", "extra"]
+
+
+def test_csv_allow_missing_column_names(spark, tmp_path):
+    # reference withAllowMissingColumnNames parity: empty header cells
+    # refuse by default, opt in to get Spark's synthesized _cN names
+    from parquet_toolkit_spark.sources.csv_ingest import csv_to_df
+
+    p = str(tmp_path / "m.csv")
+    with open(p, "w") as fh:
+        fh.write("a,,b\n1,2,3\n4,5,6\n")
+    with pytest.raises(ValueError, match="allow_missing_column_names"):
+        csv_to_df(spark, p)
+    df = csv_to_df(spark, p, allow_missing_column_names=True)
+    assert df.columns == ["a", "_c1", "b"]
+    assert df.count() == 2
+    # a clean header is unaffected by the default check
+    p2 = str(tmp_path / "ok.csv")
+    with open(p2, "w") as fh:
+        fh.write("x,y\n7,8\n")
+    assert csv_to_df(spark, p2).columns == ["x", "y"]
