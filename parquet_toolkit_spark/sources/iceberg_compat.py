@@ -238,7 +238,8 @@ def read_manifest(path: str, spark: SparkSession | None = None) -> list[dict]:
 
 def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                    spark: SparkSession | None = None,
-                   partition_filter: dict | None = None) -> dict:
+                   partition_filter: dict | None = None,
+                   range_filter: dict | None = None) -> dict:
     """EXACT live file sets of a snapshot via the manifest layer.
 
     Returns {"data": [resolved paths], "position_deletes": [resolved
@@ -249,6 +250,11 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     partition_filter={"col": value} drops data entries whose manifest
     partition record holds a different value for that column — pruning
     at the METADATA layer, before any data file is opened.
+    range_filter={"col": (lo, hi)} (either side None) drops data entries
+    whose manifest lower/upper column bounds cannot intersect [lo, hi] —
+    the file-level zone maps written from parquet footer stats. Files
+    without bounds (old/hand-built manifests, skipped long strings) are
+    always kept: absence of evidence never prunes.
     Walks manifest-list -> manifests -> entries, keeping entries with
     status != 2 (DELETED). Positional (content=1) AND equality
     (content=2) delete files are returned for read_data to apply;
@@ -288,6 +294,9 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                         k in pvals and pvals[k] != v
                         for k, v in partition_filter.items()):
                     continue  # manifest-level pruning: zero data IO
+                if range_filter and not _bounds_admit(dfile, range_filter,
+                                                      md):
+                    continue  # zone-map pruning: bounds exclude the range
                 data.append(resolved)
                 data_seq[resolved] = seq
                 if pvals:
@@ -310,6 +319,28 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
             "equality_deletes": eq_deletes, "data_seq": data_seq,
             "partition_values": partition_values,
             "raw_to_resolved": raw_to_resolved}
+
+
+def _bounds_admit(dfile: dict, range_filter: dict, md: dict) -> bool:
+    """True iff the file's manifest column bounds could intersect every
+    requested [lo, hi]. Missing bounds for a column admit the file."""
+    name_to_fid = md["schema_name_to_id"]
+    types = {n: t for n, t, _r in md["schema_fields"]}
+    lowers = {e["key"]: e["value"]
+              for e in (dfile.get("lower_bounds") or [])}
+    uppers = {e["key"]: e["value"]
+              for e in (dfile.get("upper_bounds") or [])}
+    for col, (lo, hi) in range_filter.items():
+        fid = name_to_fid.get(col)
+        if fid is None:
+            continue
+        t = types.get(col, "")
+        fl, fu = lowers.get(fid), uppers.get(fid)
+        if hi is not None and fl is not None and _bound_value(fl, t) > hi:
+            return False
+        if lo is not None and fu is not None and _bound_value(fu, t) < lo:
+            return False
+    return True
 
 
 def snapshot_data_files(table_dir: str, snapshot_id: int | None = None,
@@ -456,7 +487,8 @@ def _norm_fp(p: str) -> str:
 
 def read_data(spark: SparkSession, table_dir: str,
               snapshot_id: int | None = None,
-              partition_filter: dict | None = None) -> DataFrame:
+              partition_filter: dict | None = None,
+              range_filter: dict | None = None) -> DataFrame:
     """Read an Iceberg table EXACTLY: declared schema + the manifest
     layer's live-file list (append, delete and replace snapshots all read
     the correct pruned set). Time travel via snapshot_id.
@@ -469,7 +501,11 @@ def read_data(spark: SparkSession, table_dir: str,
     partition_filter={"col": value, ...}: manifest-level identity-
     partition pruning — non-matching data files are never opened (zero
     data IO), the metadata-layer analogue of parquet partition pruning.
-    Row-level residual filtering is the caller's .where()."""
+    range_filter={"col": (lo, hi)}: file-level zone-map pruning from the
+    manifest's per-file column bounds. BOTH are file-level: row-level
+    residual filtering is still the caller's .where() — pair them
+    (`read_data(..., range_filter={"id": (a, b)}).where(...)`) for
+    exact results with pruned IO."""
     md = read_table_metadata(table_dir, spark)
     if snapshot_id is not None:
         # time travel reads the snapshot's pinned schema (evolution-aware)
@@ -482,7 +518,8 @@ def read_data(spark: SparkSession, table_dir: str,
                   "schema_ddl": ", ".join(f"{n} {t}"
                                           for n, t, _r in sf_fields)}
     sf = snapshot_files(table_dir, snapshot_id, spark,
-                        partition_filter=partition_filter)
+                        partition_filter=partition_filter,
+                        range_filter=range_filter)
     if not sf["data"]:  # fully-deleted table: empty frame, declared schema
         return spark.createDataFrame([], md["schema_ddl"])
     cols = [f[0] for f in md["schema_fields"]]
@@ -569,6 +606,16 @@ _DATA_FILE_AVRO = {
             {"type": "array", "items": "long"})},
         {"name": "equality_ids", "type": _opt(
             {"type": "array", "items": "int"})},
+        # spec k/v-record-array encoding of map<field id, serialized
+        # single value>: per-file column zone maps for scan pruning
+        {"name": "lower_bounds", "type": _opt({"type": "array", "items": {
+            "type": "record", "name": "k126_v127", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"}]}})},
+        {"name": "upper_bounds", "type": _opt({"type": "array", "items": {
+            "type": "record", "name": "k129_v130", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"}]}})},
         {"name": "sort_order_id", "type": _opt("int")},
     ]}
 
@@ -750,11 +797,15 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     old_md = _load_old_md(existing)
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
 
-    # ---- manifest for the new files
+    # ---- manifest for the new files (column bounds from the parquet
+    # footers: free file-level zone maps for range_filter scan pruning)
+    ddl_types = {f["name"]: _iceberg_type_to_ddl(f["type"]) for f in fields}
     man_path = _write_manifest(
         meta_dir, f"m-{commit_uuid}.avro",
         [_added_entry(p, snapshot_id, counts[p],
-                      partition=part_vals.get(p)) for p in data_files],
+                      partition=part_vals.get(p),
+                      bounds=_file_bounds(p, name_to_fid, ddl_types))
+         for p in data_files],
         partition_fields=part_fields)
     new_mf = _manifest_file_row(man_path, content=0, seq=seq,
                                 snapshot_id=snapshot_id,
@@ -913,9 +964,11 @@ def _next_commit_ids(existing: dict | None, old_md: dict) -> tuple[int, int, int
 def _added_entry(path: str, snapshot_id: int, record_count: int,
                  status: int = 1, content: int = 0,
                  equality_ids: list[int] | None = None,
-                 partition: dict | None = None) -> dict:
+                 partition: dict | None = None,
+                 bounds: tuple[list, list] | None = None) -> dict:
     import os
 
+    lowers, uppers = bounds if bounds else (None, None)
     return {
         "status": status, "snapshot_id": snapshot_id,
         "sequence_number": None, "file_sequence_number": None,
@@ -927,8 +980,79 @@ def _added_entry(path: str, snapshot_id: int, record_count: int,
                       if os.path.exists(path) else 0,
                       "split_offsets": None,
                       "equality_ids": equality_ids,
+                      "lower_bounds": lowers, "upper_bounds": uppers,
                       "sort_order_id": None},
     }
+
+
+_BOUND_PACK = {"bigint": "<q", "int": "<i", "double": "<d", "float": "<f"}
+
+
+def _bound_bytes(val, ddl_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization (ints/floats little-
+    endian, strings UTF-8). Strings over 128B are SKIPPED rather than
+    truncated: a truncated upper bound needs increment-with-carry to stay
+    an upper bound, and an absent bound is always safe (file kept)."""
+    import struct
+
+    if val is None:
+        return None
+    fmt = _BOUND_PACK.get(ddl_type)
+    if fmt:
+        return struct.pack(fmt, val)
+    if ddl_type == "boolean":
+        return b"\x01" if val else b"\x00"
+    if ddl_type == "string":
+        raw = val.encode() if isinstance(val, str) else bytes(val)
+        return raw if len(raw) <= 128 else None
+    return None
+
+
+def _bound_value(raw: bytes, ddl_type: str):
+    import struct
+
+    fmt = _BOUND_PACK.get(ddl_type)
+    if fmt:
+        return struct.unpack(fmt, raw)[0]
+    if ddl_type == "boolean":
+        return raw != b"\x00"
+    if ddl_type == "string":
+        return raw.decode()
+    return None
+
+
+def _file_bounds(path: str, name_to_fid: dict, ddl_types: dict
+                 ) -> tuple[list, list] | None:
+    """Per-column (lower, upper) from the parquet FOOTER statistics —
+    already computed by the writer, so file-level zone maps cost zero
+    extra IO. Returns the spec's k/v-array map encoding."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max or name not in name_to_fid:
+                continue
+            if name not in lo or st.min < lo[name]:
+                lo[name] = st.min
+            if name not in hi or st.max > hi[name]:
+                hi[name] = st.max
+    lowers, uppers = [], []
+    for name, v in lo.items():
+        b = _bound_bytes(v, ddl_types.get(name, ""))
+        if b is not None:
+            lowers.append({"key": int(name_to_fid[name]), "value": b})
+    for name, v in hi.items():
+        b = _bound_bytes(v, ddl_types.get(name, ""))
+        if b is not None:
+            uppers.append({"key": int(name_to_fid[name]), "value": b})
+    return (lowers or None, uppers or None)
 
 
 def _manifest_entry_avro(partition_fields: list[tuple[str, str]]) -> dict:
@@ -1277,10 +1401,14 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
 
     old_md = _load_old_md(existing)
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
+    rw_types = {n: t for n, t, _r in existing["schema_fields"]}
     add_man = _write_manifest(
         meta_dir, f"m-rw-{commit_uuid}.avro",
         [_added_entry(p, snapshot_id, counts[p],
-                      partition=part_vals.get(p)) for p in new_files],
+                      partition=part_vals.get(p),
+                      bounds=_file_bounds(p, existing["schema_name_to_id"],
+                                          rw_types))
+         for p in new_files],
         partition_fields=part_fields)
     # DELETED entries for every replaced data + delete file: readers skip
     # status=2, expire_snapshots sees the files only via old snapshots

@@ -1414,3 +1414,51 @@ def test_csv_allow_missing_column_names(spark, tmp_path):
     with open(p2, "w") as fh:
         fh.write("x,y\n7,8\n")
     assert csv_to_df(spark, p2).columns == ["x", "y"]
+
+
+def test_iceberg_file_bounds_range_pruning(spark, tmp_path):
+    # per-file column bounds from parquet footers land in the manifest;
+    # range_filter prunes files at the metadata layer
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "zb")
+    df = (spark.range(0, 1000)
+          .selectExpr("id", "concat('u', lpad(cast(id as string), 4, '0')) AS name")
+          .repartitionByRange(4, "id"))
+    ic.write_table(spark, df, tdir)
+    sf_all = ic.snapshot_files(tdir)
+    assert len(sf_all["data"]) == 4
+
+    # manifest entries carry bounds
+    man = ic.read_manifest(
+        ic._resolve_path(
+            ic.read_manifest_list(
+                ic._resolve_path(
+                    ic.read_table_metadata(tdir)["snapshots"][0]["manifest_list"],
+                    tdir, tdir),
+            )[0]["manifest_path"], tdir, tdir))
+    assert all(e["data_file"]["lower_bounds"] for e in man)
+
+    # long range: only files whose [lo, hi] intersect are listed
+    sf = ic.snapshot_files(tdir, range_filter={"id": (0, 10)})
+    assert len(sf["data"]) == 1
+    got = {r.id for r in
+           ic.read_data(spark, tdir, range_filter={"id": (0, 10)})
+           .where("id <= 10").collect()}
+    assert got == set(range(11))
+
+    # string bounds prune too
+    sf_s = ic.snapshot_files(tdir, range_filter={"name": ("u0000", "u0005")})
+    assert len(sf_s["data"]) == 1
+    # open-ended sides
+    assert len(ic.snapshot_files(
+        tdir, range_filter={"id": (900, None)})["data"]) == 1
+    assert len(ic.snapshot_files(
+        tdir, range_filter={"id": (None, None)})["data"]) == 4
+    # disjoint range: nothing to read, empty frame with declared schema
+    empty = ic.read_data(spark, tdir, range_filter={"id": (5000, 6000)})
+    assert empty.count() == 0 and empty.columns == ["id", "name"]
+
+    # unknown column in the filter is ignored (never prunes)
+    assert len(ic.snapshot_files(
+        tdir, range_filter={"nope": (1, 2)})["data"]) == 4
