@@ -510,6 +510,40 @@ def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg identity-partitioned write + metadata-layer pruning: the
+    documents table is committed partitioned by lang (partition values in
+    the manifest's typed partition record, not in the data files), then
+    read back with partition_filter (only matching files opened) AND a
+    doc_id range_filter over the per-file footer-derived column bounds.
+    Must equal a plain WHERE over the source table."""
+    import shutil
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        read_data,
+        write_table,
+    )
+
+    tdir = _fixture_path("icepart", sf_dir)
+    done = os.path.join(tdir, "_DONE")
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(done):
+        shutil.rmtree(tdir, ignore_errors=True)
+        write_table(spark, docs, tdir, partition_by=["lang"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    min_lang = docs.agg(F.min("lang")).first()[0]
+    # exact deterministic midpoint (approx percentiles differ per engine)
+    mid = int(docs.agg(F.max("doc_id")).first()[0]) // 2
+    df = read_data(spark, tdir, partition_filter={"lang": min_lang},
+                   range_filter={"doc_id": (None, int(mid))})
+    return (
+        df.where(F.col("doc_id") <= F.lit(int(mid)))  # row-level residual
+        .select("doc_id",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+    )
+
+
 def q_fsck_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store integrity check on a fresh encode: every column blob's
     recomputed sha256 must match its manifest entry (distinct
@@ -984,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "iceberg_write_read": q_iceberg_write_read,
         "iceberg_mor_delete": q_iceberg_mor_delete,
+        "iceberg_partition_prune": q_iceberg_partition_prune,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
@@ -1103,6 +1138,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE doc_id % 11 = 0 "
             "AND lang = (SELECT min(lang) FROM documents)"
+        ),
+        "iceberg_partition_prune": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE lang = (SELECT min(lang) FROM documents) "
+            "AND doc_id <= (SELECT max(doc_id) / 2 FROM documents)"
         ),
         "encode_manifest_coverage": (
             "SELECT c AS column, (SELECT count(*) FROM documents) AS total_rows "

@@ -59,7 +59,8 @@ BENCH_QUERIES = [
     "ivf_ann_topk", "media_features", "sessionize_stream", "quality",
     "ngram_jaccard", "ngram_jaccard_minhash", "csv_convert",
     "encode_pruned_decode", "incremental_encode", "iceberg_encode_roundtrip",
-    "iceberg_write_read", "iceberg_mor_delete", "fsck_store",
+    "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
+    "fsck_store",
 ]
 
 
