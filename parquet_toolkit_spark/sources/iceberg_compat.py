@@ -1553,3 +1553,101 @@ def expire_snapshots(spark: SparkSession | None, table_dir: str,
             pass  # already gone (prior crashed run): deletion is idempotent
     return {"removed_snapshots": len(removed), "deleted_files": deleted,
             "version": version}
+
+
+# --------------------------------------------------- inspection tables
+# DataFrame views of the table metadata, mirroring the engine-side
+# `table.snapshots` / `table.files` / `table.history` metadata tables.
+# Row counts are metadata-bounded (snapshots, manifest entries), not
+# data-bounded: the driver walks manifests it already decodes for reads.
+
+
+def table_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
+    """One row per snapshot: committed_at_ms, snapshot_id, operation,
+    schema_id, manifest_list, summary (JSON string)."""
+    import json
+
+    md = read_table_metadata(table_dir, spark)
+    rows = [
+        (int(s["timestamp_ms"]), int(s["snapshot_id"]),
+         s.get("summary", {}).get("operation", "append"),
+         s.get("schema_id"), s["manifest_list"],
+         json.dumps(s.get("summary", {}), sort_keys=True))
+        for s in md["snapshots"]
+    ]
+    return spark.createDataFrame(
+        rows, "committed_at_ms long, snapshot_id long, operation string, "
+              "schema_id int, manifest_list string, summary string")
+
+
+def table_files(spark: SparkSession, table_dir: str,
+                snapshot_id: int | None = None) -> DataFrame:
+    """One row per live file of a snapshot (data AND delete files):
+    content (0=data/1=position deletes/2=equality deletes), file_path,
+    record_count, file_size_in_bytes, sequence_number, partition as a
+    JSON string, and decoded lower/upper bounds as JSON strings."""
+    import json
+
+    md = read_table_metadata(table_dir, spark)
+    sid = (snapshot_id if snapshot_id is not None
+           else md["current_snapshot_id"])
+    snap = next((s for s in md["snapshots"] if s["snapshot_id"] == sid),
+                None)
+    if snap is None:
+        raise ValueError(f"snapshot {sid} not found in {table_dir}")
+    types = {n: t for n, t, _r in md["schema_fields"]}
+    fid_to_name = md["schema_id_to_name"]
+
+    def _decode_bounds(dfile, key):
+        out = {}
+        for e in (dfile.get(key) or []):
+            name = fid_to_name.get(e["key"])
+            if name is None:
+                continue
+            v = _bound_value(e["value"], types.get(name, ""))
+            out[name] = v
+        return json.dumps(out, sort_keys=True, default=str) if out else None
+
+    mlist = _resolve_path(snap["manifest_list"], table_dir, md["location"])
+    rows = []
+    for mf in read_manifest_list(mlist, spark):
+        mpath = _resolve_path(mf["manifest_path"], table_dir, md["location"])
+        for e in read_manifest(mpath, spark):
+            if e.get("status", 0) == 2:
+                continue
+            d = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            rows.append((
+                int(d.get("content", 0)),
+                _resolve_path(d["file_path"], table_dir, md["location"]),
+                int(d.get("record_count", 0)),
+                int(d.get("file_size_in_bytes", 0)),
+                int(seq),
+                json.dumps(dict(d.get("partition") or {}), sort_keys=True,
+                           default=str) or "{}",
+                _decode_bounds(d, "lower_bounds"),
+                _decode_bounds(d, "upper_bounds"),
+            ))
+    return spark.createDataFrame(
+        rows, "content int, file_path string, record_count long, "
+              "file_size_in_bytes long, sequence_number long, "
+              "partition string, lower_bounds string, upper_bounds string")
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Snapshot log: made_current_at_ms, snapshot_id, is_current."""
+    import json
+
+    with open(read_table_metadata(table_dir, spark)["metadata_file"]) as fh:
+        md = json.load(fh)
+    cur = md.get("current-snapshot-id")
+    rows = [
+        (int(e["timestamp-ms"]), int(e["snapshot-id"]),
+         e["snapshot-id"] == cur)
+        for e in md.get("snapshot-log", [])
+    ]
+    return spark.createDataFrame(
+        rows, "made_current_at_ms long, snapshot_id long, "
+              "is_current boolean")

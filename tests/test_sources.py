@@ -1462,3 +1462,43 @@ def test_iceberg_file_bounds_range_pruning(spark, tmp_path):
     # unknown column in the filter is ignored (never prunes)
     assert len(ic.snapshot_files(
         tdir, range_filter={"nope": (1, 2)})["data"]) == 4
+
+
+def test_iceberg_inspection_tables(spark, tmp_path):
+    # snapshots/files/history metadata tables over a table with appends,
+    # a merge-on-read delete, and a schema evolution
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "insp")
+    c1 = ic.write_table(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), tdir)
+    ic.write_table(spark, spark.createDataFrame(
+        [(3, "c")], "id long, v string"), tdir)
+    ic.delete_where(spark, tdir, "id = 2")
+
+    snaps = ic.table_snapshots(spark, tdir).orderBy("snapshot_id").collect()
+    assert [s.operation for s in snaps] == ["append", "append", "delete"]
+    assert json.loads(snaps[2].summary)["added-position-deletes"] == "1"
+
+    files = ic.table_files(spark, tdir).collect()
+    assert {f.content for f in files} == {0, 1}
+    datafiles = [f for f in files if f.content == 0]
+    assert sum(f.record_count for f in datafiles) == 3
+    assert all(f.file_size_in_bytes > 0 for f in files)
+    los = [json.loads(f.lower_bounds)["id"] for f in datafiles
+           if f.lower_bounds]
+    his = [json.loads(f.upper_bounds)["id"] for f in datafiles
+           if f.upper_bounds]
+    assert min(los) == 1 and max(his) == 3
+
+    # time-traveled files view: the first append only
+    f1 = ic.table_files(spark, tdir, c1["snapshot_id"]).collect()
+    assert all(f.content == 0 for f in f1)
+    assert sum(f.record_count for f in f1) == 2
+
+    hist = ic.table_history(spark, tdir).orderBy("made_current_at_ms").collect()
+    assert len(hist) == 3
+    assert [h.is_current for h in hist] == [False, False, True]
+    assert hist[-1].snapshot_id == snaps[-1].snapshot_id
