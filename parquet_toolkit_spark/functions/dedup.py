@@ -445,19 +445,19 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                        "v")
             .groupBy("u").agg(F.min("nlabel").alias("nl"))
         )
-        new_labels = (
+        # carry the previous label through the propagation select so the
+        # convergence check is a filter over the checkpointed frame —
+        # NOT a second labels-vs-labels join+shuffle per round
+        stepped = (
             labels.join(nbr, "u", "left")
-            .select("u", F.least(F.col("label"),
-                                 F.coalesce("nl", "label")).alias("label"))
+            .select("u",
+                    F.least(F.col("label"),
+                            F.coalesce("nl", "label")).alias("label"),
+                    F.col("label").alias("_prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") < F.col("_prev")).count()
+        labels = stepped.drop("_prev")
         if changed == 0:
             return labels.select(F.col("u").alias(id_col),
                                  F.col("label").alias("cluster_id"))
