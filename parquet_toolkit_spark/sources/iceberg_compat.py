@@ -1651,3 +1651,62 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "made_current_at_ms long, snapshot_id long, "
               "is_current boolean")
+
+
+def remove_orphan_files(spark: SparkSession | None, table_dir: str,
+                        dry_run: bool = True) -> dict:
+    """Iceberg maintenance: list files under data/ that NO snapshot
+    references (crashed writes, aborted compactions — our own writers
+    land data files before the metadata commit, so a crash between the
+    two legitimately strands files). dry_run=True (default) only reports;
+    dry_run=False deletes them.
+
+    Every snapshot's manifests are walked INCLUDING DELETED entries:
+    a file a replace snapshot marked removed is still time-travelable
+    through older snapshots and must not be treated as orphan. Metadata
+    files are never touched (expire_snapshots owns those).
+
+    Returns {"orphans": [paths], "deleted": int}."""
+    import glob as _g
+    import json
+    import os
+
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
+    table_dir = strip_local_scheme(table_dir).rstrip("/")
+    info = read_table_metadata(table_dir, spark)
+    with open(info["metadata_file"]) as fh:
+        md = json.load(fh)
+    loc = info["location"]
+
+    referenced: set[str] = set()
+    for s in md.get("snapshots", []):
+        mlist = _resolve_path(s["manifest-list"], table_dir, loc)
+        try:
+            mf_rows = read_manifest_list(mlist, spark)
+        except (FileNotFoundError, OSError):
+            continue  # expired-but-unpruned snapshot rows: nothing to add
+        for mf in mf_rows:
+            mpath = _resolve_path(mf["manifest_path"], table_dir, loc)
+            try:
+                entries = read_manifest(mpath, spark)
+            except (FileNotFoundError, OSError):
+                continue
+            for e in entries:  # DELETED entries included on purpose
+                referenced.add(_resolve_path(e["data_file"]["file_path"],
+                                             table_dir, loc))
+
+    on_disk = {
+        p for p in _g.glob(os.path.join(table_dir, "data", "*"))
+        if os.path.isfile(p)
+    }
+    orphans = sorted(on_disk - referenced)
+    deleted = 0
+    if not dry_run:
+        for p in orphans:
+            try:
+                os.remove(p)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+    return {"orphans": orphans, "deleted": deleted}

@@ -1502,3 +1502,35 @@ def test_iceberg_inspection_tables(spark, tmp_path):
     assert len(hist) == 3
     assert [h.is_current for h in hist] == [False, False, True]
     assert hist[-1].snapshot_id == snaps[-1].snapshot_id
+
+
+def test_iceberg_remove_orphan_files(spark, tmp_path):
+    # files no snapshot references (crashed pre-commit writes) are
+    # reported then deleted; referenced and time-travel files survive,
+    # including files only reachable via DELETED entries of a rewrite
+    import os
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "orph")
+    ic.write_table(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), tdir)
+    ic.rewrite_data_files(spark, tdir)  # old files now DELETED entries
+
+    stray = os.path.join(tdir, "data", "deadbeef-99999.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    rep = ic.remove_orphan_files(spark, tdir)  # dry run
+    assert rep["orphans"] == [stray] and rep["deleted"] == 0
+    assert os.path.exists(stray)
+
+    rep2 = ic.remove_orphan_files(spark, tdir, dry_run=False)
+    assert rep2["deleted"] == 1 and not os.path.exists(stray)
+
+    # nothing else was touched: both snapshots still read exactly
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 2}
+    first = ic.read_table_metadata(tdir)["snapshots"][0]["snapshot_id"]
+    assert {r.id for r in
+            ic.read_data(spark, tdir, first).collect()} == {1, 2}
+    assert ic.remove_orphan_files(spark, tdir)["orphans"] == []
