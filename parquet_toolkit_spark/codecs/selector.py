@@ -194,16 +194,28 @@ def _fsst_sample_wins(data: bytes) -> bool:
 
 def select_codec(chunk: ColumnChunk, stats: dict | None = None,
                  zstd: bool = True,
-                 candidates: list[str] | None = None) -> tuple[str, bytes, dict]:
+                 candidates: list[str] | None = None,
+                 exclude: set[str] | frozenset[str] | None = None
+                 ) -> tuple[str, bytes, dict]:
     """Encode candidates, keep the smallest blob.
 
     Returns (codec_name, blob, stats). Trial-encoding is bounded: the
     candidate list is 1-3 codecs, each a vectorized pass. Pass
     `candidates` (e.g. from plan_hints) to skip the per-chunk gating —
-    the hoisted-gate path for large encode jobs.
+    the hoisted-gate path for large encode jobs. `exclude` drops codecs
+    from consideration entirely (the encode-latency dial: streaming hot
+    paths exclude bin_fsst, whose 34%-size wins cost ~100x the floor's
+    encode CPU); the plain floor can never be excluded away.
     """
     if stats is None:
         stats = profile_chunk(chunk)
+    if exclude:
+        floor = {"bin": "bin_plain", "int": "int_plain",
+                 "flist": "flist_plain", "float": "float_plain",
+                 "bool": "bool_bitmap"}.get(chunk.kind)
+        keep = [c for c in (candidates or candidate_codecs(chunk, stats))
+                if c not in exclude]
+        candidates = keep or ([floor] if floor else None)
     if candidates:
         # pinned hints come from a SAMPLE partition: never let them route
         # FSST onto a pathologically large chunk (encode-cost cap)

@@ -70,11 +70,14 @@ def _arrow_type_for(ddl: str) -> pa.DataType | None:
 
 def _encode_columns(cols: dict[str, pa.Array], pid: int,
                     run_id: str,
-                    hints: dict[str, list[str]] | None = None) -> list[dict]:
+                    hints: dict[str, list[str]] | None = None,
+                    exclude_codecs: frozenset[str] = frozenset()
+                    ) -> list[dict]:
     """Arrow columns of one partition -> one encoded row dict per column.
 
     `hints` (from selector.plan_hints) pins each column's candidate list,
-    skipping per-chunk gating/trials on the hot path."""
+    skipping per-chunk gating/trials on the hot path. `exclude_codecs`
+    is the encode-latency dial (see select_codec)."""
     from parquet_toolkit_spark.codecs.chunk import from_arrow
     from parquet_toolkit_spark.codecs.selector import select_codec
     from parquet_toolkit_spark.runtime import tune_malloc
@@ -84,7 +87,8 @@ def _encode_columns(cols: dict[str, pa.Array], pid: int,
     for col, arr in cols.items():
         chunk = from_arrow(arr)
         codec, blob, stats = select_codec(
-            chunk, candidates=(hints or {}).get(col)
+            chunk, candidates=(hints or {}).get(col),
+            exclude=exclude_codecs or None
         )
         rows.append({
             "pid": pid,
@@ -115,13 +119,15 @@ def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
 
 
 def _encode_pdf(pdf: pd.DataFrame, pid: int, schema_map: dict[str, str],
-                run_id: str) -> pd.DataFrame:
+                run_id: str,
+                exclude_codecs: frozenset[str] = frozenset()) -> pd.DataFrame:
     """pandas entry (applyInPandas resume path)."""
     cols = {
         col: pa.Array.from_pandas(pdf[col], type=_arrow_type_for(stype))
         for col, stype in schema_map.items()
     }
-    return pd.DataFrame(_encode_columns(cols, pid, run_id))
+    return pd.DataFrame(
+        _encode_columns(cols, pid, run_id, exclude_codecs=exclude_codecs))
 
 
 def _schema_map(df: DataFrame, exclude: tuple[str, ...] = ("pid",)) -> dict[str, str]:

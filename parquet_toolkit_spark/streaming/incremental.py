@@ -36,10 +36,21 @@ def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
                        schema_ddl: str, checkpoint_dir: str,
                        run_id: str = "stream",
                        rows_per_pid: int = 250_000,
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       codec_profile: str = "fast"):
     """Start (and with available_now=True, drain) an incremental encode.
 
+    codec_profile: "fast" (default) excludes bin_fsst — a stream's
+    encode latency bounds its ingest rate, and FSST buys its 30%+ size
+    wins with ~100x the floor's encode CPU; batch re-encode (compaction
+    through encode_pipeline) can upgrade the stored codec later.
+    "small" competes every codec like the batch path.
+
     Returns the StreamingQuery (already stopped if available_now)."""
+    if codec_profile not in ("fast", "small"):
+        raise ValueError(f"unknown codec_profile {codec_profile!r}")
+    exclude = frozenset({"bin_fsst"}) if codec_profile == "fast" \
+        else frozenset()
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", 64)
@@ -66,7 +77,8 @@ def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
                 return
             pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
             pid = base_pid + TaskContext.get().partitionId()
-            yield _encode_pdf(pdf, pid, schema_map, f"{run_id}-e{epoch_id}")
+            yield _encode_pdf(pdf, pid, schema_map, f"{run_id}-e{epoch_id}",
+                              exclude_codecs=exclude)
 
         encoded = laid.mapInPandas(encode_iter, ENCODED_SCHEMA)
         # pass the batch's pid range so the manifest commit reads ONLY the

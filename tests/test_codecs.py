@@ -295,3 +295,29 @@ def test_fsst_gate_admits_big_wins_rejects_marginal():
     rnd = "".join(hashlib.sha256(str(i).encode()).hexdigest()
                   for i in range(4000)).encode()
     assert not _fsst_sample_wins(rnd)
+
+
+def test_select_codec_exclude_profile():
+    """exclude= drops codecs from competition but never the floor; the
+    streaming 'fast' profile uses it to skip FSST's encode cost."""
+    import pyarrow as pa
+
+    from parquet_toolkit_spark.codecs import decode_blob
+    from parquet_toolkit_spark.codecs.chunk import from_arrow, to_arrow
+    from parquet_toolkit_spark.codecs.selector import select_codec
+
+    import random
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [" ".join(rng.choices(words, k=80)) for _ in range(800)]
+    ch = from_arrow(pa.array(docs, type=pa.string()))
+    name_all, _, _ = select_codec(ch)
+    assert name_all == "bin_fsst"
+    name_fast, blob, _ = select_codec(ch, exclude={"bin_fsst"})
+    assert name_fast != "bin_fsst"
+    back = to_arrow(decode_blob(blob))
+    assert back.to_pylist() == docs
+    # excluding everything still leaves the plain floor
+    name_floor, blob2, _ = select_codec(
+        ch, exclude={"bin_fsst", "bin_dict", "bin_plain"})
+    assert name_floor == "bin_plain"
