@@ -965,7 +965,8 @@ def _added_entry(path: str, snapshot_id: int, record_count: int,
                  status: int = 1, content: int = 0,
                  equality_ids: list[int] | None = None,
                  partition: dict | None = None,
-                 bounds: tuple[list, list] | None = None) -> dict:
+                 bounds: tuple[list, list] | None = None,
+                 sort_order_id: int | None = None) -> dict:
     import os
 
     lowers, uppers = bounds if bounds else (None, None)
@@ -981,7 +982,7 @@ def _added_entry(path: str, snapshot_id: int, record_count: int,
                       "split_offsets": None,
                       "equality_ids": equality_ids,
                       "lower_bounds": lowers, "upper_bounds": uppers,
-                      "sort_order_id": None},
+                      "sort_order_id": sort_order_id},
     }
 
 
@@ -1147,7 +1148,8 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
                      last_column_id: int | None = None,
                      properties: dict | None = None,
                      partition_specs: list | None = None,
-                     current_schema_id: int | None = None) -> None:
+                     current_schema_id: int | None = None,
+                     sort_orders: list | None = None) -> None:
     """New vN.metadata.json + atomic version-hint swap.
 
     The table LOCATION is carried forward from the existing metadata
@@ -1187,8 +1189,9 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
                             else old_md.get("partition-specs",
                                             [{"spec-id": 0, "fields": []}])),
         "default-sort-order-id": 0,
-        "sort-orders": old_md.get(
-            "sort-orders", [{"order-id": 0, "fields": []}]),
+        "sort-orders": (sort_orders if sort_orders is not None
+                        else old_md.get("sort-orders",
+                                        [{"order-id": 0, "fields": []}])),
         "properties": {**old_md.get("properties", {}), **(properties or {})},
         "current-snapshot-id": snapshot_id,
         "snapshots": old_md.get("snapshots", []) + [snapshot],
@@ -1357,7 +1360,8 @@ def delete_where_equality(spark: SparkSession, table_dir: str,
 
 
 def rewrite_data_files(spark: SparkSession, table_dir: str,
-                       target_file_rows: int | None = None) -> dict:
+                       target_file_rows: int | None = None,
+                       sort_by: list[str] | None = None) -> dict:
     """Compaction as a REPLACE snapshot — the reference's delete-inputs
     merge semantics (SimpleMultithreadedParquetMerger.java:233-276) on a
     modern table format (VERDICT r3 #5): read the current live row set
@@ -1366,7 +1370,16 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     DELETED-entries manifest recording the replaced ones. Prior snapshots
     still time-travel to the old files; expire_snapshots reclaims them.
     Positional-delete debt is absorbed: the new snapshot carries no
-    delete files."""
+    delete files.
+
+    sort_by: sorted compaction — the table-format home of the toolkit's
+    sorter family (SimpleParquetSorter/BigParquetSorter semantics):
+    repartitionByRange + sortWithinPartitions on the keys (ascending,
+    range-partitioned so files hold disjoint key ranges) and a declared
+    sort order (order-id 1) committed in the metadata with each new
+    file's sort_order_id. Sorted files + the per-file column bounds make
+    range_filter pruning on the sort keys surgical: disjoint ranges mean
+    a point/range lookup opens O(1) files."""
     import os
     import uuid
 
@@ -1379,7 +1392,27 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     data_dir = os.path.join(table_dir, "data")
 
     df = read_data(spark, table_dir)
-    if target_file_rows:
+    sort_orders = None
+    sort_order_id = None
+    if sort_by:
+        missing = [c for c in sort_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"sort_by columns {missing} not in table")
+        n = df.count()
+        parts = max(1, (n + (target_file_rows or n or 1) - 1)
+                    // (target_file_rows or n or 1))
+        df = (df.repartitionByRange(parts, *sort_by)
+              .sortWithinPartitions(*sort_by))
+        name_to_fid = existing["schema_name_to_id"]
+        sort_order_id = 1
+        sort_orders = [
+            {"order-id": 0, "fields": []},
+            {"order-id": 1, "fields": [
+                {"transform": "identity", "source-id": int(name_to_fid[c]),
+                 "direction": "asc", "null-order": "nulls-first"}
+                for c in sort_by]},
+        ]
+    elif target_file_rows:
         n = df.count()
         parts = max(1, (n + target_file_rows - 1) // target_file_rows)
         df = df.repartition(parts)
@@ -1407,7 +1440,8 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
         [_added_entry(p, snapshot_id, counts[p],
                       partition=part_vals.get(p),
                       bounds=_file_bounds(p, existing["schema_name_to_id"],
-                                          rw_types))
+                                          rw_types),
+                      sort_order_id=sort_order_id)
          for p in new_files],
         partition_fields=part_fields)
     # DELETED entries for every replaced data + delete file: readers skip
@@ -1439,7 +1473,8 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
         meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
         mlist_path, {"operation": "replace",
                      "added-data-files": str(len(new_files)),
-                     "deleted-data-files": str(len(sf["data"]))})
+                     "deleted-data-files": str(len(sf["data"]))},
+        sort_orders=sort_orders)
     return {"snapshot_id": snapshot_id, "version": version,
             "files": new_files,
             "replaced_files": (len(sf["data"]) + len(sf["position_deletes"])

@@ -1534,3 +1534,50 @@ def test_iceberg_remove_orphan_files(spark, tmp_path):
     assert {r.id for r in
             ic.read_data(spark, tdir, first).collect()} == {1, 2}
     assert ic.remove_orphan_files(spark, tdir)["orphans"] == []
+
+
+def test_iceberg_sorted_compaction(spark, tmp_path):
+    # rewrite_data_files(sort_by=...): range-partitioned sorted files,
+    # declared sort order in metadata, sort_order_id per file, and
+    # surgical range_filter pruning on the sort key
+    import json
+
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "sortc")
+    import random
+    rng = random.Random(11)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    df = spark.createDataFrame([(i, f"v{i}") for i in ids],
+                               "id long, v string").repartition(5)
+    ic.write_table(spark, df, tdir)
+
+    rw = ic.rewrite_data_files(spark, tdir, target_file_rows=100,
+                               sort_by=["id"])
+    assert len(rw["files"]) >= 3
+
+    # each new file is internally sorted; files hold disjoint id ranges
+    ranges = []
+    for p in rw["files"]:
+        vals = pq.read_table(p, columns=["id"]).column("id").to_pylist()
+        assert vals == sorted(vals)
+        ranges.append((vals[0], vals[-1]))
+    ranges.sort()
+    assert all(ranges[i][1] < ranges[i + 1][0]
+               for i in range(len(ranges) - 1))
+
+    # metadata: declared sort order + per-file sort_order_id
+    with open(ic.read_table_metadata(tdir)["metadata_file"]) as fh:
+        md = json.load(fh)
+    order = next(o for o in md["sort-orders"] if o["order-id"] == 1)
+    assert order["fields"][0]["source-id"] == 1  # id's field id
+    files = ic.table_files(spark, tdir).collect()
+    # disjoint ranges + bounds -> a point lookup opens exactly one file
+    sf = ic.snapshot_files(tdir, range_filter={"id": (250, 250)})
+    assert len(sf["data"]) == 1
+    # rows still exact
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == set(range(400))
+    assert len(files) == len(rw["files"])
