@@ -100,12 +100,18 @@ def _iceberg_type_to_ddl(t) -> str:
 
 
 def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> dict:
-    """Resolve + parse the current vN.metadata.json of an Iceberg table dir.
+    """Resolve + parse the current metadata.json of an Iceberg table dir.
 
-    Resolution order (spec-conformant for filesystem tables):
-    metadata/version-hint.text -> vN.metadata.json, else the highest
-    vN.metadata.json present. All IO goes through the fs shim, so
-    hdfs://, s3a:// table locations work when a session is active."""
+    Resolution order: metadata/version-hint.text -> vN.metadata.json
+    (spec filesystem-table layout, what our writer produces), else the
+    highest vN.metadata.json, else the highest catalog-style
+    NNNNN-<uuid>.metadata.json (what Spark/Flink/Trino catalog writers
+    leave on disk — read-only interop: last-committed version resolves
+    by sequence number within the files present, which is exact for a
+    quiesced/exported table; for live catalog tables the catalog, not
+    the directory, is authoritative). write_table still refuses to
+    commit over catalog-style metadata. All IO goes through the fs shim,
+    so hdfs://, s3a:// table locations work when a session is active."""
     import json
     import posixpath
     import re
@@ -127,8 +133,13 @@ def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> di
             (int(m.group(1)), p) for n, p in files.items()
             if (m := re.match(r"v(\d+)\.metadata\.json$", n))
         )
+        if not versions:  # catalog-writer layout: NNNNN-<uuid>.metadata.json
+            versions = sorted(
+                (int(m.group(1)), p) for n, p in files.items()
+                if (m := re.match(r"(\d+)-[0-9a-fA-F-]+\.metadata\.json$", n))
+            )
         if not versions:
-            raise FileNotFoundError(f"no vN.metadata.json under {meta_dir}")
+            raise FileNotFoundError(f"no *.metadata.json under {meta_dir}")
         target = versions[-1][1]
     md = json.loads(fs.read_text(target))
 
@@ -686,17 +697,28 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     existing = None
     try:
         existing = read_table_metadata(table_dir, spark)
+        _require_writable(existing)
     except FileNotFoundError:
-        # a metadata dir with files but no readable vN.metadata.json is a
-        # table this writer doesn't understand (e.g. catalog-style
-        # 00001-<uuid>.metadata.json) — re-initializing would orphan every
-        # prior snapshot behind a fresh version-hint (code-review r3)
+        # a metadata dir with files but no *.metadata.json at all is a
+        # table this writer doesn't understand — re-initializing would
+        # orphan every prior snapshot behind a fresh version-hint
+        # (code-review r3)
         if os.path.isdir(meta_dir) and os.listdir(meta_dir):
             raise ValueError(
                 f"{meta_dir} holds metadata this writer cannot resolve "
-                "(no vN.metadata.json / version-hint); refusing to "
+                "(no *.metadata.json / version-hint); refusing to "
                 "re-initialize over an existing table"
             )
+    except ValueError:
+        raise  # _require_writable's catalog-layout refusal
+    except Exception as ex:
+        # resolvable name, unparseable content (foreign/corrupt
+        # metadata): refusing beats silently re-initializing on top
+        raise ValueError(
+            f"{meta_dir} holds metadata this writer cannot parse "
+            f"({type(ex).__name__}: {ex}); refusing to re-initialize "
+            "over an existing table"
+        )
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
 
@@ -826,6 +848,24 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
         current_schema_id=current_schema_id)
     return {"snapshot_id": snapshot_id, "sequence_number": seq,
             "version": version, "files": data_files}
+
+
+def _require_writable(info: dict | None) -> None:
+    """Writers only commit over the vN filesystem-table layout this
+    module owns. Catalog-style metadata (NNNNN-<uuid>.metadata.json) is
+    readable interop, but its source of truth is the catalog — a vN
+    commit beside it would fork the table."""
+    import os
+    import re
+
+    if info is None:
+        return
+    base = os.path.basename(info["metadata_file"])
+    if not re.match(r"v\d+\.metadata\.json$", base):
+        raise ValueError(
+            f"{base}: catalog-style Iceberg metadata is read-only here; "
+            "refusing to commit a filesystem-table version beside it"
+        )
 
 
 def _default_spec_columns(md_info: dict) -> list[str]:
@@ -1233,6 +1273,7 @@ def delete_where(spark: SparkSession, table_dir: str,
 
     table_dir = strip_local_scheme(table_dir).rstrip("/")
     existing = read_table_metadata(table_dir, spark)
+    _require_writable(existing)
     sf = snapshot_files(table_dir, None, spark)
     if not sf["data"]:
         return {"snapshot_id": None, "version": None, "deleted_rows": 0,
@@ -1314,6 +1355,7 @@ def delete_where_equality(spark: SparkSession, table_dir: str,
         raise ValueError("pass exactly one of condition= or keys=")
     table_dir = strip_local_scheme(table_dir).rstrip("/")
     existing = read_table_metadata(table_dir, spark)
+    _require_writable(existing)
     name_to_id = existing["schema_name_to_id"]
     missing = [c for c in equality_columns if c not in name_to_id]
     if missing:
@@ -1387,6 +1429,7 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
 
     table_dir = strip_local_scheme(table_dir).rstrip("/")
     existing = read_table_metadata(table_dir, spark)
+    _require_writable(existing)
     sf = snapshot_files(table_dir, None, spark)
     meta_dir = os.path.join(table_dir, "metadata")
     data_dir = os.path.join(table_dir, "data")
@@ -1500,6 +1543,7 @@ def expire_snapshots(spark: SparkSession | None, table_dir: str,
 
     table_dir = strip_local_scheme(table_dir).rstrip("/")
     info = read_table_metadata(table_dir, spark)
+    _require_writable(info)
     with open(info["metadata_file"]) as fh:
         md = json.load(fh)
     snaps = md.get("snapshots", [])
@@ -1710,6 +1754,7 @@ def remove_orphan_files(spark: SparkSession | None, table_dir: str,
 
     table_dir = strip_local_scheme(table_dir).rstrip("/")
     info = read_table_metadata(table_dir, spark)
+    _require_writable(info)
     with open(info["metadata_file"]) as fh:
         md = json.load(fh)
     loc = info["location"]

@@ -1581,3 +1581,37 @@ def test_iceberg_sorted_compaction(spark, tmp_path):
     # rows still exact
     assert {r.id for r in ic.read_data(spark, tdir).collect()} == set(range(400))
     assert len(files) == len(rw["files"])
+
+
+def test_iceberg_catalog_style_metadata_read(spark, tmp_path):
+    # a table whose metadata files use the catalog writer naming
+    # (NNNNN-<uuid>.metadata.json, no version-hint) reads exactly, and
+    # write_table still refuses to commit over it
+    import glob as _g
+    import os
+    import uuid
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "cat")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ic.write_table(spark, df, tdir)
+    ic.write_table(spark, spark.createDataFrame([(3, "c")],
+                                                "id long, v string"), tdir)
+
+    # rename our vN layout into the catalog layout
+    meta = os.path.join(tdir, "metadata")
+    os.remove(os.path.join(meta, "version-hint.text"))
+    for p in sorted(_g.glob(os.path.join(meta, "v*.metadata.json"))):
+        n = int(os.path.basename(p)[1:].split(".")[0])
+        os.rename(p, os.path.join(
+            meta, f"{n:05d}-{uuid.uuid4().hex[:8]}-aaaa.metadata.json"))
+
+    md = ic.read_table_metadata(tdir)
+    assert "00002-" in os.path.basename(md["metadata_file"])
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 2, 3}
+    snaps = ic.table_snapshots(spark, tdir).collect()
+    assert len(snaps) == 2
+
+    with pytest.raises(ValueError, match="refusing"):
+        ic.write_table(spark, df, tdir)
