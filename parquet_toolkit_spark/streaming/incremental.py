@@ -96,3 +96,74 @@ def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def encode_iceberg_increment(spark: SparkSession, table_dir: str,
+                             enc_dir: str,
+                             rows_per_pid: int = 250_000,
+                             codec_profile: str = "fast") -> dict:
+    """One incremental run: encode into the blob store exactly the rows
+    APPENDED to an Iceberg table since the last processed snapshot.
+
+    The watermark is the store manifest itself — each run commits its
+    pids with run_id "iceinc-<snapshot_id>", and the next run resumes
+    after the highest such id. Because pids + manifest rows land in one
+    atomic manifest swap, a crash either leaves the store at the old
+    watermark (rerun re-encodes the same increment into fresh pids that
+    REPLACE nothing — the old manifest still lacks the run, so no rows
+    were committed twice) or at the new one: exactly-once without a side
+    state file. Cost per run is O(new files) metadata + O(new rows)
+    encode; non-append snapshots in range raise (incremental_scan).
+
+    Returns {"rows", "snapshot_id", "pids"}."""
+    from pyspark import TaskContext
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        incremental_scan,
+        read_table_metadata,
+    )
+
+    if codec_profile not in ("fast", "small"):
+        raise ValueError(f"unknown codec_profile {codec_profile!r}")
+    exclude = frozenset({"bin_fsst"}) if codec_profile == "fast" \
+        else frozenset()
+
+    man = read_manifest(spark, enc_dir)
+    last = None
+    base_pid = 0
+    if man is not None:
+        rows = man.select("run_id", "pid").distinct().collect()
+        done = [int(r.run_id.split("-", 1)[1]) for r in rows
+                if r.run_id.startswith("iceinc-")]
+        last = max(done) if done else None
+        base_pid = max((r.pid for r in rows), default=-1) + 1
+
+    md = read_table_metadata(table_dir, spark)
+    to_id = md["current_snapshot_id"]
+    if to_id is None or to_id == last:
+        return {"rows": 0, "snapshot_id": to_id, "pids": []}
+
+    df = incremental_scan(spark, table_dir, last, to_id)
+    n = df.count()
+    if n == 0:
+        return {"rows": 0, "snapshot_id": to_id, "pids": []}
+    schema_map = _schema_map(df)
+    n_parts = max(1, (n + rows_per_pid - 1) // rows_per_pid)
+    laid = df.repartition(n_parts)
+    run_id = f"iceinc-{to_id}"
+
+    def encode_iter(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+            else parts[0]
+        pid = base_pid + TaskContext.get().partitionId()
+        yield _encode_pdf(pdf, pid, schema_map, run_id,
+                          exclude_codecs=exclude)
+
+    encoded = laid.mapInPandas(encode_iter, ENCODED_SCHEMA)
+    pids = list(range(base_pid, base_pid + n_parts))
+    _write_encoded(spark, encoded, enc_dir, schema_map, append_pids=True,
+                   pids=pids)
+    return {"rows": n, "snapshot_id": to_id, "pids": pids}

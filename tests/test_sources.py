@@ -1654,3 +1654,42 @@ def test_iceberg_incremental_scan(spark, tmp_path):
                   for s in ic.read_table_metadata(tdir)["snapshots"]) - 1
     assert {r.id for r in
             ic.incremental_scan(spark, tdir, del_sid).collect()} == {6}
+
+
+def test_encode_iceberg_increment(spark, tmp_path):
+    # per-run incremental encode off an Iceberg table: only new rows are
+    # encoded, the manifest itself is the watermark, decode is exact
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        read_manifest,
+    )
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.streaming.incremental import (
+        encode_iceberg_increment,
+    )
+
+    tdir = str(tmp_path / "icet")
+    enc = str(tmp_path / "enc")
+    ddl = "id long, v string"
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"a{i}") for i in range(50)], ddl), tdir)
+
+    r1 = encode_iceberg_increment(spark, tdir, enc)
+    assert r1["rows"] == 50 and r1["pids"] == [0]
+    # idempotent no-op when nothing new
+    assert encode_iceberg_increment(spark, tdir, enc)["rows"] == 0
+
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"b{i}") for i in range(50, 80)], ddl), tdir)
+    r2 = encode_iceberg_increment(spark, tdir, enc)
+    assert r2["rows"] == 30 and r2["pids"] == [1]
+
+    dec = decode_pipeline(spark, enc)
+    got = {(r.id, r.v) for r in dec.collect()}
+    want = {(i, f"a{i}") for i in range(50)} | \
+        {(i, f"b{i}") for i in range(50, 80)}
+    assert got == want
+    # watermark derived from run_id tags in the manifest
+    man = read_manifest(spark, enc)
+    runs = {r.run_id for r in man.select("run_id").distinct().collect()}
+    assert all(x.startswith("iceinc-") for x in runs) and len(runs) == 2
