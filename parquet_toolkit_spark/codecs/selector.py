@@ -151,9 +151,9 @@ def _fsst_sample_wins(data: bytes) -> bool:
     zstd(plain) on the slice by >20%.
 
     The 20% margin is COST-aware, not just size-aware: the from-scratch
-    FSST encodes ~100x slower than the zstd floor (~2-3 vs ~250 MB/s per
-    core), so a marginal size win (F0 `path`: 11% for 120x the encode
-    cost) would trade the north rule's throughput headline for noise.
+    FSST encodes 10-25x slower than the zstd floor (~10-25 vs ~250 MB/s
+    per core, measured), so a marginal size win (F0 `path`:
+    11% for ~25x the encode cost) would trade the north rule's throughput headline for noise.
     Columns where FSST earns its keep (homogeneous natural/structured
     text: documents `text` wins 34-38%) clear 20% comfortably.
 
@@ -204,7 +204,7 @@ def select_codec(chunk: ColumnChunk, stats: dict | None = None,
     `candidates` (e.g. from plan_hints) to skip the per-chunk gating —
     the hoisted-gate path for large encode jobs. `exclude` drops codecs
     from consideration entirely (the encode-latency dial: streaming hot
-    paths exclude bin_fsst, whose 34%-size wins cost ~100x the floor's
+    paths exclude bin_fsst, whose 34%-size wins cost 10-25x the floor's
     encode CPU); the plain floor can never be excluded away.
     """
     if stats is None:

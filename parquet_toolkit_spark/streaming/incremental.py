@@ -42,7 +42,7 @@ def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
 
     codec_profile: "fast" (default) excludes bin_fsst — a stream's
     encode latency bounds its ingest rate, and FSST buys its 30%+ size
-    wins with ~100x the floor's encode CPU; batch re-encode (compaction
+    wins with 10-25x the floor's encode CPU; batch re-encode (compaction
     through encode_pipeline) can upgrade the stored codec later.
     "small" competes every codec like the batch path.
 
