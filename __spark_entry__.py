@@ -278,10 +278,16 @@ def q_encode_pruned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    enc_dir = os.path.join(_TMP, "pruned_enc")
-    encode_pipeline(spark, docs, enc_dir, target_bytes=64 << 10, run_id="pr",
-                    range_keys=("source", "doc_id"),
-                    sort_keys=("source", "doc_id"))
+    # the OPERATOR here is the pruned decode; the encoded store is its
+    # input fixture, cached per sf fingerprint like every other fixture
+    # (VERDICT r2 #4 — fixture writes don't belong in timed bodies)
+    enc_dir = _fixture_path("pruned_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc_dir, "_DONE")):
+        encode_pipeline(spark, docs, enc_dir, target_bytes=64 << 10,
+                        run_id="pr", range_keys=("source", "doc_id"),
+                        sort_keys=("source", "doc_id"))
+        with open(os.path.join(enc_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
     src = docs.agg(F.min("source")).first()[0]
     pids = pids_matching_prefix(spark, enc_dir, "source", src)
     dec = decode_pipeline(spark, enc_dir,
@@ -554,10 +560,15 @@ def q_fsck_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    enc_dir = os.path.join(_TMP, "fsck_enc")
-    encode_pipeline(spark, docs, enc_dir, target_bytes=4 << 20, run_id="fs",
-                    range_keys=("source", "doc_id"),
-                    sort_keys=("source", "doc_id"))
+    # operator = the distributed integrity check; the store is a cached
+    # input fixture (VERDICT r2 #4)
+    enc_dir = _fixture_path("fsck_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc_dir, "_DONE")):
+        encode_pipeline(spark, docs, enc_dir, target_bytes=4 << 20,
+                        run_id="fs", range_keys=("source", "doc_id"),
+                        sort_keys=("source", "doc_id"))
+        with open(os.path.join(enc_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
     return (
         fsck_store(spark, enc_dir)
         .select("column", "status").distinct()
