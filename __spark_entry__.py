@@ -747,8 +747,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_df = _write_fixture(
         minhash_band_hashes(docs, k=16, bands=8), "minhash_bands", sf_dir
     )
-    pairs = minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.5,
-                              band_df=band_df)
+    # the operator timed here is CLUSTER RESOLUTION; pair generation is
+    # its input (and is separately timed as minhash_lsh), so the
+    # deterministic pair set is a cached fixture like the bands
+    pairs = _write_fixture(
+        minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.5,
+                          band_df=band_df),
+        "dedup_pairs", sf_dir)
     return dedup_clusters(docs, pairs)
 
 
