@@ -171,7 +171,8 @@ def main() -> None:
     # untimed run for its input scatter.
     for name in ("minhash_lsh", "simhash_pairs", "ivf_ann_topk",
                  "embedding_near_pairs_lsh", "media_features",
-                 "ngram_jaccard_minhash"):
+                 "ngram_jaccard_minhash", "dedup_clusters",
+                 "encode_pruned_decode", "fsck_store"):
         qs[name](spark, SF_DIR)
     qs["merge_compact"](spark, SF_DIR)
     os.sync()
