@@ -108,8 +108,14 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
     return stats
 
 
-def candidate_codecs(chunk: ColumnChunk, stats: dict) -> list[str]:
-    """Stats -> ordered candidate codec names (floor codec always included)."""
+def candidate_codecs(chunk: ColumnChunk, stats: dict,
+                     exclude: set[str] | frozenset[str] | None = None
+                     ) -> list[str]:
+    """Stats -> ordered candidate codec names (floor codec always
+    included). `exclude` is checked BEFORE expensive gating so an
+    excluded codec's admission trial is never paid (the FSST 1MB trial
+    is the whole point of the streaming fast profile; code-review r4)."""
+    exclude = exclude or frozenset()
     k = chunk.kind
     if k == "bool":
         return ["bool_bitmap"]
@@ -132,7 +138,8 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict) -> list[str]:
         cands.append("bin_dict")
     payload = len(chunk.data)
     if (
-        payload <= FSST_MAX_BYTES
+        "bin_fsst" not in exclude
+        and payload <= FSST_MAX_BYTES
         and stats.get("byte_entropy", 8.0) < 6.5
         and "bin_dict" not in cands
         and _fsst_sample_wins(chunk.data)
@@ -213,7 +220,8 @@ def select_codec(chunk: ColumnChunk, stats: dict | None = None,
         floor = {"bin": "bin_plain", "int": "int_plain",
                  "flist": "flist_plain", "float": "float_plain",
                  "bool": "bool_bitmap"}.get(chunk.kind)
-        keep = [c for c in (candidates or candidate_codecs(chunk, stats))
+        keep = [c for c in (candidates
+                            or candidate_codecs(chunk, stats, exclude))
                 if c not in exclude]
         candidates = keep or ([floor] if floor else None)
     if candidates:

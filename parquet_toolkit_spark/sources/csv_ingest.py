@@ -57,7 +57,29 @@ def csv_to_df(spark: SparkSession, path: str,
     one lightweight per-partition count job, NOT a single-reducer global
     window (VERDICT r1 anti-pattern #5). Line-based, like the reference's
     BufferedReader.readLine loop (multiline-quoted records don't combine
-    with skip_lines there either)."""
+    with skip_lines there either). Composes with header=True: the header
+    is the first line AFTER the skip, matching the reference's
+    skip-then-parse order."""
+    # physical-line skip FIRST, so header detection and the header row
+    # itself come AFTER the skipped lines (reference: skip then parse;
+    # previously skip_lines was silently ignored with header=True —
+    # code-review r4). With a custom record separator the text split
+    # honors it too.
+    source = path
+    source_is_rdd = False
+    if skip_lines > 0:
+        if line_sep:
+            txt = (spark.read.option("lineSep", line_sep).text(path)
+                   .rdd.map(lambda r: r.value))
+        else:
+            txt = spark.sparkContext.textFile(path)
+        source = (
+            txt.zipWithIndex()
+            .filter(lambda t: t[1] >= skip_lines)
+            .map(lambda t: t[0])
+        )
+        source_is_rdd = True
+
     reader = (
         spark.read.option("sep", delimiter)
         .option("quote", quote)
@@ -65,7 +87,8 @@ def csv_to_df(spark: SparkSession, path: str,
         .option("nullValue", "")  # ""->null parity, ConvertThread.java:70-71
         .option("mode", "PERMISSIVE")
     )
-    if line_sep:
+    # an RDD source is already record-split; lineSep only applies to files
+    if line_sep and not source_is_rdd:
         reader = reader.option("lineSep", line_sep)
     schema = None
     if field_types:
@@ -76,11 +99,15 @@ def csv_to_df(spark: SparkSession, path: str,
         reader = reader.schema(schema)
 
     if header and not allow_missing_column_names:
-        raw_hdr = (
-            spark.read.option("sep", delimiter).option("quote", quote)
-            .option("header", False)
-            .csv(path).limit(1).collect()
-        )
+        # probe the REAL header row: same separator/quote/record-split
+        # and post-skip source as the main read (code-review r4). With a
+        # multi-file glob the probed row comes from one of the files —
+        # matching headers across files is the caller's contract anyway.
+        probe = (spark.read.option("sep", delimiter).option("quote", quote)
+                 .option("header", False))
+        if line_sep and not source_is_rdd:
+            probe = probe.option("lineSep", line_sep)
+        raw_hdr = probe.csv(source).limit(1).collect()
         if raw_hdr and any(v is None or str(v).strip() == ""
                            for v in raw_hdr[0]):
             raise ValueError(
@@ -89,14 +116,6 @@ def csv_to_df(spark: SparkSession, path: str,
                 "(reference withAllowMissingColumnNames)"
             )
 
-    source = path
-    if skip_lines > 0 and not header:
-        rdd = spark.sparkContext.textFile(path)
-        source = (
-            rdd.zipWithIndex()
-            .filter(lambda t: t[1] >= skip_lines)
-            .map(lambda t: t[0])
-        )
     df = reader.csv(source)
     if schema is None and column_names and not header:
         df = df.toDF(*column_names)

@@ -347,9 +347,13 @@ def _bounds_admit(dfile: dict, range_filter: dict, md: dict) -> bool:
             continue
         t = types.get(col, "")
         fl, fu = lowers.get(fid), uppers.get(fid)
-        if hi is not None and fl is not None and _bound_value(fl, t) > hi:
+        # a bound whose type _bound_value can't decode (foreign table:
+        # date/timestamp/decimal) counts as missing — admit, never crash
+        lo_v = _bound_value(fl, t) if fl is not None else None
+        hi_v = _bound_value(fu, t) if fu is not None else None
+        if hi is not None and lo_v is not None and lo_v > hi:
             return False
-        if lo is not None and fu is not None and _bound_value(fu, t) < lo:
+        if lo is not None and hi_v is not None and hi_v < lo:
             return False
     return True
 
@@ -396,19 +400,24 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
         # (the values live in the manifest) — re-inject them via one
         # broadcast map keyed by file path, Iceberg's own read semantics
         ddl_types = {n: t for n, t, _r in md["schema_fields"]}
+        # only identity transforms re-inject: a foreign table's derived
+        # partition fields (id_bucket, ts_day, ...) are not table columns
+        # — the data files carry the real columns (code-review r4)
         pcols = sorted({k for v in sf["partition_values"].values()
-                        for k in v})
-        pmap = spark.createDataFrame(
-            [tuple([_norm_fp(fp)] + [vals.get(c) for c in pcols])
-             for fp, vals in sf["partition_values"].items()],
-            ", ".join(["_pv_fp string"]
-                      + [f"_pv_{c} {ddl_types[c]}" for c in pcols]),
-        )
-        df = df.join(F.broadcast(pmap), df["_fp"] == pmap["_pv_fp"],
-                     "left").drop("_pv_fp")
-        for c in pcols:
-            df = (df.withColumn(c, F.coalesce(F.col(c), F.col(f"_pv_{c}")))
-                  .drop(f"_pv_{c}"))
+                        for k in v if k in ddl_types})
+        if pcols:
+            pmap = spark.createDataFrame(
+                [tuple([_norm_fp(fp)] + [vals.get(c) for c in pcols])
+                 for fp, vals in sf["partition_values"].items()],
+                ", ".join(["_pv_fp string"]
+                          + [f"_pv_{c} {ddl_types[c]}" for c in pcols]),
+            )
+            df = df.join(F.broadcast(pmap), df["_fp"] == pmap["_pv_fp"],
+                         "left").drop("_pv_fp")
+            for c in pcols:
+                df = (df.withColumn(c, F.coalesce(F.col(c),
+                                                  F.col(f"_pv_{c}")))
+                      .drop(f"_pv_{c}"))
     if sf["position_deletes"]:
         dels = (
             spark.read.parquet(*sf["position_deletes"])
@@ -886,17 +895,22 @@ def _default_spec_columns(md_info: dict) -> list[str]:
 
 
 def _land_parquet_parts(df: DataFrame, table_dir: str, data_dir: str,
-                        commit_uuid: str) -> list[str]:
+                        commit_uuid: str,
+                        max_records: int | None = None) -> list[str]:
     """Write df's parts to a temp dir, then move them under data/ with
     commit-unique names (path uniqueness is what lets positional deletes
-    skip sequence-number scoping)."""
+    skip sequence-number scoping). max_records caps rows per output file
+    via the writer (no driver-side count needed to size files)."""
     import glob as _g
     import os
     import shutil
     import uuid
 
     tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if max_records:
+        w = w.option("maxRecordsPerFile", max_records)
+    w.parquet(tmp)
     out = []
     for i, part in enumerate(sorted(_g.glob(os.path.join(tmp, "part-*.parquet")))):
         dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
@@ -943,7 +957,8 @@ def _parse_partition_value(raw: str, avro_type: str):
 
 def _land_partitioned_parts(df: DataFrame, table_dir: str, data_dir: str,
                             commit_uuid: str,
-                            part_fields: list[tuple[str, str]]
+                            part_fields: list[tuple[str, str]],
+                            max_records: int | None = None
                             ) -> list[tuple[str, dict]]:
     """Write df hive-partitioned on the identity columns, then move the
     parts flat under data/ with commit-unique names, returning
@@ -957,7 +972,10 @@ def _land_partitioned_parts(df: DataFrame, table_dir: str, data_dir: str,
 
     cols = [n for n, _t in part_fields]
     tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").partitionBy(*cols).parquet(tmp)
+    w = df.write.mode("overwrite")
+    if max_records:
+        w = w.option("maxRecordsPerFile", max_records)
+    w.partitionBy(*cols).parquet(tmp)
     out = []
     i = 0
     for part in sorted(_g.glob(os.path.join(
@@ -1223,11 +1241,21 @@ def _commit_metadata(meta_dir: str, table_dir: str, existing: dict | None,
         "last-column-id": (last_column_id if last_column_id is not None
                            else old_md.get("last-column-id", 0)),
         "current-schema-id": schema_id,
-        "schemas": schemas if schemas is not None else old_md.get("schemas"),
+        # v1 single-"schema" metadata normalizes into a schemas list on
+        # carry-forward — writing "schemas": null would strand the table
+        # (the reader's v1 fallback needs "schema", which v2 output
+        # lacks; code-review r4)
+        "schemas": (schemas if schemas is not None
+                    else old_md.get("schemas")
+                    or ([old_md["schema"]] if "schema" in old_md
+                        else None)),
         "default-spec-id": 0,
+        # same v1 normalization for "partition-spec" (fields list)
         "partition-specs": (partition_specs if partition_specs is not None
-                            else old_md.get("partition-specs",
-                                            [{"spec-id": 0, "fields": []}])),
+                            else old_md.get("partition-specs")
+                            or [{"spec-id": 0,
+                                 "fields": old_md.get("partition-spec",
+                                                      [])}]),
         "default-sort-order-id": 0,
         "sort-orders": (sort_orders if sort_orders is not None
                         else old_md.get("sort-orders",
@@ -1441,10 +1469,13 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
         missing = [c for c in sort_by if c not in df.columns]
         if missing:
             raise ValueError(f"sort_by columns {missing} not in table")
-        n = df.count()
-        parts = max(1, (n + (target_file_rows or n or 1) - 1)
-                    // (target_file_rows or n or 1))
-        df = (df.repartitionByRange(parts, *sort_by)
+        # no df.count(): a full-table pre-scan (through the merge-on-read
+        # anti-joins) just to size files would double compaction cost at
+        # scale (code-review r4). Catalyst samples the key distribution
+        # for the range partitioning; target_file_rows is enforced by the
+        # writer's maxRecordsPerFile, which splits CONTIGUOUSLY within
+        # each sorted partition, so disjoint key ranges survive.
+        df = (df.repartitionByRange(*sort_by)
               .sortWithinPartitions(*sort_by))
         name_to_fid = existing["schema_name_to_id"]
         sort_order_id = 1
@@ -1455,21 +1486,20 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
                  "direction": "asc", "null-order": "nulls-first"}
                 for c in sort_by]},
         ]
-    elif target_file_rows:
-        n = df.count()
-        parts = max(1, (n + target_file_rows - 1) // target_file_rows)
-        df = df.repartition(parts)
     commit_uuid = uuid.uuid4().hex[:12]
     spec_cols = _default_spec_columns(existing)
     if spec_cols:  # compaction keeps the table's identity partition spec
         part_fields = _partition_avro_fields(df, spec_cols)
         landed = _land_partitioned_parts(df, table_dir, data_dir,
-                                         commit_uuid, part_fields)
+                                         commit_uuid, part_fields,
+                                         max_records=target_file_rows)
         new_files = [p for p, _v in landed]
         part_vals = dict(landed)
     else:
         part_fields = None
-        new_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
+        new_files = _land_parquet_parts(df, table_dir, data_dir,
+                                        commit_uuid,
+                                        max_records=target_file_rows)
         part_vals = {}
     import pyarrow.parquet as pq
 
@@ -1488,11 +1518,16 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
          for p in new_files],
         partition_fields=part_fields)
     # DELETED entries for every replaced data + delete file: readers skip
-    # status=2, expire_snapshots sees the files only via old snapshots
-    del_entries = [
+    # status=2, expire_snapshots sees the files only via old snapshots.
+    # Data-file and delete-file tombstones go in SEPARATE manifests with
+    # matching manifest-list content flags — the spec forbids delete-file
+    # entries inside a data manifest and strict engines validate it
+    # (code-review r4)
+    data_dels = [
         _added_entry(p, snapshot_id, 0, status=2, content=0)
         for p in sf["data"]
-    ] + [
+    ]
+    deletefile_dels = [
         _added_entry(p, snapshot_id, 0, status=2, content=1)
         for p in sf["position_deletes"]
     ] + [
@@ -1504,12 +1539,18 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
                                snapshot_id=snapshot_id,
                                added_files=len(new_files),
                                added_rows=sum(counts.values()))]
-    if del_entries:
+    if data_dels:
         del_man = _write_manifest(
-            meta_dir, f"m-rwdel-{commit_uuid}.avro", del_entries)
+            meta_dir, f"m-rwdel-{commit_uuid}.avro", data_dels)
         rows.append(_manifest_file_row(
             del_man, content=0, seq=seq, snapshot_id=snapshot_id,
-            deleted_files=len(del_entries)))
+            deleted_files=len(data_dels)))
+    if deletefile_dels:
+        ddel_man = _write_manifest(
+            meta_dir, f"m-rwdeldel-{commit_uuid}.avro", deletefile_dels)
+        rows.append(_manifest_file_row(
+            ddel_man, content=1, seq=seq, snapshot_id=snapshot_id,
+            deleted_files=len(deletefile_dels)))
     mlist_path = _write_manifest_list(
         meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro", rows)
     _commit_metadata(
@@ -1794,7 +1835,8 @@ def remove_orphan_files(spark: SparkSession | None, table_dir: str,
 
 def incremental_scan(spark: SparkSession, table_dir: str,
                      from_snapshot_id: int | None,
-                     to_snapshot_id: int | None = None) -> DataFrame:
+                     to_snapshot_id: int | None = None,
+                     allow_expired_from: bool = False) -> DataFrame:
     """Append-only incremental read: the rows ADDED strictly after
     `from_snapshot_id`, up to and including `to_snapshot_id` (default:
     current snapshot). from_snapshot_id=None means "from the beginning".
@@ -1808,17 +1850,32 @@ def incremental_scan(spark: SparkSession, table_dir: str,
     Snapshots in range whose operation is not a pure append (delete,
     replace/rewrite) raise NotImplementedError: rows removed mid-range
     have no append-scan semantics — process ranges between maintenance
-    commits, or read the full snapshot instead."""
+    commits, or read the full snapshot instead.
+
+    allow_expired_from: recover when expire_snapshots has dropped the
+    from-snapshot (the incremental pipeline's watermark) — manifest
+    entries keep their committing snapshot id even when carried forward,
+    so the `to` snapshot's LIVE entries with snapshot_id >
+    from_snapshot_id are exactly the rows added after the watermark.
+    Requires monotonically increasing snapshot ids (this module's own
+    writer; refuse-by-default keeps random-id catalog tables safe)."""
     md = read_table_metadata(table_dir, spark)
-    snaps = sorted(md["snapshots"], key=lambda s: s["snapshot_id"])
+    # metadata snapshots-list order IS commit order (the spec appends);
+    # sorting by snapshot id would scramble catalog-written tables whose
+    # ids are random 64-bit values (code-review r4)
+    snaps = md["snapshots"]
     ids = [s["snapshot_id"] for s in snaps]
     to_id = to_snapshot_id if to_snapshot_id is not None else \
         md["current_snapshot_id"]
     if to_id not in ids:
         raise ValueError(f"snapshot {to_id} not found in {table_dir}")
     if from_snapshot_id is not None and from_snapshot_id not in ids:
-        raise ValueError(
-            f"snapshot {from_snapshot_id} not found in {table_dir}")
+        if not allow_expired_from:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not found in {table_dir} "
+                "(expired watermark? pass allow_expired_from=True)")
+        return _scan_added_after(spark, md, table_dir, from_snapshot_id,
+                                 to_id, snaps, ids)
     lo = -1 if from_snapshot_id is None else ids.index(from_snapshot_id)
     hi = ids.index(to_id)
     covered = snaps[lo + 1:hi + 1]
@@ -1842,6 +1899,47 @@ def incremental_scan(spark: SparkSession, table_dir: str,
                         and e["data_file"].get("content", 0) == 0):
                     added.append(_resolve_path(e["data_file"]["file_path"],
                                                table_dir, md["location"]))
+    if not added:
+        return spark.createDataFrame([], md["schema_ddl"])
+    cols = [f[0] for f in md["schema_fields"]]
+    sf = {"data": added, "position_deletes": [], "equality_deletes": [],
+          "data_seq": {}, "raw_to_resolved": {},
+          "partition_values": {
+              p: v for p, v in snapshot_files(
+                  table_dir, to_id, spark)["partition_values"].items()
+              if p in set(added)}}
+    return _scan_live_rows(spark, md, sf).select(*cols)
+
+
+def _scan_added_after(spark: SparkSession, md: dict, table_dir: str,
+                      after_id: int, to_id: int, snaps: list,
+                      ids: list) -> DataFrame:
+    """Expired-watermark recovery for incremental_scan: live data-file
+    entries of `to_id` whose committing snapshot id is > after_id.
+    Retained snapshots above the watermark must all be pure appends —
+    a rewrite would have restamped rows under a new id and broken the
+    'added after' meaning."""
+    hi = ids.index(to_id)
+    for s in snaps[:hi + 1]:
+        if s["snapshot_id"] > after_id:
+            op = s.get("summary", {}).get("operation", "append")
+            if op != "append":
+                raise NotImplementedError(
+                    f"expired-watermark recovery crossed snapshot "
+                    f"{s['snapshot_id']} with operation={op!r}"
+                )
+    snap = snaps[hi]
+    mlist = _resolve_path(snap["manifest_list"], table_dir, md["location"])
+    added: list[str] = []
+    for mf in read_manifest_list(mlist, spark):
+        mpath = _resolve_path(mf["manifest_path"], table_dir,
+                              md["location"])
+        for e in read_manifest(mpath, spark):
+            if (e.get("status", 0) != 2
+                    and (e.get("snapshot_id") or 0) > after_id
+                    and e["data_file"].get("content", 0) == 0):
+                added.append(_resolve_path(e["data_file"]["file_path"],
+                                           table_dir, md["location"]))
     if not added:
         return spark.createDataFrame([], md["schema_ddl"])
     cols = [f[0] for f in md["schema_fields"]]

@@ -143,7 +143,11 @@ def encode_iceberg_increment(spark: SparkSession, table_dir: str,
     if to_id is None or to_id == last:
         return {"rows": 0, "snapshot_id": to_id, "pids": []}
 
-    df = incremental_scan(spark, table_dir, last, to_id)
+    # allow_expired_from: expire_snapshots may have dropped the watermark
+    # snapshot; recovery reads live entries committed after it instead of
+    # wedging the pipeline forever (code-review r4)
+    df = incremental_scan(spark, table_dir, last, to_id,
+                          allow_expired_from=True)
     n = df.count()
     if n == 0:
         return {"rows": 0, "snapshot_id": to_id, "pids": []}

@@ -1693,3 +1693,75 @@ def test_encode_iceberg_increment(spark, tmp_path):
     man = read_manifest(spark, enc)
     runs = {r.run_id for r in man.select("run_id").distinct().collect()}
     assert all(x.startswith("iceinc-") for x in runs) and len(runs) == 2
+
+
+def test_iceberg_v1_table_append_preserves_schema(spark, tmp_path):
+    # code-review r4: plain append over a v1 single-"schema" metadata
+    # table must normalize to a schemas list, not write "schemas": null
+    import json
+    import os
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "v1t")
+    ic.write_table(spark, spark.createDataFrame(
+        [(1, "a")], "id long, v string"), tdir)
+    # rewrite the metadata into v1 shape: single "schema", no "schemas"
+    info = ic.read_table_metadata(tdir)
+    with open(info["metadata_file"]) as fh:
+        md = json.load(fh)
+    md["schema"] = md["schemas"][0]
+    del md["schemas"]
+    md["format-version"] = 1
+    md["partition-spec"] = []
+    del md["partition-specs"]
+    with open(info["metadata_file"], "w") as fh:
+        fh.write(json.dumps(md))
+
+    ic.write_table(spark, spark.createDataFrame(
+        [(2, "b")], "id long, v string"), tdir)
+    # table still reads (and the new metadata has a real schemas list)
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == {1, 2}
+    with open(ic.read_table_metadata(tdir)["metadata_file"]) as fh:
+        md2 = json.load(fh)
+    assert md2["schemas"] is not None and len(md2["schemas"]) == 1
+
+
+def test_csv_skip_lines_with_header(spark, tmp_path):
+    # code-review r4: skip_lines + header=True = skip first, THEN header
+    from parquet_toolkit_spark.sources.csv_ingest import csv_to_df
+
+    p = str(tmp_path / "s.csv")
+    with open(p, "w") as fh:
+        fh.write("#junk line\n#more junk\nx,y\n1,2\n3,4\n")
+    df = csv_to_df(spark, p, header=True, skip_lines=2)
+    assert df.columns == ["x", "y"]
+    assert df.count() == 2
+
+
+def test_iceberg_incremental_scan_expired_watermark(spark, tmp_path):
+    # code-review r4: the pipeline watermark survives expire_snapshots
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.streaming.incremental import (
+        encode_iceberg_increment,
+    )
+
+    tdir = str(tmp_path / "expw")
+    enc = str(tmp_path / "encw")
+    ddl = "id long, v string"
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"a{i}") for i in range(10)], ddl), tdir)
+    assert encode_iceberg_increment(spark, tdir, enc)["rows"] == 10
+    ic.write_table(spark, spark.createDataFrame(
+        [(10, "b")], ddl), tdir)
+    ic.write_table(spark, spark.createDataFrame(
+        [(11, "c")], ddl), tdir)
+    # expire everything but the newest snapshot: the watermark (snapshot
+    # 1) is gone from metadata, yet the next run recovers exactly the
+    # rows added after it
+    ic.expire_snapshots(spark, tdir, keep_last=1)
+    r = encode_iceberg_increment(spark, tdir, enc)
+    assert r["rows"] == 2
+    from parquet_toolkit_spark.operators.encode import decode_pipeline
+    got = {(x.id, x.v) for x in decode_pipeline(spark, enc).collect()}
+    assert got == {(i, f"a{i}") for i in range(10)} | {(10, "b"), (11, "c")}
