@@ -71,13 +71,18 @@ def _arrow_type_for(ddl: str) -> pa.DataType | None:
 def _encode_columns(cols: dict[str, pa.Array], pid: int,
                     run_id: str,
                     hints: dict[str, list[str]] | None = None,
-                    exclude_codecs: frozenset[str] = frozenset()
+                    exclude_codecs: frozenset[str] = frozenset(),
+                    bloom_columns: tuple[str, ...] = ()
                     ) -> list[dict]:
     """Arrow columns of one partition -> one encoded row dict per column.
 
     `hints` (from selector.plan_hints) pins each column's candidate list,
     skipping per-chunk gating/trials on the hot path. `exclude_codecs`
-    is the encode-latency dial (see select_codec)."""
+    is the encode-latency dial (see select_codec). `bloom_columns` get a
+    4KB per-chunk bloom in stats_json for pids_matching_value point
+    lookups (codecs/bloom.py) — opt-in: it grows each manifest row by
+    ~5.5KB, which a 10^6-pid store only wants on its needle-query keys."""
+    from parquet_toolkit_spark.codecs.bloom import build_bloom
     from parquet_toolkit_spark.codecs.chunk import from_arrow
     from parquet_toolkit_spark.codecs.selector import select_codec
     from parquet_toolkit_spark.runtime import tune_malloc
@@ -90,6 +95,11 @@ def _encode_columns(cols: dict[str, pa.Array], pid: int,
             chunk, candidates=(hints or {}).get(col),
             exclude=exclude_codecs or None
         )
+        if col in bloom_columns:
+            b = build_bloom(chunk)
+            if b is not None:
+                stats["bloom"] = b
+                stats["bloom_kind"] = chunk.kind
         rows.append({
             "pid": pid,
             "column": col,
@@ -166,11 +176,13 @@ def encode_pipeline(spark: SparkSession, df: DataFrame, out_dir: str,
                     range_keys: tuple[str, ...] = DEFAULT_RANGE_KEYS,
                     sort_keys: tuple[str, ...] = DEFAULT_SORT_KEYS,
                     run_id: str = "r0",
-                    n_partitions: int | None = None) -> DataFrame:
+                    n_partitions: int | None = None,
+                    bloom_columns: tuple[str, ...] = ()) -> DataFrame:
     """Fused layout+encode in one Spark job. Returns the manifest DataFrame.
 
     mapInPandas accumulates the partition's Arrow batches (one partition ==
     one codec scope, per the north rule's per-partition symbol tables).
+    bloom_columns: per-chunk blooms for pids_matching_value point lookups.
     """
     laid, _ = plan_layout(df, target_bytes, range_keys, sort_keys, n_partitions)
     schema_map = _schema_map(laid)
@@ -184,7 +196,8 @@ def encode_pipeline(spark: SparkSession, df: DataFrame, out_dir: str,
         table = pa.Table.from_batches(parts)
         pid = TaskContext.get().partitionId()
         cols = {name: table.column(name).combine_chunks() for name in table.schema.names}
-        yield _rows_to_batch(_encode_columns(cols, pid, run_id))
+        yield _rows_to_batch(_encode_columns(cols, pid, run_id,
+                                             bloom_columns=bloom_columns))
 
     encoded = laid.mapInArrow(encode_iter, ENCODED_SCHEMA)
     _write_encoded(spark, encoded, out_dir, schema_map)
@@ -892,6 +905,37 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
         cond = cond & (mn <= F.lit(hi_l))
     keep = st.where(cond | mn.isNull() | mx.isNull())
     return {r.pid for r in keep.select("pid").distinct().collect()}
+
+
+def pids_matching_value(spark: SparkSession, enc_dir: str, column: str,
+                        value) -> set[int]:
+    """Bloom pruning for point lookups: pids whose `column` chunk MIGHT
+    contain `value`, from the per-chunk blooms stored at encode time
+    (encode_pipeline(bloom_columns=...)). Sound: a pid is only dropped
+    when the bloom proves the value absent; chunks without a bloom are
+    kept. Complements pids_matching_range, which needs the SORTED key —
+    blooms prune needle queries on any column they were built for.
+    Driver cost is O(pids) bloom probes (4KB each, numpy)."""
+    import json as _json
+
+    from parquet_toolkit_spark.codecs.bloom import bloom_might_contain
+
+    man = read_manifest(spark, enc_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest under {enc_dir}")
+    rows = (
+        man.where((F.col("column") == column)
+                  & (F.col("status") == "committed"))
+        .select("pid", "stats_json").collect()
+    )
+    keep: set[int] = set()
+    for r in rows:
+        st = _json.loads(r.stats_json)
+        b = st.get("bloom")
+        if b is None or bloom_might_contain(b, value, st.get("bloom_kind",
+                                                             "bin")):
+            keep.add(r.pid)
+    return keep
 
 
 def _prefix_upper_bound(prefix: str) -> str | None:

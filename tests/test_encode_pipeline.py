@@ -401,3 +401,59 @@ def test_encode_without_prefetch_matches_prefetch(spark, corpus_df, tmp_path):
 
     res = verify_roundtrip(corpus_df, decode_pipeline(spark, enc_nopre))
     assert res["ok"], res
+
+
+def test_bloom_point_lookup_pruning(spark, tmp_path):
+    """Per-chunk blooms: pids_matching_value never drops a pid holding
+    the value (soundness over every present value), prunes most pids for
+    needle lookups on a column the layout was NOT sorted by, and the
+    pruned decode is exact."""
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        pids_matching_value,
+    )
+
+    # commit values spread across pids; layout sorted by (grp, seq) so
+    # neither doc-level column is the sort key for `commit`
+    df = spark.createDataFrame(
+        [(i % 8, i, f"c{i:04d}", f"body {i}") for i in range(4000)],
+        "grp long, seq long, commit string, body string")
+    enc = str(tmp_path / "enc_bloom")
+    encode_pipeline(spark, df, enc, target_bytes=32 << 10, run_id="bl",
+                    range_keys=("grp", "seq"), sort_keys=("grp", "seq"),
+                    n_partitions=12, bloom_columns=("commit", "seq"))
+
+    man = read_manifest(spark, enc)
+    all_pids = {r.pid for r in man.select("pid").distinct().collect()}
+    assert len(all_pids) >= 8
+
+    # soundness: for a sample of present values, the holding pid is kept
+    truth = decode_pipeline(spark, enc, keep_pid=True,
+                            columns=["commit", "seq"])
+    sample = truth.where(F.col("seq") % 397 == 0).collect()
+    assert sample
+    for row in sample:
+        assert row.pid in pids_matching_value(spark, enc, "commit",
+                                              row.commit)
+        assert row.pid in pids_matching_value(spark, enc, "seq", row.seq)
+
+    # pruning power: a needle hits far fewer pids than the store holds
+    hit = pids_matching_value(spark, enc, "commit", "c0042")
+    assert 0 < len(hit) < len(all_pids) / 2
+
+    # exact pruned read
+    got = (decode_pipeline(spark, enc, pids=hit, columns=["commit", "seq"])
+           .where(F.col("commit") == "c0042").collect())
+    assert [(r.commit, r.seq) for r in got] == [("c0042", 42)]
+
+    # absent value: bloom may keep a few pids, but the residual read is
+    # empty; columns without blooms keep everything (sound default)
+    assert (decode_pipeline(spark, enc,
+                            pids=pids_matching_value(spark, enc, "commit",
+                                                     "nope"),
+                            columns=["commit"])
+            .where(F.col("commit") == "nope").count() == 0) \
+        if pids_matching_value(spark, enc, "commit", "nope") else True
+    assert pids_matching_value(spark, enc, "body", "anything") == all_pids
