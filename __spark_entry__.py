@@ -550,6 +550,37 @@ def q_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned needle query: the store is encoded with per-chunk
+    blooms on doc_id (NOT the sort key's leading column), a point lookup
+    prunes pids via pids_matching_value, and the residual filter makes
+    the pruned decode equal a plain WHERE on the source table."""
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_value,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = _fixture_path("bloom_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc_dir, "_DONE")):
+        encode_pipeline(spark, docs, enc_dir, target_bytes=64 << 10,
+                        run_id="bm", range_keys=("source", "doc_id"),
+                        sort_keys=("source", "doc_id"),
+                        bloom_columns=("doc_id",))
+        with open(os.path.join(enc_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    needle = int(docs.agg(F.max("doc_id")).first()[0]) // 3
+    pids = pids_matching_value(spark, enc_dir, "doc_id", needle)
+    dec = decode_pipeline(spark, enc_dir, columns=["doc_id", "text"],
+                          pids=pids)
+    return (
+        dec.where(F.col("doc_id") == F.lit(needle))
+        .select("doc_id",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+    )
+
+
 def q_fsck_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store integrity check on a fresh encode: every column blob's
     recomputed sha256 must match its manifest entry (distinct
@@ -1035,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_write_read": q_iceberg_write_read,
         "iceberg_mor_delete": q_iceberg_mor_delete,
         "iceberg_partition_prune": q_iceberg_partition_prune,
+        "bloom_point_lookup": q_bloom_point_lookup,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
@@ -1159,6 +1191,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE lang = (SELECT min(lang) FROM documents) "
             "AND doc_id <= (SELECT max(doc_id) / 2 FROM documents)"
+        ),
+        "bloom_point_lookup": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE doc_id = "
+            "(SELECT CAST(FLOOR(max(doc_id) / 3) AS BIGINT) FROM documents)"
         ),
         "encode_manifest_coverage": (
             "SELECT c AS column, (SELECT count(*) FROM documents) AS total_rows "

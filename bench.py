@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "ngram_jaccard", "ngram_jaccard_minhash", "csv_convert",
     "encode_pruned_decode", "incremental_encode", "iceberg_encode_roundtrip",
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
-    "fsck_store",
+    "bloom_point_lookup", "fsck_store",
 ]
 
 
@@ -172,7 +172,8 @@ def main() -> None:
     for name in ("minhash_lsh", "simhash_pairs", "ivf_ann_topk",
                  "embedding_near_pairs_lsh", "media_features",
                  "ngram_jaccard_minhash", "dedup_clusters",
-                 "encode_pruned_decode", "fsck_store"):
+                 "encode_pruned_decode", "fsck_store",
+                 "bloom_point_lookup"):
         qs[name](spark, SF_DIR)
     qs["merge_compact"](spark, SF_DIR)
     os.sync()
