@@ -299,6 +299,35 @@ def q_encode_pruned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-table encode across the full codec family: lineitem's ints,
+    2-decimal doubles (float_alp — the ALP decimal-scaled path), low-card
+    strings (bin_dict) and wide-range low-card timestamps (int_dict) all
+    encode+decode value-exactly. Doubles are compared as scaled BIGINTs
+    (identical doubles scale identically on both engines; bit-exactness
+    itself is pinned by tests/test_codecs.py and the pipeline pytest)."""
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    enc_dir = os.path.join(_TMP, "numeric_enc")
+    encode_pipeline(spark, li, enc_dir, target_bytes=4 << 20, run_id="nq",
+                    range_keys=("l_orderkey", "l_linenumber"),
+                    sort_keys=("l_orderkey", "l_linenumber"))
+    dec = decode_pipeline(spark, enc_dir)
+    return dec.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
+        "l_returnflag", "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate_s"),
+    )
+
+
 def _docs_ddl(df: DataFrame) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}"
                      for f in df.schema.fields)
@@ -1060,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
+        "encode_numeric_roundtrip": q_encode_numeric_roundtrip,
         "fsck_store": q_fsck_store,
         "incremental_encode": q_incremental_encode,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
@@ -1167,6 +1197,16 @@ def oracle_sql() -> dict[str, str]:
         "encode_pruned_decode": (
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE source = (SELECT min(source) FROM documents)"
+        ),
+        "encode_numeric_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            "CAST(round(l_quantity*100) AS BIGINT) AS qty_c, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) AS price_c, "
+            "CAST(round(l_discount*10000) AS BIGINT) AS disc_bp, "
+            "CAST(round(l_tax*10000) AS BIGINT) AS tax_bp, "
+            "l_returnflag, l_linestatus, "
+            "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s "
+            "FROM lineitem"
         ),
         "incremental_encode":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",

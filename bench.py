@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "ngram_jaccard", "ngram_jaccard_minhash", "csv_convert",
     "encode_pruned_decode", "incremental_encode", "iceberg_encode_roundtrip",
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
-    "bloom_point_lookup", "fsck_store",
+    "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
 ]
 
 

