@@ -328,6 +328,39 @@ def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-store compaction (M1/M2 at the encoded layer): a fragmented
+    store (the incremental-ingest degradation shape, cached as a fixture)
+    is copied, compacted to ~2MB pids in shuffle-free merge tasks, and
+    decoded — sha-exact vs the original documents table. The copy is part
+    of the timed body by necessity: compaction mutates its input."""
+    import shutil
+
+    from parquet_toolkit_spark.operators.encode import (
+        compact_store,
+        decode_pipeline,
+        encode_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    frag = _fixture_path("frag_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(frag, "_DONE")):
+        encode_pipeline(spark, docs, frag, target_bytes=256 << 10,
+                        run_id="fr", range_keys=("source", "doc_id"),
+                        sort_keys=("source", "doc_id"))
+        with open(os.path.join(frag, "_DONE"), "w") as fh:
+            fh.write("ok")
+    work = os.path.join(_TMP, "compact_store_work")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(frag, work)
+    os.remove(os.path.join(work, "_DONE"))
+    compact_store(spark, work, target_bytes=2 << 20, run_id="cq")
+    dec = decode_pipeline(spark, work)
+    return dec.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
 def _docs_ddl(df: DataFrame) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}"
                      for f in df.schema.fields)
@@ -1090,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
         "encode_numeric_roundtrip": q_encode_numeric_roundtrip,
+        "compact_store": q_compact_store,
         "fsck_store": q_fsck_store,
         "incremental_encode": q_incremental_encode,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
@@ -1208,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
             "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s "
             "FROM lineitem"
         ),
+        "compact_store":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "incremental_encode":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "fsck_store": (

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "encode_pruned_decode", "incremental_encode", "iceberg_encode_roundtrip",
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
+    "compact_store",
 ]
 
 
@@ -173,7 +174,7 @@ def main() -> None:
                  "embedding_near_pairs_lsh", "media_features",
                  "ngram_jaccard_minhash", "dedup_clusters",
                  "encode_pruned_decode", "fsck_store",
-                 "bloom_point_lookup"):
+                 "bloom_point_lookup", "compact_store"):
         qs[name](spark, SF_DIR)
     qs["merge_compact"](spark, SF_DIR)
     os.sync()

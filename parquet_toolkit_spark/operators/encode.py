@@ -689,6 +689,199 @@ def fsck_store(spark: SparkSession, enc_dir: str,
                          "expected_sha", "actual_sha")
 
 
+def _decode_blob_file(fpath: str, wanted: set[str] | None = None
+                      ) -> dict[str, pa.Array]:
+    """One blob file -> {column: decoded arrow array}. Task-local IO
+    (pyarrow IPC mmap or parquet), zero-copy per-row blob views (VERDICT
+    r1: to_pylist copied every blob into a python bytes). `wanted` prunes
+    columns — an unselected blob's pages never fault."""
+    import numpy as np
+
+    from parquet_toolkit_spark.codecs.chunk import to_arrow
+    from parquet_toolkit_spark.codecs.container import decode_blob
+    from parquet_toolkit_spark.sources.fs import task_open_ipc, task_read_table
+
+    if fpath.endswith(".arrow"):
+        bt = task_open_ipc(fpath).read_all()
+    else:
+        bt = task_read_table([fpath])
+    names = bt.column("column").to_pylist()
+    blob_arr = bt.column("blob").combine_chunks()
+    bufs = blob_arr.buffers()
+    odt = (np.int64 if pa.types.is_large_binary(blob_arr.type)
+           else np.int32)  # parquet path reads 32-bit binary
+    offs = np.frombuffer(
+        bufs[1], dtype=odt, count=len(blob_arr) + blob_arr.offset + 1
+    )[blob_arr.offset:]
+    cols: dict[str, pa.Array] = {}
+    for i, name in enumerate(names):
+        if wanted is not None and name not in wanted:
+            continue
+        view = bufs[2].slice(int(offs[i]), int(offs[i + 1] - offs[i]))
+        cols[name] = to_arrow(decode_blob(view))
+    return cols
+
+
+def compact_store(spark: SparkSession, enc_dir: str,
+                  target_bytes: int = 64 << 20, run_id: str = "cp0",
+                  concurrency: int | None = None,
+                  bloom_columns: tuple[str, ...] | None = None) -> DataFrame:
+    """Merge undersized pid partitions of an encoded store into
+    ~target_bytes partitions — M1/M2 size-binned compaction semantics
+    (reference SimpleMultithreadedParquetMerger.java:233-276 delete-inputs
+    protocol) applied at the blob-store level.
+
+    Incremental ingest (incremental_encode / encode_iceberg_increment)
+    appends one small pid set per micro-batch, so a long-lived store
+    degrades toward many tiny pids: per-pid task overhead on every decode,
+    a wider manifest, worse codec tables (FSST/dict train per pid).
+    compact_store walks committed pids in pid order (== key order for
+    range layouts, so merged partitions keep contiguous sort ranges), bins
+    ADJACENT pids whose ENCODED sizes sum to <= target_bytes, and
+    re-encodes each bin in one shuffle-free task; right-sized pids are not
+    touched or rewritten. At 100 TB this is O(small-pid bytes) IO with
+    O(1) driver state per pid — the same independent-task discipline as
+    encode_partitions.
+
+    Crash-safe like every store writer: merged blobs land via
+    write-temp-then-atomic-rename under FRESH pid numbers (never colliding
+    with live dirs), the manifest swap commits the change atomically, and
+    old member dirs are deleted only after commit — a crash at any point
+    leaves either the old committed view or the new one, plus at worst
+    orphan dirs that decode ignores and fsck_store reports.
+
+    bloom_columns=None auto-detects: columns whose manifest stats carry a
+    bloom keep one on the merged chunks.
+    """
+    import posixpath
+
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    dfs = DriverFS(spark)
+    man = read_manifest(spark, enc_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest under {enc_dir}")
+    committed = man.where(F.col("status") == "committed")
+    sizes = {
+        r.pid: r.total for r in
+        committed.groupBy("pid").agg(F.sum("bytes_out").alias("total")).collect()
+    }
+    if bloom_columns is None:
+        bloom_columns = tuple(sorted(
+            r.column for r in committed
+            .where(F.col("stats_json").contains('"bloom"'))
+            .select("column").distinct().collect()
+        ))
+
+    # greedy adjacent binning: only bins with >=2 members are rewritten
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_sz = 0
+    for pid in sorted(sizes):
+        sz = sizes[pid]
+        if sz >= target_bytes:
+            if len(cur) >= 2:
+                groups.append(cur)
+            cur, cur_sz = [], 0
+            continue  # right-sized pid: untouched
+        if cur and cur_sz + sz > target_bytes:
+            if len(cur) >= 2:
+                groups.append(cur)
+            cur, cur_sz = [], 0
+        cur.append(pid)
+        cur_sz += sz
+    if len(cur) >= 2:
+        groups.append(cur)
+    if not groups:
+        return man
+
+    blobs_dir = os.path.join(enc_dir, "blobs")
+    # member files in (pid, filename) order — concat preserves the sorted
+    # layout's row order across adjacent pids
+    pid_files: dict[int, list[str]] = {}
+    live_pids: set[int] = set()
+    for d in dfs.list_dirs(blobs_dir):
+        base = posixpath.basename(d.rstrip("/"))
+        if not base.startswith("pid="):
+            continue
+        try:
+            pid = int(base.split("=", 1)[1])
+        except ValueError:
+            continue
+        live_pids.add(pid)  # includes orphans: new pids must not collide
+        pid_files[pid] = sorted(
+            f for f, _ in dfs.list_files(d)
+            if f.endswith((".parquet", ".arrow"))
+        )
+    missing = [p for g in groups for p in g if not pid_files.get(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"manifest lists pids {missing} but no blob files exist; "
+            "run fsck_store"
+        )
+
+    next_pid = max(live_pids | set(sizes)) + 1
+    merged_pids = [p for g in groups for p in g]
+    task_rows = []
+    for i, g in enumerate(groups):
+        files = [f for p in g for f in pid_files[p]]
+        task_rows.append((next_pid + i, ",".join(files)))
+    # largest merged bin first for balanced striping
+    task_rows.sort(key=lambda t: -len(t[1]))
+
+    tmp_dir = os.path.join(enc_dir, "_tmp")
+    dfs.mkdirs(tmp_dir)
+    tasks = _striped_task_df(
+        spark, task_rows, "pid INT, files STRING",
+        concurrency or len(task_rows),
+    )
+
+    def compact_task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet_toolkit_spark.runtime import tune_malloc
+        from parquet_toolkit_spark.sources.fs import task_fs, task_write_ipc_atomic
+
+        tune_malloc()
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                new_pid = int(task["pid"])
+                parts: dict[str, list[pa.Array]] = {}
+                for f in task["files"].split(","):
+                    for name, arr in _decode_blob_file(f).items():
+                        parts.setdefault(name, []).append(arr)
+                cols = {
+                    name: pa.chunked_array(arrs).combine_chunks()
+                    for name, arrs in parts.items()
+                }
+                rows = _encode_columns(cols, new_pid, run_id,
+                                       bloom_columns=bloom_columns)
+                blob_table = pa.Table.from_batches([_rows_to_batch(rows)])
+                dest_dir = os.path.join(blobs_dir, f"pid={new_pid}")
+                wfs, dest_plain = task_fs(dest_dir)
+                wfs.create_dir(dest_plain, recursive=True)
+                task_write_ipc_atomic(
+                    blob_table.drop_columns(["pid"]),
+                    os.path.join(tmp_dir, f"pid-{new_pid}-{run_id}.arrow"),
+                    os.path.join(dest_dir, "part-0.arrow"),
+                )
+                yield pd.DataFrame(rows).drop(columns=["blob"])
+
+    manifest_schema = ENCODED_SCHEMA.replace(", blob BINARY", "")
+    new_rows = tasks.mapInPandas(compact_task, manifest_schema)
+    new_man = (
+        new_rows.withColumn("status", F.lit("committed"))
+        .select(*MANIFEST_COLS)
+    )
+    keep = man.where(~F.col("pid").isin([int(p) for p in merged_pids]))
+    _commit_manifest(dfs, enc_dir, keep.select(*MANIFEST_COLS)
+                     .unionByName(new_man))
+    # post-commit cleanup: the manifest no longer references the members,
+    # so a crash here leaves only ignorable orphans
+    for p in merged_pids:
+        dfs.delete(os.path.join(blobs_dir, f"pid={p}"), recursive=True)
+    dfs.delete(tmp_dir, recursive=True)
+    return read_manifest(spark, enc_dir)
+
+
 def decode_pipeline(spark: SparkSession, enc_dir: str,
                     keep_pid: bool = False,
                     concurrency: int | None = None,
@@ -784,42 +977,13 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     )
 
     def decode_task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import numpy as np
-
-        from parquet_toolkit_spark.codecs.chunk import to_arrow
-        from parquet_toolkit_spark.codecs.container import decode_blob
         from parquet_toolkit_spark.runtime import tune_malloc
-
-        from parquet_toolkit_spark.sources.fs import task_open_ipc, task_read_table
 
         tune_malloc()
         for b in batches:
             for task in b.to_pylist():
-                fpath = task["file"]
-                if fpath.endswith(".arrow"):
-                    bt = task_open_ipc(fpath).read_all()
-                else:
-                    bt = task_read_table([fpath])
-                cols: dict[str, pa.Array] = {}
-                nrows = 0
-                names = bt.column("column").to_pylist()
-                blob_arr = bt.column("blob").combine_chunks()
-                # zero-copy per-row blob views (VERDICT r1: to_pylist
-                # copied every blob into a python bytes)
-                bufs = blob_arr.buffers()
-                odt = (np.int64 if pa.types.is_large_binary(blob_arr.type)
-                       else np.int32)  # parquet path reads 32-bit binary
-                offs = np.frombuffer(
-                    bufs[1], dtype=odt, count=len(blob_arr) + blob_arr.offset + 1
-                )[blob_arr.offset:]
-                for i, name in enumerate(names):
-                    if name not in schema_map:
-                        continue  # pruned column: its pages never fault
-                    view = bufs[2].slice(int(offs[i]),
-                                         int(offs[i + 1] - offs[i]))
-                    arr = to_arrow(decode_blob(view))
-                    cols[name] = arr
-                    nrows = len(arr)
+                cols = _decode_blob_file(task["file"], set(schema_map))
+                nrows = len(next(iter(cols.values()))) if cols else 0
                 arrays = []
                 for c, t in out_fields:
                     if c == "pid":

@@ -489,3 +489,92 @@ def test_typed_table_encode_uses_alp_and_dict(spark, sf_dir, tmp_path):
     assert len(orig) == len(got)
     for a, b in zip(orig, got):
         assert a == b
+
+
+def test_compact_store_merges_small_pids_exactly(spark, corpus_df, tmp_path):
+    """Store compaction: tiny pids (the incremental-ingest degradation
+    shape) merge into ~target-size partitions, decode stays bit-identical,
+    right-sized pids are not rewritten, and the merged manifest carries
+    fresh stats/zone maps."""
+    from parquet_toolkit_spark.operators.encode import compact_store
+
+    enc = str(tmp_path / "enc_cp")
+    encode_pipeline(spark, corpus_df, enc, target_bytes=48 << 10, run_id="t0")
+    man0 = read_manifest(spark, enc)
+    pids0 = {r.pid for r in man0.select("pid").distinct().collect()}
+    assert len(pids0) > 6, "fixture must start fragmented"
+
+    man1 = compact_store(spark, enc, target_bytes=256 << 10, run_id="cp1")
+    pids1 = {r.pid for r in man1.select("pid").distinct().collect()}
+    assert len(pids1) < len(pids0)
+    # merged pids use fresh numbers; no member pid survives in a group
+    # that merged (untouched pids keep their rows + run_id)
+    untouched = pids0 & pids1
+    for r in man1.where(F.col("pid").isin([int(p) for p in untouched])).collect():
+        assert r.run_id == "t0"
+    for r in man1.where(~F.col("pid").isin([int(p) for p in untouched])).collect():
+        assert r.run_id == "cp1"
+
+    res = verify_roundtrip(corpus_df, decode_pipeline(spark, enc))
+    assert res["ok"], res
+
+    # blob dirs of merged members are gone; orphanless store
+    import glob as _g
+    live_dirs = {int(os.path.basename(d).split("=")[1])
+                 for d in _g.glob(os.path.join(enc, "blobs", "pid=*"))}
+    assert live_dirs == pids1
+
+    # repeated passes converge: merged chunks can compress better than
+    # their members (wider FSST/dict scope), so one extra consolidation
+    # round is legitimate — but a fixpoint must be reached, pid count
+    # never grows, and decode stays exact throughout
+    prev = pids1
+    for i in range(2, 5):
+        mann = compact_store(spark, enc, target_bytes=256 << 10,
+                             run_id=f"cp{i}")
+        cur = {r.pid for r in mann.select("pid").distinct().collect()}
+        assert len(cur) <= len(prev)
+        if cur == prev:
+            assert mann.where(F.col("run_id") == f"cp{i}").count() == 0
+            break
+        prev = cur
+    else:
+        raise AssertionError("compaction did not reach a fixpoint")
+    res = verify_roundtrip(corpus_df, decode_pipeline(spark, enc))
+    assert res["ok"], res
+
+
+def test_compact_store_preserves_blooms_and_pruning(spark, tmp_path):
+    """Blooms auto-carry through compaction (detected from the manifest),
+    and zone-map pid pruning keeps working on the merged store."""
+    from parquet_toolkit_spark.operators.encode import (
+        compact_store,
+        pids_matching_range,
+        pids_matching_value,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i:05d}", f"text {i}") for i in range(12000)],
+        "seq long, key string, body string")
+    enc = str(tmp_path / "enc_cpb")
+    encode_pipeline(spark, df, enc, target_bytes=8 << 10, run_id="b0",
+                    range_keys=("key",), sort_keys=("key",),
+                    bloom_columns=("seq",))
+    compact_store(spark, enc, target_bytes=32 << 10, run_id="b1")
+    man = read_manifest(spark, enc)
+    merged = man.where(F.col("run_id") == "b1")
+    assert merged.count() > 0
+    seq_rows = merged.where(F.col("column") == "seq").collect()
+    assert seq_rows and all('"bloom"' in r.stats_json for r in seq_rows)
+
+    all_pids = {r.pid for r in man.select("pid").distinct().collect()}
+    hit = pids_matching_value(spark, enc, "seq", 1234)
+    assert hit < all_pids  # bloom still prunes
+    dec = decode_pipeline(spark, enc, pids=hit, columns=["seq", "key"])
+    assert dec.where(F.col("seq") == 1234).count() == 1
+    # zone maps on the sort key regenerate for merged pids
+    zp = pids_matching_range(spark, enc, "key", "k00100", "k00200")
+    assert zp < all_pids
+    assert decode_pipeline(spark, enc, pids=zp, columns=["key"]) \
+        .where((F.col("key") >= "k00100") & (F.col("key") <= "k00200")) \
+        .count() == 101
