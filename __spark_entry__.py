@@ -612,6 +612,37 @@ def q_iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg bucket[8] transform spec end-to-end: documents committed
+    bucket-partitioned on doc_id (partition record = the spec's Murmur3
+    bucket id, verified against the public spec's Appendix B vectors in
+    pytest), then a point lookup via partition_filter on the SOURCE
+    column opens only the matching bucket's files; the residual WHERE
+    makes the superset exact vs a plain filter on the source table."""
+    import shutil
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        read_data,
+        write_table,
+    )
+
+    tdir = _fixture_path("icebucket", sf_dir)
+    done = os.path.join(tdir, "_DONE")
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(done):
+        shutil.rmtree(tdir, ignore_errors=True)
+        write_table(spark, docs, tdir, partition_by=["bucket(8, doc_id)"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    needle = int(docs.agg(F.max("doc_id")).first()[0]) // 3
+    df = read_data(spark, tdir, partition_filter={"doc_id": needle})
+    return (
+        df.where(F.col("doc_id") == F.lit(needle))
+        .select("doc_id",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+    )
+
+
 def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned needle query: the store is encoded with per-chunk
     blooms on doc_id (NOT the sort key's leading column), a point lookup
@@ -1130,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_write_read": q_iceberg_write_read,
         "iceberg_mor_delete": q_iceberg_mor_delete,
         "iceberg_partition_prune": q_iceberg_partition_prune,
+        "iceberg_bucket_prune": q_iceberg_bucket_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
@@ -1267,6 +1299,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE lang = (SELECT min(lang) FROM documents) "
             "AND doc_id <= (SELECT max(doc_id) / 2 FROM documents)"
+        ),
+        "iceberg_bucket_prune": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE doc_id = "
+            "(SELECT CAST(FLOOR(max(doc_id) / 3) AS BIGINT) FROM documents)"
         ),
         "bloom_point_lookup": (
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ngram_jaccard", "ngram_jaccard_minhash", "csv_convert",
     "encode_pruned_decode", "incremental_encode", "iceberg_encode_roundtrip",
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
+    "iceberg_bucket_prune",
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
     "compact_store",
 ]
@@ -174,7 +175,8 @@ def main() -> None:
                  "embedding_near_pairs_lsh", "media_features",
                  "ngram_jaccard_minhash", "dedup_clusters",
                  "encode_pruned_decode", "fsck_store",
-                 "bloom_point_lookup", "compact_store"):
+                 "bloom_point_lookup", "compact_store",
+                 "iceberg_bucket_prune"):
         qs[name](spark, SF_DIR)
     qs["merge_compact"](spark, SF_DIR)
     os.sync()

@@ -281,6 +281,8 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     if snap is None:
         raise ValueError(f"snapshot {sid} not found in {table_dir}")
     mlist_path = _resolve_path(snap["manifest_list"], table_dir, md["location"])
+    pf_terms = (_resolve_partition_filter(md, partition_filter)
+                if partition_filter else [])
     data: list[str] = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
@@ -301,9 +303,9 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                 seq = mf.get("sequence_number", 0)  # null inherit the
             if content == 0:                        # manifest's commit seq
                 pvals = dict(dfile.get("partition") or {})
-                if partition_filter and any(
-                        k in pvals and pvals[k] != v
-                        for k, v in partition_filter.items()):
+                if pf_terms and any(
+                        name in pvals and pvals[name] != tv
+                        for name, tv in pf_terms):
                     continue  # manifest-level pruning: zero data IO
                 if range_filter and not _bounds_admit(dfile, range_filter,
                                                       md):
@@ -330,6 +332,37 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
             "equality_deletes": eq_deletes, "data_seq": data_seq,
             "partition_values": partition_values,
             "raw_to_resolved": raw_to_resolved}
+
+
+def _resolve_partition_filter(md: dict, partition_filter: dict
+                              ) -> list[tuple]:
+    """partition_filter {source_col: value} -> [(partition_field_name,
+    transformed_value)] terms the manifest records can be compared to.
+
+    A filter column matching a spec field's SOURCE is transformed with
+    that field's transform (bucket/truncate/temporal point lookups prune
+    at the metadata layer). Unmatched columns fall back to a direct
+    field-name comparison (identity specs, hand-built filters). Specs or
+    values this reader can't transform add NO term — absence of a term
+    never prunes, so pruning stays sound on foreign tables."""
+    try:
+        spec_fields = _default_spec_fields(md)
+    except Exception:
+        spec_fields = []  # foreign/unsupported spec: no transform mapping
+    ddl = {n: t for n, t, _r in md["schema_fields"]}
+    terms: dict[str, object] = {}
+    for col, val in partition_filter.items():
+        matched = False
+        for f in spec_fields:
+            if f["source"] == col:
+                try:
+                    terms[f["name"]] = _transform_scalar(f, val, ddl)
+                    matched = True
+                except Exception:
+                    pass  # untransformable value: skip this term (sound)
+        if not matched:
+            terms.setdefault(col, val)
+    return list(terms.items())
 
 
 def _bounds_admit(dfile: dict, range_filter: dict, md: dict) -> bool:
@@ -789,32 +822,43 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
                 f"schema mismatch appending to {table_dir}: table has "
                 f"{want}, dataframe has {got}{hint}"
             )
-        spec_cols = _default_spec_columns(existing)
-        if partition_by is None and spec_cols:
-            partition_by = spec_cols  # appends inherit the table's spec
-        elif (partition_by or []) != spec_cols:
-            raise ValueError(
-                f"partition spec mismatch appending to {table_dir}: table "
-                f"is partitioned by {spec_cols}, append requested "
-                f"{partition_by or []}"
-            )
+        table_spec = _default_spec_fields(existing)
+        if partition_by is None and table_spec:
+            spec_fields = table_spec  # appends inherit the table's spec
+        else:
+            df_ddl = {f.name: f.dataType.simpleString()
+                      for f in df.schema.fields}
+            spec_fields = (_parse_partition_by(partition_by, df_ddl)
+                           if partition_by else [])
+            want = [(f["transform"], f["source"]) for f in table_spec]
+            got = [(f["transform"], f["source"]) for f in spec_fields]
+            if want != got:
+                raise ValueError(
+                    f"partition spec mismatch appending to {table_dir}: "
+                    f"table spec is {want}, append requested {got}"
+                )
+            spec_fields = table_spec  # canonical field names from the table
+    else:
+        df_ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        spec_fields = (_parse_partition_by(partition_by, df_ddl)
+                       if partition_by else [])
 
     name_to_fid = {f["name"]: f["id"] for f in fields}
-    part_fields = (_partition_avro_fields(df, partition_by)
-                   if partition_by else None)
+    part_fields = ([(f["name"], f["avro"]) for f in spec_fields]
+                   if spec_fields else None)
     partition_specs = None
-    if partition_by and existing is None:
+    if spec_fields and existing is None:
         # spec declared at table creation; appends carry the existing one
         partition_specs = [{"spec-id": 0, "fields": [
-            {"name": c, "transform": "identity",
-             "source-id": name_to_fid[c], "field-id": 1000 + i}
-            for i, c in enumerate(partition_by)]}]
+            {"name": f["name"], "transform": f["transform"],
+             "source-id": name_to_fid[f["source"]], "field-id": 1000 + i}
+            for i, f in enumerate(spec_fields)]}]
 
     # ---- data files: spark write to a temp dir, move parts into data/
     commit_uuid = uuid.uuid4().hex[:12]
     if part_fields:
         landed = _land_partitioned_parts(df, table_dir, data_dir,
-                                         commit_uuid, part_fields)
+                                         commit_uuid, spec_fields)
         data_files = [p for p, _v in landed]
         part_vals = dict(landed)
     else:
@@ -877,21 +921,287 @@ def _require_writable(info: dict | None) -> None:
         )
 
 
-def _default_spec_columns(md_info: dict) -> list[str]:
-    """Identity-partition column names of the table's default spec
-    (read_table_metadata dict). Non-identity transforms raise — this
-    writer only appends to specs it can produce."""
+# ---- partition transforms (Iceberg spec §Partition Transforms) --------
+#
+# Supported: identity, bucket[N] (spec Appendix B 32-bit Murmur3, seed 0,
+# over the single-value binary serialization), truncate[W], year, month,
+# day, hour. Write-side values are computed as Spark columns (bucket via a
+# vectorized pandas UDF — whole-batch numpy for ints, per-unique hashing
+# for strings); read-side partition_filter prunes on SOURCE columns by
+# applying the same transform to the filter value driver-side.
+
+_TRANSFORM_RE = {
+    "bucket": r"^bucket\((\d+),\s*(\w+)\)$",
+    "truncate": r"^truncate\((\d+),\s*(\w+)\)$",
+    "temporal": r"^(year|month|day|hour)\((\w+)\)$",
+}
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Standard 32-bit Murmur3 (x86), signed Java-int result — the hash
+    the Iceberg spec's bucket transform mandates (Appendix B)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i: 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * nblocks:]
+    if tail:
+        k = int.from_bytes(tail.ljust(4, b"\0"), "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_of(value, src_ddl: str, n: int) -> int | None:
+    """Iceberg bucket id: (murmur3(serialized) & Int.MAX) % n. Ints hash
+    as 8-byte little-endian longs; strings as UTF-8 bytes (spec App. B)."""
+    if value is None:
+        return None
+    if src_ddl in ("bigint", "int", "smallint", "tinyint"):
+        raw = int(value).to_bytes(8, "little", signed=True)
+    elif src_ddl == "string":
+        raw = value.encode("utf-8")
+    else:
+        raise ValueError(f"bucket transform unsupported on {src_ddl!r}")
+    return (murmur3_32(raw) & 0x7FFFFFFF) % n
+
+
+def _parse_partition_by(entries: list[str], ddl: dict[str, str]
+                        ) -> list[dict]:
+    """partition_by entries -> spec-field dicts {name, transform, source,
+    n, avro}. Accepted forms: "col" (identity), "bucket(N, col)",
+    "truncate(W, col)", "year|month|day|hour(col)"."""
+    import re
+
+    out = []
+    for raw in entries:
+        e = raw.strip()
+        m = re.match(_TRANSFORM_RE["bucket"], e)
+        if m:
+            n, src = int(m.group(1)), m.group(2)
+            _require_col(src, ddl, e)
+            if ddl[src] not in ("bigint", "int", "string"):
+                raise ValueError(
+                    f"bucket source {src!r} has type {ddl[src]!r} "
+                    "(supported: bigint, int, string)")
+            out.append({"name": f"{src}_bucket", "transform": f"bucket[{n}]",
+                        "source": src, "n": n, "avro": "int"})
+            continue
+        m = re.match(_TRANSFORM_RE["truncate"], e)
+        if m:
+            w, src = int(m.group(1)), m.group(2)
+            _require_col(src, ddl, e)
+            if w <= 0 or ddl[src] not in ("bigint", "int", "string"):
+                raise ValueError(
+                    f"truncate({w}) unsupported on {src!r}:{ddl.get(src)!r}")
+            out.append({"name": f"{src}_trunc",
+                        "transform": f"truncate[{w}]", "source": src,
+                        "n": w, "avro": _SPARK_TO_AVRO[ddl[src]]})
+            continue
+        m = re.match(_TRANSFORM_RE["temporal"], e)
+        if m:
+            t, src = m.group(1), m.group(2)
+            _require_col(src, ddl, e)
+            ok_types = ("timestamp", "timestamp_ntz", "date")
+            if ddl[src] not in ok_types or (
+                    t == "hour" and ddl[src] == "date"):
+                raise ValueError(
+                    f"{t}() unsupported on {src!r}:{ddl.get(src)!r}")
+            out.append({"name": f"{src}_{t}", "transform": t,
+                        "source": src, "n": None, "avro": "int"})
+            continue
+        if "(" in e:
+            raise ValueError(f"unrecognized partition transform {e!r}")
+        _require_col(e, ddl, e)
+        t = _SPARK_TO_AVRO.get(ddl[e])
+        if t is None:
+            raise ValueError(
+                f"unsupported identity-partition column type {ddl[e]!r} "
+                f"for {e!r} (supported: {sorted(_SPARK_TO_AVRO)})")
+        out.append({"name": e, "transform": "identity", "source": e,
+                    "n": None, "avro": t})
+    return out
+
+
+def _require_col(col: str, ddl: dict, entry: str) -> None:
+    if col not in ddl:
+        raise ValueError(f"partition column {col!r} (from {entry!r}) "
+                         "not in dataframe")
+
+
+def _spec_transform_param(transform: str) -> tuple[str, int | None]:
+    """'bucket[16]' -> ('bucket', 16); 'day' -> ('day', None)."""
+    import re
+
+    m = re.match(r"^(\w+)\[(\d+)\]$", transform)
+    return (m.group(1), int(m.group(2))) if m else (transform, None)
+
+
+def _default_spec_fields(md_info: dict) -> list[dict]:
+    """The table's default partition spec as spec-field dicts (same shape
+    as _parse_partition_by). Transforms this writer can't produce raise —
+    appending under a spec we can't compute would corrupt pruning."""
     specs = md_info.get("partition_specs") or []
     spec = next((s for s in specs if s.get("spec-id", 0) == 0),
                 specs[0] if specs else {"fields": []})
-    cols = []
+    fid_to_name = {v: k for k, v in md_info["schema_name_to_id"].items()}
+    ddl = {n: t for n, t, _r in md_info["schema_fields"]}
+    out = []
     for f in spec.get("fields", []):
-        if f.get("transform", "identity") != "identity":
+        t, n = _spec_transform_param(f.get("transform", "identity"))
+        src = fid_to_name.get(f.get("source-id"))
+        if src is None:
+            raise ValueError(
+                f"partition spec field {f.get('name')!r} references "
+                f"unknown source-id {f.get('source-id')!r}")
+        if t == "identity":
+            out.append({"name": f["name"], "transform": "identity",
+                        "source": src, "n": None,
+                        "avro": _SPARK_TO_AVRO.get(ddl.get(src), "string")})
+        elif t == "bucket":
+            out.append({"name": f["name"], "transform": f"bucket[{n}]",
+                        "source": src, "n": n, "avro": "int"})
+        elif t == "truncate":
+            out.append({"name": f["name"], "transform": f"truncate[{n}]",
+                        "source": src, "n": n,
+                        "avro": _SPARK_TO_AVRO.get(ddl.get(src), "string")})
+        elif t in ("year", "month", "day", "hour"):
+            out.append({"name": f["name"], "transform": t, "source": src,
+                        "n": None, "avro": "int"})
+        else:
             raise NotImplementedError(
-                f"partition transform {f['transform']!r} unsupported "
-                "(identity only)")
-        cols.append(f["name"])
-    return cols
+                f"partition transform {f.get('transform')!r} unsupported")
+    return out
+
+
+def _spec_partition_col(f: dict, ddl: dict[str, str]):
+    """Spark Column computing spec field `f`'s partition value per row.
+    Session timezone is pinned to UTC (runtime.py), so calendar
+    extractions are deterministic."""
+    from pyspark.sql import functions as F
+
+    t, n = _spec_transform_param(f["transform"])
+    src = F.col(f["source"])
+    if t == "identity":
+        return src
+    if t == "truncate":
+        if ddl[f["source"]] == "string":
+            return F.substring(src, 1, n)
+        return (src - F.pmod(src, F.lit(n))).cast(ddl[f["source"]])
+    if t == "year":
+        return (F.year(src) - F.lit(1970)).cast("int")
+    if t == "month":
+        return ((F.year(src) - F.lit(1970)) * 12
+                + F.month(src) - F.lit(1)).cast("int")
+    if t == "day":
+        return F.datediff(F.to_date(src), F.lit("1970-01-01")).cast("int")
+    if t == "hour":
+        return F.floor(src.cast("double") / F.lit(3600)).cast("int")
+    # bucket: vectorized pandas UDF (whole-batch numpy murmur3 for ints,
+    # per-unique hashing for strings — never per-row python on ints)
+    src_ddl = ddl[f["source"]]
+    from pyspark.sql.functions import pandas_udf
+
+    if src_ddl in ("bigint", "int"):
+        @pandas_udf("int")
+        def _bucket_int(s):
+            import numpy as np
+            import pandas as pd
+
+            mask = s.isna()
+            v = s.fillna(0).to_numpy(dtype=np.int64)
+            h = _murmur3_32_i64_vec(v)
+            out = ((h & np.uint32(0x7FFFFFFF)).astype(np.int64)
+                   % np.int64(n)).astype("int32")
+            res = pd.Series(out, index=s.index, dtype="Int32")
+            res[mask] = pd.NA
+            return res
+
+        return _bucket_int(src)
+
+    @pandas_udf("int")
+    def _bucket_str(s):
+        import pandas as pd
+
+        uniq = {u: _bucket_of(u, "string", n) for u in s.dropna().unique()}
+        return s.map(uniq).astype("Int32")
+
+    return _bucket_str(src)
+
+
+def _murmur3_32_i64_vec(vals):
+    """Vectorized murmur3_x86_32 over int64 values serialized as 8-byte
+    little-endian (two 4-byte blocks) — matches murmur3_32(v.to_bytes(8,
+    'little', signed=True)) exactly; returns uint32."""
+    import numpy as np
+
+    b = np.ascontiguousarray(vals, dtype="<i8").view(np.uint32).reshape(-1, 2)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(vals), dtype=np.uint32)
+    for i in range(2):
+        k = b[:, i].copy()
+        k *= c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k *= c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _transform_scalar(f: dict, value, ddl: dict[str, str]):
+    """Driver-side transform of a partition_filter value — must agree
+    exactly with _spec_partition_col for pruning to be sound."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    t, n = _spec_transform_param(f["transform"])
+    if t == "identity":
+        return value
+    if t == "bucket":
+        return _bucket_of(value, ddl[f["source"]], n)
+    if t == "truncate":
+        if isinstance(value, str):
+            return value[:n]
+        return value - (value % n)  # python % is floor-mod, matches pmod
+    if isinstance(value, str):
+        value = _dt.datetime.fromisoformat(value)
+    if isinstance(value, _dt.datetime) and value.tzinfo is not None:
+        value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if t == "year":
+        return value.year - 1970
+    if t == "month":
+        return (value.year - 1970) * 12 + value.month - 1
+    epoch_date = _dt.date(1970, 1, 1)
+    if t == "day":
+        d = value.date() if isinstance(value, _dt.datetime) else value
+        return (d - epoch_date).days
+    if t == "hour":
+        secs = (value - _dt.datetime(1970, 1, 1)).total_seconds()
+        return int(secs // 3600)
+    raise NotImplementedError(f"transform {f['transform']!r}")
 
 
 def _land_parquet_parts(df: DataFrame, table_dir: str, data_dir: str,
@@ -924,22 +1234,6 @@ _SPARK_TO_AVRO = {"string": "string", "bigint": "long", "int": "int",
                   "double": "double", "float": "float", "boolean": "boolean"}
 
 
-def _partition_avro_fields(df: DataFrame, cols: list[str]
-                           ) -> list[tuple[str, str]]:
-    ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    out = []
-    for c in cols:
-        if c not in ddl:
-            raise ValueError(f"partition column {c!r} not in dataframe")
-        t = _SPARK_TO_AVRO.get(ddl[c])
-        if t is None:
-            raise ValueError(
-                f"unsupported identity-partition column type {ddl[c]!r} "
-                f"for {c!r} (supported: {sorted(_SPARK_TO_AVRO)})")
-        out.append((c, t))
-    return out
-
-
 def _parse_partition_value(raw: str, avro_type: str):
     from urllib.parse import unquote
 
@@ -957,20 +1251,34 @@ def _parse_partition_value(raw: str, avro_type: str):
 
 def _land_partitioned_parts(df: DataFrame, table_dir: str, data_dir: str,
                             commit_uuid: str,
-                            part_fields: list[tuple[str, str]],
+                            spec_fields: list[dict],
                             max_records: int | None = None
                             ) -> list[tuple[str, dict]]:
-    """Write df hive-partitioned on the identity columns, then move the
-    parts flat under data/ with commit-unique names, returning
-    [(dest_path, {col: typed value})]. Partition values live in the
-    MANIFEST (Iceberg semantics), not in directory names or the data
-    files — the read path re-injects them from metadata."""
+    """Write df hive-partitioned on the spec's partition values, then move
+    the parts flat under data/ with commit-unique names, returning
+    [(dest_path, {field_name: typed value})]. Partition values live in
+    the MANIFEST (Iceberg semantics), not in directory names or the data
+    files — the read path re-injects identity columns from metadata.
+
+    Non-identity spec fields (bucket/truncate/temporal) are computed as
+    derived columns named after the partition field; partitionBy strips
+    them from the data files (the SOURCE column stays), exactly the spec
+    layout. Identity fields partition on the source column itself."""
     import glob as _g
     import os
     import shutil
     import uuid
 
-    cols = [n for n, _t in part_fields]
+    ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = []
+    for f in spec_fields:
+        if f["transform"] != "identity":
+            if f["name"] in ddl:
+                raise ValueError(
+                    f"derived partition field {f['name']!r} collides with "
+                    "a data column; rename the column or the spec field")
+            df = df.withColumn(f["name"], _spec_partition_col(f, ddl))
+        cols.append(f["name"])
     tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
     w = df.write.mode("overwrite")
     if max_records:
@@ -982,11 +1290,11 @@ def _land_partitioned_parts(df: DataFrame, table_dir: str, data_dir: str,
             tmp, *(["*"] * len(cols)), "part-*.parquet"))):
         rel = os.path.relpath(part, tmp).split(os.sep)[:-1]
         vals = {}
-        for seg, (name, t) in zip(rel, part_fields):
+        for seg, f in zip(rel, spec_fields):
             k, _, raw = seg.partition("=")
-            if k != name:
+            if k != f["name"]:
                 raise ValueError(f"unexpected partition dir segment {seg!r}")
-            vals[name] = _parse_partition_value(raw, t)
+            vals[f["name"]] = _parse_partition_value(raw, f["avro"])
         dest = os.path.join(data_dir, f"{commit_uuid}-{i:05d}.parquet")
         os.replace(part, dest)
         out.append((dest, vals))
@@ -1487,11 +1795,13 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
                 for c in sort_by]},
         ]
     commit_uuid = uuid.uuid4().hex[:12]
-    spec_cols = _default_spec_columns(existing)
-    if spec_cols:  # compaction keeps the table's identity partition spec
-        part_fields = _partition_avro_fields(df, spec_cols)
+    spec_fields = _default_spec_fields(existing)
+    if spec_fields:  # compaction keeps the table's partition spec
+        # (identity AND transform fields: read_data re-injected identity
+        # columns, transform values recompute from the source columns)
+        part_fields = [(f["name"], f["avro"]) for f in spec_fields]
         landed = _land_partitioned_parts(df, table_dir, data_dir,
-                                         commit_uuid, part_fields,
+                                         commit_uuid, spec_fields,
                                          max_records=target_file_rows)
         new_files = [p for p, _v in landed]
         part_vals = dict(landed)

@@ -1765,3 +1765,197 @@ def test_iceberg_incremental_scan_expired_watermark(spark, tmp_path):
     from parquet_toolkit_spark.operators.encode import decode_pipeline
     got = {(x.id, x.v) for x in decode_pipeline(spark, enc).collect()}
     assert got == {(i, f"a{i}") for i in range(10)} | {(10, "b"), (11, "c")}
+
+
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's Appendix B bucket-hash test vectors (public):
+    ints hash as 8-byte little-endian longs, strings as UTF-8 bytes."""
+    import numpy as np
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        _murmur3_32_i64_vec,
+        murmur3_32,
+    )
+
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    assert murmur3_32((17486).to_bytes(8, "little", signed=True)) == -653330422
+    # vectorized int path agrees with the scalar everywhere
+    vals = np.array([34, 17486, 0, -1, -(2**62), 2**62, 123456789],
+                    dtype=np.int64)
+    vec = _murmur3_32_i64_vec(vals)
+    for v, h in zip(vals.tolist(), vec.tolist()):
+        expect = murmur3_32(int(v).to_bytes(8, "little", signed=True))
+        assert (h - (1 << 32) if h >= (1 << 31) else h) == expect
+
+
+def test_iceberg_bucket_partition_write_read_prune(spark, tmp_path):
+    """bucket[N] spec: spec-compliant bucket ids in the manifest record,
+    exact reads, and point-lookup pruning on the SOURCE column."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "bt")
+    rows = [(i, f"repo{i % 7}", f"c{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, repo string, content string")
+    ic.write_table(spark, df, tdir, partition_by=["bucket(4, id)"])
+
+    md = ic.read_table_metadata(tdir)
+    spec = md["partition_specs"][0]["fields"]
+    assert spec[0]["transform"] == "bucket[4]"
+    assert spec[0]["name"] == "id_bucket"
+
+    # manifest bucket values match the spec hash
+    sf = ic.snapshot_files(tdir)
+    for p, vals in sf["partition_values"].items():
+        assert 0 <= vals["id_bucket"] < 4
+
+    # exact full read (source column intact in data files)
+    got = {(r.id, r.repo) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(i, f"repo{i % 7}") for i in range(400)}
+
+    # point-lookup pruning on the source column: the file holding id=123
+    # is kept, others with different bucket values pruned
+    target_bucket = ic._bucket_of(123, "bigint", 4)
+    sf_all = ic.snapshot_files(tdir)
+    sf_pt = ic.snapshot_files(tdir, partition_filter={"id": 123})
+    assert 0 < len(sf_pt["data"]) < len(sf_all["data"])
+    assert all(sf_all["partition_values"][p]["id_bucket"] == target_bucket
+               for p in sf_pt["data"])
+    assert 123 in {r.id for r in
+                   ic.read_data(spark, tdir,
+                                partition_filter={"id": 123}).collect()}
+
+    # string bucket too
+    tdir2 = str(tmp_path / "bts")
+    ic.write_table(spark, df, tdir2, partition_by=["bucket(8, repo)"])
+    want = ic._bucket_of("repo3", "string", 8)
+    sf3 = ic.snapshot_files(tdir2, partition_filter={"repo": "repo3"})
+    assert all(sf3["partition_values"][p]["repo_bucket"] == want
+               for p in sf3["data"])
+    got3 = {r.id for r in
+            ic.read_data(spark, tdir2,
+                         partition_filter={"repo": "repo3"}).collect()}
+    assert got3 >= {i for i in range(400) if i % 7 == 3}
+
+
+def test_iceberg_truncate_and_temporal_transforms(spark, tmp_path):
+    """truncate[W] on strings/ints and year/month/day/hour on timestamps:
+    write, exact read, metadata-layer pruning via source-column filters."""
+    import datetime as dt
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    rows = [
+        (i, f"src{i % 5}/f{i}",
+         dt.datetime(2023, 1 + (i % 12), 3, i % 24, 30, 0))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, path string, ts timestamp")
+
+    # truncate(4, path): partition value is the 4-char prefix
+    tdir = str(tmp_path / "tr")
+    ic.write_table(spark, df, tdir, partition_by=["truncate(4, path)"])
+    sf = ic.snapshot_files(tdir, partition_filter={"path": "src2/f12"})
+    assert sf["data"]
+    assert all(v["path_trunc"] == "src2"
+               for p, v in sf["partition_values"].items()
+               if p in set(sf["data"]))
+    got = {r.id for r in
+           ic.read_data(spark, tdir,
+                        partition_filter={"path": "src2/f12"}).collect()}
+    assert got == {i for i in range(120) if i % 5 == 2}
+
+    # month(ts): months since 1970-01
+    tdir2 = str(tmp_path / "mo")
+    ic.write_table(spark, df, tdir2, partition_by=["month(ts)"])
+    want_month = (2023 - 1970) * 12 + 3 - 1  # March 2023
+    sf2 = ic.snapshot_files(
+        tdir2, partition_filter={"ts": dt.datetime(2023, 3, 15, 1, 0, 0)})
+    assert sf2["data"]
+    assert all(sf2["partition_values"][p]["ts_month"] == want_month
+               for p in sf2["data"])
+    got2 = {r.id for r in ic.read_data(
+        spark, tdir2,
+        partition_filter={"ts": dt.datetime(2023, 3, 15)}).collect()}
+    assert got2 == {i for i in range(120) if i % 12 == 2}
+
+    # day(ts) + hour(ts) + truncate int
+    df3 = spark.createDataFrame(
+        [(i * 100, dt.datetime(2024, 5, 1 + (i % 4), 6 + (i % 3)))
+         for i in range(40)],
+        "v long, ts timestamp")
+    tdir3 = str(tmp_path / "dy")
+    ic.write_table(spark, df3, tdir3,
+                   partition_by=["day(ts)", "truncate(1000, v)"])
+    probe = dt.datetime(2024, 5, 2, 23)
+    want_day = (dt.date(2024, 5, 2) - dt.date(1970, 1, 1)).days
+    sf3 = ic.snapshot_files(tdir3, partition_filter={"ts": probe})
+    assert sf3["data"]
+    assert all(sf3["partition_values"][p]["ts_day"] == want_day
+               for p in sf3["data"])
+    got3 = {r.v for r in ic.read_data(
+        spark, tdir3, partition_filter={"ts": probe}).collect()}
+    assert got3 == {i * 100 for i in range(40) if i % 4 == 1}
+
+    tdir4 = str(tmp_path / "hr")
+    ic.write_table(spark, df3, tdir4, partition_by=["hour(ts)"])
+    want_hour = int(dt.datetime(2024, 5, 3, 7)
+                    .replace(tzinfo=dt.timezone.utc).timestamp() // 3600)
+    sf4 = ic.snapshot_files(
+        tdir4, partition_filter={"ts": dt.datetime(2024, 5, 3, 7, 59)})
+    assert sf4["data"]
+    assert all(sf4["partition_values"][p]["ts_hour"] == want_hour
+               for p in sf4["data"])
+
+
+def test_iceberg_transform_spec_append_and_rewrite(spark, tmp_path):
+    """Appends inherit a transform spec (and refuse a respec); compaction
+    recomputes transform values and keeps pruning exact."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "ta")
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, txt string")
+    ic.write_table(spark, df, tdir, partition_by=["bucket(4, id)"])
+    df2 = spark.createDataFrame([(1000, "x"), (1001, "y")],
+                                "id long, txt string")
+    ic.write_table(spark, df2, tdir)  # inherits bucket(4, id)
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        ic.write_table(spark, df2, tdir, partition_by=["bucket(8, id)"])
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        ic.write_table(spark, df2, tdir, partition_by=["id"])
+
+    all_ids = {r.id for r in ic.read_data(spark, tdir).collect()}
+    assert all_ids == set(range(100)) | {1000, 1001}
+
+    # compaction keeps the spec and the pruning
+    ic.rewrite_data_files(spark, tdir, target_file_rows=200)
+    sf = ic.snapshot_files(tdir, partition_filter={"id": 1000})
+    want = ic._bucket_of(1000, "bigint", 4)
+    assert sf["data"]
+    assert all(sf["partition_values"][p]["id_bucket"] == want
+               for p in sf["data"])
+    got = {r.id for r in ic.read_data(
+        spark, tdir, partition_filter={"id": 1000}).collect()}
+    assert 1000 in got
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == all_ids
+
+
+def test_iceberg_transform_validation_errors(spark):
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        _parse_partition_by,
+    )
+
+    ddl = {"id": "bigint", "txt": "string", "ts": "timestamp",
+           "d": "date", "x": "double"}
+    with pytest.raises(ValueError, match="not in dataframe"):
+        _parse_partition_by(["bucket(4, nope)"], ddl)
+    with pytest.raises(ValueError, match="bucket source"):
+        _parse_partition_by(["bucket(4, x)"], ddl)
+    with pytest.raises(ValueError, match="hour"):
+        _parse_partition_by(["hour(d)"], ddl)
+    with pytest.raises(ValueError, match="unrecognized"):
+        _parse_partition_by(["zigzag(3, id)"], ddl)
+    # date sources work for day/year/month
+    out = _parse_partition_by(["day(d)", "year(ts)"], ddl)
+    assert [f["name"] for f in out] == ["d_day", "ts_year"]
