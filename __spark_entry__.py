@@ -299,6 +299,33 @@ def q_encode_pruned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decode_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_where — the one-call predicate-pushdown read: an equality
+    on `source` (string zone maps) intersected with a `doc_id` range
+    (int zone maps) prunes pids at the manifest layer, column-pruned
+    decode, residual filters applied — exact vs a plain SQL WHERE."""
+    from parquet_toolkit_spark.operators.encode import decode_where
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = _fixture_path("pruned_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc_dir, "_DONE")):
+        from parquet_toolkit_spark.operators.encode import encode_pipeline
+
+        encode_pipeline(spark, docs, enc_dir, target_bytes=64 << 10,
+                        run_id="pr", range_keys=("source", "doc_id"),
+                        sort_keys=("source", "doc_id"))
+        with open(os.path.join(enc_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    src = docs.agg(F.min("source")).first()[0]
+    mid = int(docs.agg(F.max("doc_id")).first()[0]) // 2
+    dec = decode_where(spark, enc_dir,
+                       {"source": src, "doc_id": (None, mid)},
+                       columns=["doc_id", "text"])
+    return dec.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
 def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-table encode across the full codec family: lineitem's ints,
     2-decimal doubles (float_alp — the ALP decimal-scaled path), low-card
@@ -1153,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
+        "decode_where": q_decode_where,
         "encode_numeric_roundtrip": q_encode_numeric_roundtrip,
         "compact_store": q_compact_store,
         "fsck_store": q_fsck_store,
@@ -1263,6 +1291,12 @@ def oracle_sql() -> dict[str, str]:
         "encode_pruned_decode": (
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE source = (SELECT min(source) FROM documents)"
+        ),
+        "decode_where": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE source = (SELECT min(source) FROM documents) "
+            "AND doc_id <= (SELECT CAST(FLOOR(max(doc_id) / 2) AS BIGINT) "
+            "FROM documents)"
         ),
         "encode_numeric_roundtrip": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "

@@ -1127,6 +1127,85 @@ def _prefix_upper_bound(prefix: str) -> str | None:
     return None
 
 
+def decode_where(spark: SparkSession, enc_dir: str,
+                 predicates: dict,
+                 columns: list[str] | None = None,
+                 keep_pid: bool = False,
+                 concurrency: int | None = None) -> DataFrame:
+    """Predicate-pushdown decode: one call composing every pruning layer
+    the store offers — the blob-store analogue of a parquet scan with
+    PushedFilters. Each predicate prunes pids at the METADATA layer
+    (manifest stats; no blob IO), the intersected pid set is decoded with
+    column pruning, and the same predicates re-apply row-level so the
+    result is EXACT, not a superset.
+
+    predicates: {column: spec} where spec is
+      scalar            equality — bloom probe (if built) AND zone-map
+                        point range, then a residual ==
+      (lo, hi) tuple    range, either side None — zone maps + residual
+      {"prefix": p}     string prefix — zone maps via the carry-safe
+                        upper bound + residual startswith
+
+    Pid sets intersect across predicates (each is a sound superset, so
+    the intersection is too). Pruning evidence comes free from the
+    manifest; columns without stats/blooms simply don't prune — the
+    residual keeps the answer exact either way."""
+    if not predicates:
+        raise ValueError("decode_where needs at least one predicate; "
+                         "use decode_pipeline for full scans")
+    pids: set[int] | None = None
+
+    def _and(s: set[int]) -> None:
+        nonlocal pids
+        pids = s if pids is None else (pids & s)
+
+    for col, spec in predicates.items():
+        if isinstance(spec, dict) and "prefix" in spec:
+            _and(pids_matching_prefix(spark, enc_dir, col, spec["prefix"]))
+        elif isinstance(spec, tuple):
+            lo, hi = spec
+            if isinstance(lo, (int, str)) or isinstance(hi, (int, str)):
+                _and(pids_matching_range(spark, enc_dir, col, lo, hi))
+        else:
+            _and(pids_matching_value(spark, enc_dir, col, spec))
+            if isinstance(spec, (int, str)) and not isinstance(spec, bool):
+                _and(pids_matching_range(spark, enc_dir, col, spec, spec))
+
+    pred_cols = list(predicates)
+    want = columns
+    if columns is not None:
+        columns = list(dict.fromkeys(columns + pred_cols))
+    if pids is not None and not pids:
+        # fully pruned: an empty result with the store's schema, no IO
+        from parquet_toolkit_spark.sources.fs import DriverFS
+
+        schema_map = json.loads(
+            DriverFS(spark).read_text(os.path.join(enc_dir, "_schema.json")))
+        keep_cols = columns if columns is not None else list(schema_map)
+        ddl = ", ".join(
+            ([f"pid int"] if keep_pid else [])
+            + [f"`{c}` {schema_map[c]}" for c in keep_cols])
+        df = spark.createDataFrame([], ddl)
+    else:
+        df = decode_pipeline(spark, enc_dir, keep_pid=keep_pid,
+                             concurrency=concurrency, columns=columns,
+                             pids=pids)
+    for col, spec in predicates.items():
+        if isinstance(spec, dict) and "prefix" in spec:
+            df = df.where(F.col(col).startswith(spec["prefix"]))
+        elif isinstance(spec, tuple):
+            lo, hi = spec
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
+        else:
+            df = df.where(F.col(col) == F.lit(spec))
+    if want is not None:
+        df = df.select(*(["pid"] if keep_pid else []), *want)
+    return df
+
+
 def pids_matching_prefix(spark: SparkSession, enc_dir: str, column: str,
                          prefix: str) -> set[int]:
     """Prefix pruning over string zone maps: pids that could hold values

@@ -578,3 +578,54 @@ def test_compact_store_preserves_blooms_and_pruning(spark, tmp_path):
     assert decode_pipeline(spark, enc, pids=zp, columns=["key"]) \
         .where((F.col("key") >= "k00100") & (F.col("key") <= "k00200")) \
         .count() == 101
+
+
+def test_decode_where_composes_all_pruning_layers(spark, tmp_path):
+    """decode_where: bloom + zone-map + prefix pruning intersect at the
+    metadata layer and the residual filters make every answer EXACT
+    against a full-decode reference; a contradiction decodes nothing."""
+    from parquet_toolkit_spark.operators.encode import decode_where
+
+    df = spark.createDataFrame(
+        [(i, f"grp{i % 4}/item{i:05d}", f"c{i:04d}", i % 100)
+         for i in range(6000)],
+        "seq long, path string, commit string, score long")
+    enc = str(tmp_path / "enc_dw")
+    encode_pipeline(spark, df, enc, target_bytes=24 << 10, run_id="dw",
+                    range_keys=("path",), sort_keys=("path",),
+                    n_partitions=16, bloom_columns=("commit",))
+
+    full = df.toPandas().sort_values("seq").reset_index(drop=True)
+
+    # equality on a bloomed, non-sorted column
+    got = decode_where(spark, enc, {"commit": "c1234"}).toPandas()
+    assert got.seq.tolist() == [1234]
+
+    # range on the sort key
+    got = (decode_where(spark, enc,
+                        {"path": ("grp1/item00100", "grp1/item00200")})
+           .toPandas().sort_values("seq"))
+    want = full[(full.path >= "grp1/item00100")
+                & (full.path <= "grp1/item00200")]
+    assert got.seq.tolist() == want.seq.tolist()
+
+    # prefix + column pruning + extra predicate col auto-included then
+    # dropped from the projection
+    got = decode_where(spark, enc, {"path": {"prefix": "grp2/"},
+                                    "score": (10, 20)},
+                       columns=["seq"]).toPandas().sort_values("seq")
+    want = full[(full.path.str.startswith("grp2/"))
+                & (full.score >= 10) & (full.score <= 20)]
+    assert got.columns.tolist() == ["seq"]
+    assert got.seq.tolist() == want.seq.tolist()
+
+    # contradictory predicates: fully pruned, empty result, right schema
+    got = decode_where(spark, enc, {"commit": "zz-not-there"})
+    assert got.count() == 0
+    assert set(got.columns) == {"seq", "path", "commit", "score"}
+
+    # open-ended range
+    got = decode_where(spark, enc, {"path": ("grp3/item05990", None)},
+                       columns=["path", "seq"]).toPandas()
+    want = full[full.path >= "grp3/item05990"]
+    assert sorted(got.seq.tolist()) == sorted(want.seq.tolist())
