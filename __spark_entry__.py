@@ -326,6 +326,35 @@ def q_decode_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ptsc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blob store as a Catalyst data source (Spark 4.1 Python Data
+    Source API): spark.read.format("ptsc") over the encoded fixture with
+    a WHERE — planning pushes the filters into manifest-level pid pruning
+    (zone maps/blooms), Spark applies the exact residual. Must equal a
+    plain SQL WHERE over the source table."""
+    from parquet_toolkit_spark.sources.ptsc_datasource import PtscDataSource
+
+    docs = _t(spark, sf_dir, "documents")
+    enc_dir = _fixture_path("pruned_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc_dir, "_DONE")):
+        from parquet_toolkit_spark.operators.encode import encode_pipeline
+
+        encode_pipeline(spark, docs, enc_dir, target_bytes=64 << 10,
+                        run_id="pr", range_keys=("source", "doc_id"),
+                        sort_keys=("source", "doc_id"))
+        with open(os.path.join(enc_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PtscDataSource)
+    src = docs.agg(F.min("source")).first()[0]
+    df = spark.read.format("ptsc").load(enc_dir)
+    return (
+        df.where(F.col("source") == F.lit(src))
+        .select("doc_id",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+    )
+
+
 def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-table encode across the full codec family: lineitem's ints,
     2-decimal doubles (float_alp — the ALP decimal-scaled path), low-card
@@ -1181,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
         "decode_where": q_decode_where,
+        "ptsc_scan": q_ptsc_scan,
         "encode_numeric_roundtrip": q_encode_numeric_roundtrip,
         "compact_store": q_compact_store,
         "fsck_store": q_fsck_store,
@@ -1297,6 +1327,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = (SELECT min(source) FROM documents) "
             "AND doc_id <= (SELECT CAST(FLOOR(max(doc_id) / 2) AS BIGINT) "
             "FROM documents)"
+        ),
+        "ptsc_scan": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE source = (SELECT min(source) FROM documents)"
         ),
         "encode_numeric_roundtrip": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "

@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
     "iceberg_bucket_prune",
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
-    "compact_store", "decode_where",
+    "compact_store", "decode_where", "ptsc_scan",
 ]
 
 

@@ -65,6 +65,9 @@ def spark_builder_defaults(builder, shuffle_partitions: int | None = None):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the ptsc Python data source prunes pids via pushFilters; the
+        # capability is config-gated in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.python.worker.reuse", "true")
         # F1/F2 parity: the reference hand-rolls bad-block retries

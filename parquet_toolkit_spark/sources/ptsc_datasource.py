@@ -1,0 +1,185 @@
+"""Spark Python Data Source (4.1 API) for the PTSC blob store.
+
+Registers the encoded store as a first-class Catalyst source:
+
+    spark.dataSource.register(PtscDataSource)
+    spark.read.format("ptsc").load(enc_dir).where("doc_id <= 100")
+
+Planning calls `pushFilters` with the query's conjunctive filters; the
+reader prunes PIDS at the manifest layer (int/string zone maps, prefix
+bounds, per-chunk blooms — the same evidence decode_where uses) and
+returns every filter as residual, because pid pruning is a SUPERSET
+optimization: Spark re-applies the predicates row-level, so results are
+exact while pruned partitions cost zero blob IO. One input partition per
+(pid, blob file); reads yield Arrow batches through the shared
+_decode_blob_file (memory-mapped IPC, zero-copy blob views).
+
+Driver-side planning reads the manifest with pyarrow directly — no
+nested Spark jobs during query planning, and the reader stays picklable.
+
+Capability note: the 4.1 Python source API pushes FILTERS only (no
+column pruning); narrow projections that want column pruning should use
+decode_pipeline/decode_where, which fault only the selected columns'
+pages.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+_RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                  LessThanOrEqual, StringStartsWith)
+
+
+def _store_schema_map(path: str) -> dict[str, str]:
+    with open(os.path.join(path, "_schema.json")) as fh:
+        return json.load(fh)
+
+
+def _manifest_stats(path: str) -> list[dict]:
+    """Committed manifest rows as dicts (pid, column, stats) — pyarrow
+    read, falling back to the pre-swap copy like read_manifest does."""
+    import pyarrow.parquet as pq
+
+    for name in ("manifest", "manifest_old"):
+        d = os.path.join(path, name)
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            continue
+        t = pq.read_table(files, columns=["pid", "column", "status",
+                                          "stats_json"])
+        out = []
+        for pid, col, status, sj in zip(
+                t.column("pid").to_pylist(), t.column("column").to_pylist(),
+                t.column("status").to_pylist(),
+                t.column("stats_json").to_pylist()):
+            if status == "committed":
+                out.append({"pid": pid, "column": col,
+                            "stats": json.loads(sj)})
+        return out
+    raise FileNotFoundError(f"no manifest under {path}")
+
+
+def _chunk_admits(stats: dict, flt) -> bool:
+    """Can this (pid, column) chunk hold rows matching `flt`? Missing
+    evidence always admits — pruning must stay sound."""
+    if isinstance(flt, StringStartsWith):
+        from parquet_toolkit_spark.operators.encode import _prefix_upper_bound
+
+        smin, smax = stats.get("smin"), stats.get("smax")
+        if smin is None or smax is None:
+            return True
+        hi = _prefix_upper_bound(flt.value)
+        return smax >= flt.value and (hi is None or smin <= hi)
+    v = flt.value
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        return True  # no comparable zone evidence for this value type
+    if isinstance(v, str):
+        lo, hi = stats.get("smin"), stats.get("smax")
+    else:
+        lo, hi = stats.get("min"), stats.get("max")
+    if lo is None or hi is None:
+        admit = True
+    elif isinstance(flt, EqualTo):
+        admit = lo <= v <= hi
+    elif isinstance(flt, GreaterThan):
+        admit = hi > v
+    elif isinstance(flt, GreaterThanOrEqual):
+        admit = hi >= v
+    elif isinstance(flt, LessThan):
+        admit = lo < v
+    else:  # LessThanOrEqual
+        admit = lo <= v
+    if admit and isinstance(flt, EqualTo) and stats.get("bloom") is not None:
+        from parquet_toolkit_spark.codecs.bloom import bloom_might_contain
+
+        admit = bloom_might_contain(stats["bloom"], v,
+                                    stats.get("bloom_kind", "bin"))
+    return admit
+
+
+class PtscReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        # keep the single-column comparisons we have zone/bloom evidence
+        # for; EVERY filter (kept or not) is returned as residual — pid
+        # pruning admits supersets, Spark applies the exact predicate
+        for f in filters:
+            if isinstance(f, _RANGE_FILTERS) and len(f.attribute) == 1:
+                self.filters.append(f)
+        return filters
+
+    def partitions(self):
+        rows = _manifest_stats(self.path)
+        pids = {r["pid"] for r in rows}
+        if self.filters:
+            by_pid_col = {(r["pid"], r["column"]): r["stats"] for r in rows}
+            for f in self.filters:
+                col = f.attribute[0]
+                for pid in list(pids):
+                    st = by_pid_col.get((pid, col))
+                    if st is not None and not _chunk_admits(st, f):
+                        pids.discard(pid)
+        parts = []
+        blobs = os.path.join(self.path, "blobs")
+        for pid in sorted(pids):
+            d = os.path.join(blobs, f"pid={pid}")
+            for f in sorted(glob.glob(os.path.join(d, "*"))):
+                if f.endswith((".arrow", ".parquet")):
+                    parts.append(InputPartition(f))
+        return parts
+
+    def read(self, partition):
+        # an empty partitions() list (every pid pruned) reaches read as
+        # one None partition — Spark's planner contract, not an error
+        if partition is None:
+            return
+        import pyarrow as pa
+
+        from parquet_toolkit_spark.operators.encode import (
+            _decode_blob_file,
+            _out_pa_type,
+        )
+
+        schema_map = _store_schema_map(self.path)
+        cols = _decode_blob_file(partition.value, set(schema_map))
+        arrays, fields = [], []
+        for c, ddl in schema_map.items():
+            t = _out_pa_type(ddl)
+            fields.append((c, t))
+            arrays.append(cols[c].cast(t))
+        table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        yield from table.to_batches(max_chunksize=32768)
+
+
+class PtscDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ptsc"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("ptsc source needs .load(<enc_dir>)")
+        schema_map = _store_schema_map(path)
+        return ", ".join(f"`{c}` {t}" for c, t in schema_map.items())
+
+    def reader(self, schema) -> PtscReader:
+        return PtscReader(self.options["path"])
