@@ -249,6 +249,14 @@ def select_codec(chunk: ColumnChunk, stats: dict | None = None,
             c for c in candidates
             if not (c == "bin_fsst" and len(chunk.data) > 4 * FSST_MAX_BYTES)
         ] or None
+    if candidates:
+        # explicit candidate lists always compete against the plain floor
+        # (hint sources — plan_hints samples, compact_store member codecs
+        # — may not have seen this exact chunk)
+        floor = {"bin": "bin_plain", "int": "int_plain",
+                 "flist": "flist_plain", "float": "float_plain"}.get(chunk.kind)
+        if floor and floor not in candidates:
+            candidates = candidates + [floor]
     best_name, best_blob = None, None
     for name in candidates or candidate_codecs(chunk, stats):
         blob = encode_blob(chunk, name, zstd=zstd)

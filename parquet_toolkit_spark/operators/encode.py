@@ -689,6 +689,22 @@ def fsck_store(spark: SparkSession, enc_dir: str,
                          "expected_sha", "actual_sha")
 
 
+def _out_pa_type(ddl: str) -> pa.DataType:
+    """Spark DDL simpleString -> the arrow type decode emits for it (the
+    session timezone is pinned to UTC in runtime.py)."""
+    m = {
+        "string": pa.string(), "binary": pa.binary(), "bigint": pa.int64(),
+        "int": pa.int32(), "smallint": pa.int16(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "boolean": pa.bool_(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        return pa.list_(_out_pa_type(ddl[6:-1]))
+    return m[ddl]
+
+
 def _decode_blob_file(fpath: str, wanted: set[str] | None = None
                       ) -> dict[str, pa.Array]:
     """One blob file -> {column: decoded arrow array}. Task-local IO
@@ -822,6 +838,20 @@ def compact_store(spark: SparkSession, enc_dir: str,
 
     next_pid = max(live_pids | set(sizes)) + 1
     merged_pids = [p for g in groups for p in g]
+    # codec hints from the MEMBERS' committed choices: re-gating a merged
+    # chunk from scratch re-pays the FSST admission trial per (group,
+    # column); the members already ran that gate on the same data, so
+    # their codec set (plus the plain floor select_codec always honors)
+    # is the candidate list — selection stays size-optimal among them
+    hint_rows = (
+        committed.where(F.col("pid").isin([int(p) for p in merged_pids]))
+        .select("column", "codec").distinct().collect()
+    )
+    hints: dict[str, list[str]] = {}
+    for r in hint_rows:
+        hints.setdefault(r.column, [])
+        if r.codec not in hints[r.column]:
+            hints[r.column].append(r.codec)
     task_rows = []
     for i, g in enumerate(groups):
         files = [f for p in g for f in pid_files[p]]
@@ -852,7 +882,7 @@ def compact_store(spark: SparkSession, enc_dir: str,
                     name: pa.chunked_array(arrs).combine_chunks()
                     for name, arrs in parts.items()
                 }
-                rows = _encode_columns(cols, new_pid, run_id,
+                rows = _encode_columns(cols, new_pid, run_id, hints=hints,
                                        bloom_columns=bloom_columns)
                 blob_table = pa.Table.from_batches([_rows_to_batch(rows)])
                 dest_dir = os.path.join(blobs_dir, f"pid={new_pid}")
@@ -956,19 +986,6 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     out_fields = [("pid", "int")] if keep_pid else []
     out_fields += list(schema_map.items())
     out_schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
-    def _out_pa_type(ddl: str) -> pa.DataType:
-        m = {
-            "string": pa.string(), "binary": pa.binary(), "bigint": pa.int64(),
-            "int": pa.int32(), "smallint": pa.int16(), "tinyint": pa.int8(),
-            "double": pa.float64(), "float": pa.float32(),
-            "boolean": pa.bool_(), "date": pa.date32(),
-            "timestamp": pa.timestamp("us", tz="UTC"),
-            "timestamp_ntz": pa.timestamp("us"),
-        }
-        if ddl.startswith("array<") and ddl.endswith(">"):
-            return pa.list_(_out_pa_type(ddl[6:-1]))
-        return m[ddl]
-
     out_pa = pa.schema([(c, _out_pa_type(t)) for c, t in out_fields])
 
     tasks = _striped_task_df(

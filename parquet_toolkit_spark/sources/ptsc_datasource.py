@@ -126,6 +126,13 @@ class PtscReader(DataSourceReader):
                 self.filters.append(f)
         return filters
 
+    # each read() call is a full python-worker round trip; a fragmented
+    # store (tiny incremental pids) must not become one task per blob
+    # file, so kept files are BUNDLED into at most _MAX_PARTITIONS input
+    # partitions (size-striped: largest-first round robin keeps bundles
+    # balanced). Within-bundle files decode sequentially in one worker.
+    _MAX_PARTITIONS = 64
+
     def partitions(self):
         rows = _manifest_stats(self.path)
         pids = {r["pid"] for r in rows}
@@ -137,14 +144,23 @@ class PtscReader(DataSourceReader):
                     st = by_pid_col.get((pid, col))
                     if st is not None and not _chunk_admits(st, f):
                         pids.discard(pid)
-        parts = []
+        files = []
         blobs = os.path.join(self.path, "blobs")
         for pid in sorted(pids):
             d = os.path.join(blobs, f"pid={pid}")
             for f in sorted(glob.glob(os.path.join(d, "*"))):
                 if f.endswith((".arrow", ".parquet")):
-                    parts.append(InputPartition(f))
-        return parts
+                    files.append((os.path.getsize(f), f))
+        if not files:
+            return []
+        n = min(len(files), self._MAX_PARTITIONS)
+        bundles: list[list[str]] = [[] for _ in range(n)]
+        loads = [0] * n
+        for sz, f in sorted(files, reverse=True):
+            i = loads.index(min(loads))
+            bundles[i].append(f)
+            loads[i] += sz
+        return [InputPartition(b) for b in bundles if b]
 
     def read(self, partition):
         # an empty partitions() list (every pid pruned) reaches read as
@@ -159,14 +175,12 @@ class PtscReader(DataSourceReader):
         )
 
         schema_map = _store_schema_map(self.path)
-        cols = _decode_blob_file(partition.value, set(schema_map))
-        arrays, fields = [], []
-        for c, ddl in schema_map.items():
-            t = _out_pa_type(ddl)
-            fields.append((c, t))
-            arrays.append(cols[c].cast(t))
-        table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-        yield from table.to_batches(max_chunksize=32768)
+        fields = [(c, _out_pa_type(ddl)) for c, ddl in schema_map.items()]
+        for fpath in partition.value:
+            cols = _decode_blob_file(fpath, set(schema_map))
+            arrays = [cols[c].cast(t) for c, t in fields]
+            table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+            yield from table.to_batches(max_chunksize=32768)
 
 
 class PtscDataSource(DataSource):
