@@ -326,6 +326,39 @@ def q_decode_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_fs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-python Iceberg layer as a Catalyst source: format(
+    "iceberg_fs") over the identity-partitioned fixture table with a
+    WHERE on the partition source column — planning prunes data files at
+    the manifest layer via pushFilters, Spark applies the exact residual.
+    Must equal a plain SQL WHERE over the source table."""
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+    )
+
+    tdir = _fixture_path("icepart", sf_dir)
+    done = os.path.join(tdir, "_DONE")
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(done):
+        import shutil
+
+        from parquet_toolkit_spark.sources.iceberg_compat import write_table
+
+        shutil.rmtree(tdir, ignore_errors=True)
+        write_table(spark, docs, tdir, partition_by=["lang"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IcebergFsDataSource)
+    min_lang = docs.agg(F.min("lang")).first()[0]
+    df = spark.read.format("iceberg_fs").load(tdir)
+    return (
+        df.where(F.col("lang") == F.lit(min_lang))
+        .select("doc_id",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+    )
+
+
 def q_ptsc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blob store as a Catalyst data source (Spark 4.1 Python Data
     Source API): spark.read.format("ptsc") over the encoded fixture with
@@ -452,6 +485,42 @@ def q_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            run_id=f"inc{i}")
     dec = decode_pipeline(spark, enc_dir)
     return dec.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
+def q_iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Iceberg append sink: two landing waves of the documents
+    table stream into a fresh filesystem Iceberg table (one snapshot per
+    micro-batch, epoch watermark in the snapshot summary), read back
+    through the manifest layer — sha-exact vs the source table."""
+    import shutil
+
+    from parquet_toolkit_spark.sources.iceberg_compat import read_data
+    from parquet_toolkit_spark.streaming.iceberg_sink import (
+        iceberg_stream_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(_TMP, f"icesink_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    tdir, ckpt = os.path.join(base, "tbl"), os.path.join(base, "ckpt")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    ddl = _docs_ddl(docs)
+    cols = [f.name for f in docs.schema.fields]
+    for i, part in enumerate([docs.where(F.col("doc_id") <= mid),
+                              docs.where(F.col("doc_id") > mid)]):
+        part.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"w{i}"))
+        import glob as _g
+
+        src = _g.glob(os.path.join(base, f"w{i}", "part-*.parquet"))[0]
+        os.replace(src, os.path.join(landing, f"b{i}.parquet"))
+        stream = spark.readStream.schema(ddl).parquet(landing)
+        iceberg_stream_sink(stream, tdir, ckpt, partition_by=["lang"])
+    return read_data(spark, tdir).select(
         "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
     )
 
@@ -1211,10 +1280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_pruned_decode": q_encode_pruned_decode,
         "decode_where": q_decode_where,
         "ptsc_scan": q_ptsc_scan,
+        "iceberg_fs_scan": q_iceberg_fs_scan,
         "encode_numeric_roundtrip": q_encode_numeric_roundtrip,
         "compact_store": q_compact_store,
         "fsck_store": q_fsck_store,
         "incremental_encode": q_incremental_encode,
+        "iceberg_stream_sink": q_iceberg_stream_sink,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "iceberg_write_read": q_iceberg_write_read,
         "iceberg_mor_delete": q_iceberg_mor_delete,
@@ -1332,6 +1403,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE source = (SELECT min(source) FROM documents)"
         ),
+        "iceberg_fs_scan": (
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE lang = (SELECT min(lang) FROM documents)"
+        ),
         "encode_numeric_roundtrip": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
             "CAST(round(l_quantity*100) AS BIGINT) AS qty_c, "
@@ -1345,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
         "compact_store":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "incremental_encode":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "iceberg_stream_sink":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "fsck_store": (
             "SELECT c AS column, 'ok' AS status FROM (VALUES ('doc_id'), "

@@ -62,7 +62,8 @@ BENCH_QUERIES = [
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
     "iceberg_bucket_prune",
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
-    "compact_store", "decode_where", "ptsc_scan",
+    "compact_store", "decode_where", "ptsc_scan", "iceberg_fs_scan",
+    "iceberg_stream_sink",
 ]
 
 
@@ -183,6 +184,7 @@ def main() -> None:
     # planning worker + read workers (session infrastructure, not the
     # operator) — warm with one executed action
     qs["ptsc_scan"](spark, SF_DIR).limit(1).count()
+    qs["iceberg_fs_scan"](spark, SF_DIR).limit(1).count()
     os.sync()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -702,7 +702,8 @@ MANIFEST_FILE_AVRO = {
 def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
                 properties: dict | None = None,
                 partition_by: list[str] | None = None,
-                allow_schema_evolution: bool = False) -> dict:
+                allow_schema_evolution: bool = False,
+                snapshot_props: dict | None = None) -> dict:
     """Append `df` to a filesystem Iceberg v2 table (created on first
     call): parquet data files + Avro manifest/manifest-list + new
     vN.metadata.json committed via atomic version-hint swap. Local paths
@@ -893,6 +894,10 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     summary = {"operation": "append",
                "added-data-files": str(len(data_files)),
                "added-records": str(sum(counts.values()))}
+    if snapshot_props:
+        # caller-stamped snapshot summary entries (e.g. the streaming
+        # sink's epoch watermark); values coerced to strings per spec
+        summary.update({str(k): str(v) for k, v in snapshot_props.items()})
     _commit_metadata(
         meta_dir, table_dir, existing, old_md, snapshot_id, seq, version,
         mlist_path, summary,

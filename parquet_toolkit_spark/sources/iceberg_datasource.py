@@ -1,0 +1,234 @@
+"""Spark Python Data Source (4.1 API) for filesystem Iceberg tables.
+
+Registers the pure-python Iceberg layer (iceberg_compat) as a Catalyst
+source:
+
+    spark.dataSource.register(IcebergFsDataSource)
+    spark.read.format("iceberg_fs").load(table_dir).where("lang = 'py'")
+    spark.read.format("iceberg_fs").option("snapshot", "3").load(tdir)
+
+Planning walks the metadata + Avro manifest layer driver-side (no nested
+Spark jobs) and prunes DATA FILES with the pushed filters: equalities
+map to partition_filter (transform-aware — a filter on a bucketed or
+day-partitioned SOURCE column prunes through the spec transform) and to
+point range_filters over the manifest's per-file column bounds;
+inequalities tighten the range_filters. All filters are returned as
+residual — file pruning admits supersets, Spark applies the exact
+predicate row-level.
+
+Reads are task-local pyarrow with full merge-on-read semantics applied
+PER TASK (no shuffle): positional deletes mask row indices of their
+target file; equality deletes drop rows whose key tuple matches a
+delete row with a strictly larger sequence number (null matches null,
+per the spec). Identity partition columns absent from spec-partitioned
+data files are re-injected from the manifest's partition record;
+columns added by schema evolution null-fill for pre-evolution files.
+
+The planner pickles the read function BEFORE partitions() runs (Spark
+4.1 contract: only pushFilters may mutate reader state visible to
+read), so every InputPartition is self-contained: its bundle of data
+files plus the snapshot-level delete descriptors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_MAX_PARTITIONS = 64
+
+
+class IcebergFsReader(DataSourceReader):
+    def __init__(self, path: str, snapshot: int | None):
+        self.path = path
+        self.snapshot = snapshot
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                              LessThan, LessThanOrEqual)) \
+                    and len(f.attribute) == 1 \
+                    and isinstance(f.value, (int, str)) \
+                    and not isinstance(f.value, bool):
+                self.filters.append(f)
+        return filters  # all residual: pruning is a superset optimization
+
+    def _pruning_args(self) -> tuple[dict, dict]:
+        part_filter: dict = {}
+        ranges: dict[str, list] = {}
+        for f in self.filters:
+            col = f.attribute[0]
+            lo, hi = ranges.get(col, [None, None])
+            if isinstance(f, EqualTo):
+                part_filter[col] = f.value
+                lo = f.value if lo is None else max(lo, f.value)
+                hi = f.value if hi is None else min(hi, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = f.value if lo is None else max(lo, f.value)
+            else:
+                hi = f.value if hi is None else min(hi, f.value)
+            ranges[col] = [lo, hi]
+        range_filter = {c: (lo, hi) for c, (lo, hi) in ranges.items()}
+        return part_filter, range_filter
+
+    def partitions(self):
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            read_table_metadata,
+            snapshot_files,
+        )
+
+        md = read_table_metadata(self.path, None)
+        part_filter, range_filter = self._pruning_args()
+        sf = snapshot_files(self.path, self.snapshot, None,
+                            partition_filter=part_filter or None,
+                            range_filter=range_filter or None)
+        schema_fields = _snapshot_schema_fields(md, self.snapshot)
+        id_to_name = md.get("schema_id_to_name", {})
+        eq_deletes = []
+        for d in sf["equality_deletes"]:
+            names = [id_to_name.get(fid) for fid in d["equality_ids"]]
+            if any(n is None for n in names):
+                raise NotImplementedError(
+                    f"equality delete {d['path']} references unknown "
+                    "field ids")
+            eq_deletes.append({"path": d["path"], "seq": int(d["seq"]),
+                               "keys": names})
+        resolved_to_raw = {v: k for k, v in sf["raw_to_resolved"].items()}
+        files = []
+        for p in sf["data"]:
+            files.append({
+                "path": p,
+                "raw": resolved_to_raw.get(p, p),
+                "seq": int(sf["data_seq"].get(p, 0)),
+                "pvals": sf["partition_values"].get(p, {}),
+                "size": os.path.getsize(p) if os.path.exists(p) else 0,
+            })
+        if not files:
+            return []
+        shared = {
+            "schema": [(n, t) for n, t, _r in schema_fields],
+            "pos_deletes": sf["position_deletes"],
+            "eq_deletes": eq_deletes,
+        }
+        n = min(len(files), _MAX_PARTITIONS)
+        bundles: list[list[dict]] = [[] for _ in range(n)]
+        loads = [0] * n
+        for f in sorted(files, key=lambda x: -x["size"]):
+            i = loads.index(min(loads))
+            bundles[i].append(f)
+            loads[i] += f["size"]
+        return [InputPartition({"files": b, **shared})
+                for b in bundles if b]
+
+    def read(self, partition):
+        if partition is None:
+            return  # empty partitions() list: Spark plans one None part
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from parquet_toolkit_spark.operators.encode import _out_pa_type
+        from parquet_toolkit_spark.sources.iceberg_compat import _norm_fp
+
+        spec = partition.value
+        fields = [(n, _out_pa_type(t)) for n, t in spec["schema"]]
+        out_schema = pa.schema(fields)
+
+        # positional deletes: {normalized recorded path -> sorted pos}
+        pos_by_file: dict[str, list[int]] = {}
+        for dp in spec["pos_deletes"]:
+            t = pq.read_table(dp, columns=["file_path", "pos"])
+            for fp, pos in zip(t.column("file_path").to_pylist(),
+                               t.column("pos").to_pylist()):
+                pos_by_file.setdefault(_norm_fp(fp), []).append(int(pos))
+
+        # equality deletes: [(seq, keys, set-of-key-tuples)]
+        eq_sets = []
+        for d in spec["eq_deletes"]:
+            t = pq.read_table(d["path"], columns=d["keys"])
+            rows = set(zip(*(t.column(k).to_pylist() for k in d["keys"])))
+            eq_sets.append((d["seq"], d["keys"], rows))
+
+        for f in spec["files"]:
+            t = pq.read_table(f["path"])
+            nrows = t.num_rows
+            keep = np.ones(nrows, dtype=bool)
+            dels = pos_by_file.get(_norm_fp(f["raw"])) \
+                or pos_by_file.get(_norm_fp(f["path"]))
+            if dels:
+                idx = np.array([p for p in dels if 0 <= p < nrows],
+                               dtype=np.int64)
+                keep[idx] = False
+            # assemble output columns first (partition re-injection +
+            # evolution null-fill), then apply equality deletes on the
+            # assembled values so delete keys on injected columns work
+            cols = {}
+            for name, typ in fields:
+                if name in t.schema.names:
+                    cols[name] = t.column(name).combine_chunks().cast(typ)
+                elif name in f["pvals"]:
+                    cols[name] = pa.array([f["pvals"][name]] * nrows,
+                                          type=typ)
+                else:
+                    cols[name] = pa.nulls(nrows, type=typ)
+            for seq, keys, rows in eq_sets:
+                if not rows or f["seq"] >= seq:
+                    continue  # deletes apply only to STRICTLY older data
+                key_vals = list(zip(*(cols[k].to_pylist() for k in keys)))
+                for i, kv in enumerate(key_vals):
+                    if keep[i] and kv in rows:
+                        keep[i] = False
+            table = pa.Table.from_arrays([cols[n] for n, _ in fields],
+                                         schema=out_schema)
+            if not keep.all():
+                table = table.filter(pa.array(keep))
+            yield from table.to_batches(max_chunksize=32768)
+
+
+def _snapshot_schema_fields(md: dict, snapshot_id: int | None) -> list:
+    """Schema fields for the requested snapshot (evolution-aware pin),
+    mirroring read_data's time-travel schema resolution."""
+    if snapshot_id is not None:
+        snap = next((s for s in md["snapshots"]
+                     if s["snapshot_id"] == snapshot_id), None)
+        sid = snap.get("schema_id") if snap else None
+        if sid is not None and sid in md.get("schemas_by_id", {}):
+            return md["schemas_by_id"][sid]
+    return md["schema_fields"]
+
+
+class IcebergFsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_fs"
+
+    def _snapshot(self) -> int | None:
+        s = self.options.get("snapshot")
+        return int(s) if s is not None else None
+
+    def schema(self) -> str:
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            read_table_metadata,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_fs source needs .load(<table_dir>)")
+        md = read_table_metadata(path, None)
+        fields = _snapshot_schema_fields(md, self._snapshot())
+        return ", ".join(f"`{n}` {t}" for n, t, _r in fields)
+
+    def reader(self, schema) -> IcebergFsReader:
+        return IcebergFsReader(self.options["path"], self._snapshot())

@@ -2006,3 +2006,148 @@ def test_ptsc_datasource_read_and_filter_pushdown(spark, tmp_path):
     r2 = PtscReader(enc)
     r2.pushFilters([StringStartsWith(("key",), "k038")])
     assert 0 < len(r2.partitions()) < len(r_all.partitions())
+
+
+def test_iceberg_fs_datasource_reads_exactly(spark, tmp_path):
+    """format("iceberg_fs"): Catalyst reads of a filesystem Iceberg table
+    match read_data exactly — including identity-partition re-injection,
+    merge-on-read positional AND equality deletes (applied task-local),
+    time travel via the snapshot option, and file pruning on pushed
+    filters through partition transforms."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+        IcebergFsReader,
+    )
+
+    spark.dataSource.register(IcebergFsDataSource)
+
+    # plain table + append + positional delete + equality delete
+    tdir = str(tmp_path / "t1")
+    df = spark.createDataFrame(
+        [(i, ["py", "go", "rs"][i % 3], f"body{i}") for i in range(300)],
+        "id long, lang string, content string")
+    ic.write_table(spark, df, tdir)
+    ic.delete_where(spark, tdir, "id % 7 = 3")
+    ic.delete_where_equality(
+        spark, tdir, ["lang"],
+        keys=spark.createDataFrame([("go",)], "lang string"))
+    df2 = spark.createDataFrame([(1000, "go", "late")],
+                                "id long, lang string, content string")
+    snap_info = ic.write_table(spark, df2, tdir)  # survives the eq delete
+
+    want = {(r.id, r.lang, r.content)
+            for r in ic.read_data(spark, tdir).collect()}
+    got = {(r.id, r.lang, r.content)
+           for r in spark.read.format("iceberg_fs").load(tdir).collect()}
+    assert got == want
+    assert (1000, "go", "late") in got
+    assert not any(lang == "go" and i != 1000 for i, lang, _ in got)
+    assert not any(i % 7 == 3 and i != 1000 for i, _l, _c in got)
+
+    # residual filters exact through Catalyst
+    src = spark.read.format("iceberg_fs").load(tdir)
+    assert src.where("id = 11").count() == 1
+    assert src.where("lang = 'go'").collect()[0].id == 1000
+
+    # time travel to the pre-append snapshot
+    md = ic.read_table_metadata(tdir)
+    snaps = sorted(s["snapshot_id"] for s in md["snapshots"])
+    pre_append = snaps[-2]
+    tt = spark.read.format("iceberg_fs").option(
+        "snapshot", str(pre_append)).load(tdir)
+    want_tt = {(r.id, r.lang) for r in
+               ic.read_data(spark, tdir, snapshot_id=pre_append).collect()}
+    assert {(r.id, r.lang) for r in tt.collect()} == want_tt
+
+    # partitioned table: identity + bucket pruning at the FILE level
+    tdir2 = str(tmp_path / "t2")
+    ic.write_table(spark, df, tdir2,
+                   partition_by=["lang", "bucket(4, id)"])
+    src2 = spark.read.format("iceberg_fs").load(tdir2)
+    got2 = {(r.id, r.lang) for r in src2.where("lang = 'py'").collect()}
+    assert got2 == {(i, "py") for i in range(0, 300, 3)}
+
+    from pyspark.sql.datasource import EqualTo
+
+    r_all = IcebergFsReader(tdir2, None)
+    n_all = len([f for p in r_all.partitions()
+                 for f in p.value["files"]])
+    r_f = IcebergFsReader(tdir2, None)
+    r_f.pushFilters([EqualTo(("lang",), "py"), EqualTo(("id",), 42)])
+    n_pruned = len([f for p in r_f.partitions()
+                    for f in p.value["files"]])
+    assert 0 < n_pruned < n_all
+    # and the pruned read is still exact after Spark's residual
+    assert (src2.where("lang = 'py' AND id = 42").collect()[0].id == 42)
+
+
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming append sink: one snapshot per micro-batch, snapshot
+    summaries carry the (sink id, epoch id) watermark, a restarted
+    stream redelivering the same epochs commits NOTHING twice, and the
+    sink chains into encode_iceberg_increment for the full landing ->
+    Iceberg -> blob-store path."""
+    from parquet_toolkit_spark.operators.encode import decode_pipeline
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.streaming.iceberg_sink import (
+        committed_epochs,
+        iceberg_stream_sink,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    tdir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "id long, lang string, content string"
+
+    def land(lo, hi, name):
+        spark.createDataFrame(
+            [(i, ["py", "go"][i % 2], f"body{i}") for i in range(lo, hi)],
+            ddl).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name))
+        import glob as _g
+        import shutil
+        src = _g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, f"{name}.parquet"))
+
+    land(0, 100, "w0")
+    stream = spark.readStream.schema(ddl).parquet(landing)
+    iceberg_stream_sink(stream, tdir, ckpt, partition_by=["lang"])
+    land(100, 160, "w1")
+    stream = spark.readStream.schema(ddl).parquet(landing)
+    iceberg_stream_sink(stream, tdir, ckpt, partition_by=["lang"])
+
+    got = {(r.id, r.lang) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(i, ["py", "go"][i % 2]) for i in range(160)}
+    epochs = committed_epochs(spark, tdir, ckpt)
+    assert len(epochs) == 2  # one snapshot per non-empty batch
+
+    # restart with a WIPED checkpoint: epochs restart at 0 and redeliver
+    # the same landing files — the summary watermark must skip them all
+    import shutil
+    shutil.rmtree(ckpt)
+    stream = spark.readStream.schema(ddl).parquet(landing)
+    iceberg_stream_sink(stream, tdir, ckpt, partition_by=["lang"])
+    got2 = {(r.id, r.lang) for r in ic.read_data(spark, tdir).collect()}
+    assert got2 == got  # nothing committed twice
+    md = ic.read_table_metadata(tdir)
+    assert len(md["snapshots"]) == 2
+
+    # partition pruning works on the streamed table
+    sf = ic.snapshot_files(tdir, partition_filter={"lang": "py"})
+    assert 0 < len(sf["data"]) < len(ic.snapshot_files(tdir)["data"])
+
+    # chain: drain the streamed table into the blob store incrementally
+    from parquet_toolkit_spark.streaming.incremental import (
+        encode_iceberg_increment,
+    )
+
+    enc = str(tmp_path / "enc")
+    res = encode_iceberg_increment(spark, tdir, enc)
+    assert res["rows"] == 160
+    dec = {(r.id, r.lang) for r in
+           decode_pipeline(spark, enc).select("id", "lang").collect()}
+    assert dec == got
+    # second drain: nothing new
+    assert encode_iceberg_increment(spark, tdir, enc)["rows"] == 0
