@@ -489,6 +489,33 @@ def q_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split: the hash is overflow-free
+    multiply-mod arithmetic both engines compute bit-identically, so the
+    oracle derives the SAME split assignment per row — the dataset-
+    versioning property random splits lack (functions/sampling.py)."""
+    from parquet_toolkit_spark.functions.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", 0.25, salt=7)
+    tagged = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test")))
+    return tagged.select(
+        "doc_id", "split",
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capping (corpus curation: one mega-source must not
+    dominate the mix): first 5 docs per source by doc_id."""
+    from parquet_toolkit_spark.functions.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", 5).select(
+        "doc_id", "source",
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+
+
 def q_iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Iceberg append sink: two landing waves of the documents
     table stream into a fresh filesystem Iceberg table (one snapshot per
@@ -1286,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsck_store": q_fsck_store,
         "incremental_encode": q_incremental_encode,
         "iceberg_stream_sink": q_iceberg_stream_sink,
+        "hash_sample_split": q_hash_sample_split,
+        "cap_per_group": q_cap_per_group,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "iceberg_write_read": q_iceberg_write_read,
         "iceberg_mor_delete": q_iceberg_mor_delete,
@@ -1423,6 +1452,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "iceberg_stream_sink":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "hash_sample_split": (
+            "SELECT doc_id, CASE WHEN "
+            "(xor(h1, h1 >> 16) * 998244353) % 4294967296 < 1073741824 "
+            "THEN 'test' ELSE 'train' END AS split, "
+            "sha256(text) AS text_sha FROM ("
+            "SELECT doc_id, text, "
+            "((doc_id % 4294967296) * 1000000007 + 7) % 4294967296 AS h1 "
+            "FROM documents)"
+        ),
+        "cap_per_group": (
+            "SELECT doc_id, source, sha256(text) AS text_sha FROM ("
+            "SELECT doc_id, source, text, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 5"
+        ),
         "fsck_store": (
             "SELECT c AS column, 'ok' AS status FROM (VALUES ('doc_id'), "
             "('lang'), ('n_chars'), ('source'), ('text')) t(c)"

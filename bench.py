@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "iceberg_bucket_prune",
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
     "compact_store", "decode_where", "ptsc_scan", "iceberg_fs_scan",
-    "iceberg_stream_sink",
+    "iceberg_stream_sink", "hash_sample_split", "cap_per_group",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (df.sample) is not reproducible across engines, runs or
+partitionings — useless for dataset versioning. These operators derive
+keep/split decisions from arithmetic HASHES of a key column, so the
+same row lands in the same split everywhere: any engine (the DuckDB
+oracle included) computes the identical sample from the identical rows.
+
+All pure Column expressions (JVM-side, whole-stage codegen; zero UDF,
+zero shuffle for hash_sample / split; one window shuffle for the
+per-group cap — partitioned by the group key, the same shuffle any
+per-group limit needs).
+
+Hash: two multiply-mod rounds with an xor-shift between them, all
+intermediates bounded below 2^62 — chosen because engines disagree on
+int64 overflow (the JVM wraps, DuckDB raises), so a cross-engine-exact
+hash must never overflow. The multipliers are odd primes < 2^30; the
+mod ring is 2^32. Equidistributes sequential ids (odd multiplier is a
+bijection mod 2^32) and mixes high bits into low via the xor-shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P1 = 1_000_000_007   # odd primes < 2^30: products stay under 2^62
+_P2 = 998_244_353
+_RING = 1 << 32
+
+
+def hash_bucket(key: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 2^32) from an integer key column.
+
+    bucket = ((xor(h1, h1 >> 16) * P2) mod 2^32) where
+    h1 = ((key mod 2^32) * P1 + salt) mod 2^32 — see module docstring
+    for why this shape (cross-engine overflow-free)."""
+    h0 = F.pmod(key.cast("long"), F.lit(_RING))
+    h1 = F.pmod(h0 * F.lit(_P1) + F.lit(int(salt)), F.lit(_RING))
+    mixed = h1.bitwiseXOR(F.shiftrightunsigned(h1, 16))
+    return F.pmod(mixed * F.lit(_P2), F.lit(_RING))
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float,
+                salt: int = 0) -> DataFrame:
+    """Keep ~fraction of rows, decided by the key's hash bucket —
+    reproducible across runs, engines and partitionings, and CONSISTENT:
+    the sample at 10% is a subset of the sample at 20% (same salt)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(fraction * _RING)
+    return df.where(hash_bucket(F.col(key), salt) < F.lit(cut))
+
+
+def train_test_split(df: DataFrame, key: str, test_fraction: float,
+                     salt: int = 0) -> tuple[DataFrame, DataFrame]:
+    """(train, test) partition of df by key hash — disjoint, exhaustive,
+    stable under appends: a row's split never changes as the dataset
+    grows (the property random splits lack)."""
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError(
+            f"test_fraction must be in (0, 1), got {test_fraction}")
+    cut = int(test_fraction * _RING)
+    b = hash_bucket(F.col(key), salt)
+    return df.where(b >= F.lit(cut)), df.where(b < F.lit(cut))
+
+
+def cap_per_group(df: DataFrame, group: str, order: str, n: int) -> DataFrame:
+    """At most n rows per group, keeping the FIRST n by `order` — the
+    source-capping step of corpus curation (one mega-source must not
+    dominate the training mix). One window shuffle on the group key;
+    deterministic because the order column must be unique per group
+    (enforce upstream: (source, doc_id) is)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

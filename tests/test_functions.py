@@ -549,3 +549,51 @@ def test_rolling_hash_batch_edge_cases():
     got = text._rolling_hash_batch(texts)
     want = [py_hash(t if t is not None else "") for t in texts]
     assert [int(g) for g in got] == want
+
+
+def test_hash_sampling_properties(spark):
+    """Deterministic sampling invariants: reproducible, consistent
+    (smaller fraction subset of larger), split disjoint+exhaustive and
+    stable under appends, per-group cap exact."""
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.functions.sampling import (
+        cap_per_group,
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+
+    s10 = {r.k for r in hash_sample(df, "k", 0.10).collect()}
+    s20 = {r.k for r in hash_sample(df, "k", 0.20).collect()}
+    assert s10 == {r.k for r in hash_sample(df, "k", 0.10).collect()}
+    assert s10 < s20  # consistency: nested samples
+    assert 0.07 < len(s10) / 20_000 < 0.13
+    assert 0.17 < len(s20) / 20_000 < 0.23
+    # different salt -> different (mostly disjoint-ish) sample
+    s10b = {r.k for r in hash_sample(df, "k", 0.10, salt=99).collect()}
+    assert s10 != s10b
+
+    train, test = train_test_split(df, "k", 0.25)
+    tr = {r.k for r in train.collect()}
+    te = {r.k for r in test.collect()}
+    assert tr.isdisjoint(te) and tr | te == set(range(20_000))
+    assert 0.21 < len(te) / 20_000 < 0.29
+    # append stability: the same row keeps its split in a grown dataset
+    grown = spark.range(0, 40_000).withColumnRenamed("id", "k")
+    _, te2 = train_test_split(grown, "k", 0.25)
+    te2 = {r.k for r in te2.collect()}
+    assert {k for k in te2 if k < 20_000} == te
+
+    g = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(300)], "src string, seq long")
+    capped = cap_per_group(g, "src", "seq", 4)
+    rows = capped.collect()
+    assert len(rows) == 12
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.seq)
+    for src, seqs in by_src.items():
+        want = sorted(i for i in range(300) if f"s{i % 3}" == src)[:4]
+        assert sorted(seqs) == want
