@@ -34,8 +34,14 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
 
     bucket = ((xor(h1, h1 >> 16) * P2) mod 2^32) where
     h1 = ((key mod 2^32) * P1 + salt) mod 2^32 — see module docstring
-    for why this shape (cross-engine overflow-free)."""
-    h0 = F.pmod(key.cast("long"), F.lit(_RING))
+    for why this shape (cross-engine overflow-free).
+
+    NULL keys hash as 0 (coalesce BEFORE the arithmetic): a null would
+    otherwise propagate to a NULL bucket, and a NULL comparison drops
+    the row from BOTH sides of a split — silent data loss in an
+    'exhaustive' partition (code-review r4). All-null rows land together
+    in bucket(0)'s split, deterministically."""
+    h0 = F.pmod(F.coalesce(key.cast("long"), F.lit(0)), F.lit(_RING))
     h1 = F.pmod(h0 * F.lit(_P1) + F.lit(int(salt)), F.lit(_RING))
     mixed = h1.bitwiseXOR(F.shiftrightunsigned(h1, 16))
     return F.pmod(mixed * F.lit(_P2), F.lit(_RING))
@@ -75,9 +81,12 @@ def cap_per_group(df: DataFrame, group: str, order: str, n: int) -> DataFrame:
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql import Window
 
+    rn = "_rn"
+    while rn in df.columns:  # never clobber a user column (code-review r4)
+        rn += "_"
     w = Window.partitionBy(group).orderBy(F.col(order).asc())
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .where(F.col(rn) <= n)
+        .drop(rn)
     )

@@ -1116,7 +1116,15 @@ def _spec_partition_col(f: dict, ddl: dict[str, str]):
     if t == "day":
         return F.datediff(F.to_date(src), F.lit("1970-01-01")).cast("int")
     if t == "hour":
-        return F.floor(src.cast("double") / F.lit(3600)).cast("int")
+        # exact calendar arithmetic, never float: floor(epoch/3600) via a
+        # double loses microsecond resolution past ~2^33 epoch seconds,
+        # so a value 1us below an hour boundary could land in the wrong
+        # partition while the read-side scalar transform computes the
+        # true hour — unsound pruning (code-review r4). days*24+hour is
+        # integer all the way and floors correctly pre-1970 too
+        # (day -1, hour 23 -> -1).
+        return (F.datediff(F.to_date(src), F.lit("1970-01-01")) * 24
+                + F.hour(src)).cast("int")
     # bucket: vectorized pandas UDF (whole-batch numpy murmur3 for ints,
     # per-unique hashing for strings — never per-row python on ints)
     src_ddl = ddl[f["source"]]
@@ -1204,8 +1212,9 @@ def _transform_scalar(f: dict, value, ddl: dict[str, str]):
         d = value.date() if isinstance(value, _dt.datetime) else value
         return (d - epoch_date).days
     if t == "hour":
-        secs = (value - _dt.datetime(1970, 1, 1)).total_seconds()
-        return int(secs // 3600)
+        # integer calendar math, mirroring _spec_partition_col exactly
+        # (total_seconds() is float64 — same precision trap)
+        return (value.date() - epoch_date).days * 24 + value.hour
     raise NotImplementedError(f"transform {f['transform']!r}")
 
 

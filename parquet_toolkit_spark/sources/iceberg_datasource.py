@@ -46,7 +46,23 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-_MAX_PARTITIONS = 64
+def _check_readable_types(schema_fields) -> None:
+    """Refuse at PLANNING time any column type read() can't materialize
+    (e.g. decimal): a schema this source advertises must be one it can
+    deliver — a per-task KeyError is not an error message (code-review
+    r4)."""
+    from parquet_toolkit_spark.operators.encode import _out_pa_type
+
+    bad = []
+    for n, t, _r in schema_fields:
+        try:
+            _out_pa_type(t)
+        except KeyError:
+            bad.append(f"{n}:{t}")
+    if bad:
+        raise NotImplementedError(
+            f"iceberg_fs cannot read column type(s) {bad}; use "
+            "iceberg_compat.read_data for this table")
 
 
 class IcebergFsReader(DataSourceReader):
@@ -95,6 +111,7 @@ class IcebergFsReader(DataSourceReader):
                             partition_filter=part_filter or None,
                             range_filter=range_filter or None)
         schema_fields = _snapshot_schema_fields(md, self.snapshot)
+        _check_readable_types(schema_fields)
         id_to_name = md.get("schema_id_to_name", {})
         eq_deletes = []
         for d in sf["equality_deletes"]:
@@ -117,20 +134,17 @@ class IcebergFsReader(DataSourceReader):
             })
         if not files:
             return []
+        from parquet_toolkit_spark.sources.ptsc_datasource import (
+            bundle_by_size,
+        )
+
         shared = {
             "schema": [(n, t) for n, t, _r in schema_fields],
             "pos_deletes": sf["position_deletes"],
             "eq_deletes": eq_deletes,
         }
-        n = min(len(files), _MAX_PARTITIONS)
-        bundles: list[list[dict]] = [[] for _ in range(n)]
-        loads = [0] * n
-        for f in sorted(files, key=lambda x: -x["size"]):
-            i = loads.index(min(loads))
-            bundles[i].append(f)
-            loads[i] += f["size"]
         return [InputPartition({"files": b, **shared})
-                for b in bundles if b]
+                for b in bundle_by_size(files, size_of=lambda f: f["size"])]
 
     def read(self, partition):
         if partition is None:
@@ -146,20 +160,16 @@ class IcebergFsReader(DataSourceReader):
         fields = [(n, _out_pa_type(t)) for n, t in spec["schema"]]
         out_schema = pa.schema(fields)
 
-        # positional deletes: {normalized recorded path -> sorted pos}
-        pos_by_file: dict[str, list[int]] = {}
-        for dp in spec["pos_deletes"]:
-            t = pq.read_table(dp, columns=["file_path", "pos"])
-            for fp, pos in zip(t.column("file_path").to_pylist(),
-                               t.column("pos").to_pylist()):
-                pos_by_file.setdefault(_norm_fp(fp), []).append(int(pos))
-
-        # equality deletes: [(seq, keys, set-of-key-tuples)]
-        eq_sets = []
-        for d in spec["eq_deletes"]:
-            t = pq.read_table(d["path"], columns=d["keys"])
-            rows = set(zip(*(t.column(k).to_pylist() for k in d["keys"])))
-            eq_sets.append((d["seq"], d["keys"], rows))
+        # snapshot-level delete descriptors ride in EVERY partition; the
+        # decoded forms are memoized per python worker (keyed by path +
+        # mtime) so with worker reuse each delete file is read ~once per
+        # worker, not once per bundle (code-review r4)
+        pos_by_file = _pos_deletes_cached(tuple(spec["pos_deletes"]))
+        eq_sets = [
+            (d["seq"], d["keys"],
+             _eq_delete_rows_cached(d["path"], tuple(d["keys"])))
+            for d in spec["eq_deletes"]
+        ]
 
         for f in spec["files"]:
             t = pq.read_table(f["path"])
@@ -195,6 +205,50 @@ class IcebergFsReader(DataSourceReader):
             if not keep.all():
                 table = table.filter(pa.array(keep))
             yield from table.to_batches(max_chunksize=32768)
+
+
+_DELETE_CACHE: dict = {}
+
+
+def _cache_key(path: str, extra=()) -> tuple:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0
+    return (path, mtime, extra)
+
+
+def _pos_deletes_cached(paths: tuple) -> dict:
+    """{normalized target path -> [pos...]} for a set of positional
+    delete files, memoized per worker process."""
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources.iceberg_compat import _norm_fp
+
+    key = ("pos", tuple(_cache_key(p) for p in paths))
+    hit = _DELETE_CACHE.get(key)
+    if hit is None:
+        hit = {}
+        for dp in paths:
+            t = pq.read_table(dp, columns=["file_path", "pos"])
+            for fp, pos in zip(t.column("file_path").to_pylist(),
+                               t.column("pos").to_pylist()):
+                hit.setdefault(_norm_fp(fp), []).append(int(pos))
+        _DELETE_CACHE.clear()  # one live entry: bounded worker memory
+        _DELETE_CACHE[key] = hit
+    return hit
+
+
+def _eq_delete_rows_cached(path: str, keys: tuple) -> set:
+    import pyarrow.parquet as pq
+
+    key = ("eq", _cache_key(path, keys))
+    hit = _DELETE_CACHE.get(key)
+    if hit is None:
+        t = pq.read_table(path, columns=list(keys))
+        hit = set(zip(*(t.column(k).to_pylist() for k in keys)))
+        _DELETE_CACHE[key] = hit
+    return hit
 
 
 def _snapshot_schema_fields(md: dict, snapshot_id: int | None) -> list:

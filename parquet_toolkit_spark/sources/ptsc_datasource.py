@@ -44,6 +44,26 @@ from pyspark.sql.datasource import (
 _RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
                   LessThanOrEqual, StringStartsWith)
 
+MAX_PARTITIONS = 64
+
+
+def bundle_by_size(items: list, size_of, max_partitions: int = MAX_PARTITIONS
+                   ) -> list[list]:
+    """Largest-first size-striped bundling shared by both Python data
+    sources: each read() is a python-worker round trip, so a fragmented
+    store must not become one task per file. Returns non-empty bundles,
+    at most max_partitions of them, balanced by size_of(item)."""
+    if not items:
+        return []
+    n = min(len(items), max_partitions)
+    bundles: list[list] = [[] for _ in range(n)]
+    loads = [0] * n
+    for it in sorted(items, key=size_of, reverse=True):
+        i = loads.index(min(loads))
+        bundles[i].append(it)
+        loads[i] += size_of(it)
+    return [b for b in bundles if b]
+
 
 def _store_schema_map(path: str) -> dict[str, str]:
     with open(os.path.join(path, "_schema.json")) as fh:
@@ -126,13 +146,6 @@ class PtscReader(DataSourceReader):
                 self.filters.append(f)
         return filters
 
-    # each read() call is a full python-worker round trip; a fragmented
-    # store (tiny incremental pids) must not become one task per blob
-    # file, so kept files are BUNDLED into at most _MAX_PARTITIONS input
-    # partitions (size-striped: largest-first round robin keeps bundles
-    # balanced). Within-bundle files decode sequentially in one worker.
-    _MAX_PARTITIONS = 64
-
     def partitions(self):
         rows = _manifest_stats(self.path)
         pids = {r["pid"] for r in rows}
@@ -151,16 +164,8 @@ class PtscReader(DataSourceReader):
             for f in sorted(glob.glob(os.path.join(d, "*"))):
                 if f.endswith((".arrow", ".parquet")):
                     files.append((os.path.getsize(f), f))
-        if not files:
-            return []
-        n = min(len(files), self._MAX_PARTITIONS)
-        bundles: list[list[str]] = [[] for _ in range(n)]
-        loads = [0] * n
-        for sz, f in sorted(files, reverse=True):
-            i = loads.index(min(loads))
-            bundles[i].append(f)
-            loads[i] += sz
-        return [InputPartition(b) for b in bundles if b]
+        return [InputPartition([f for _sz, f in b])
+                for b in bundle_by_size(files, size_of=lambda t: t[0])]
 
     def read(self, partition):
         # an empty partitions() list (every pid pruned) reaches read as

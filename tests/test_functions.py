@@ -597,3 +597,19 @@ def test_hash_sampling_properties(spark):
     for src, seqs in by_src.items():
         want = sorted(i for i in range(300) if f"s{i % 3}" == src)[:4]
         assert sorted(seqs) == want
+
+
+def test_hash_split_keeps_null_keys(spark):
+    """NULL keys hash as bucket(0) instead of silently dropping from
+    both sides of the split (code-review r4)."""
+    from parquet_toolkit_spark.functions.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c"), (None, "d")],
+        "k long, v string")
+    train, test = train_test_split(df, "k", 0.5)
+    assert train.count() + test.count() == 4
+    assert hash_sample(df, "k", 1.0).count() == 4

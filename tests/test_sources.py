@@ -2151,3 +2151,30 @@ def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
     assert dec == got
     # second drain: nothing new
     assert encode_iceberg_increment(spark, tdir, enc)["rows"] == 0
+
+
+def test_iceberg_hour_transform_exact_at_far_future_boundary(spark, tmp_path):
+    """hour() is integer calendar math end-to-end: a microsecond below
+    an hour boundary at a far-future epoch (where float64 seconds lose
+    microsecond resolution) must partition as the PREVIOUS hour and be
+    found by a filter in that hour (code-review r4: the old double
+    division rounded it into the wrong partition, making source-column
+    pruning silently drop the row)."""
+    import datetime as dt
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    boundary = dt.datetime(2250, 6, 1, 12, 0, 0)
+    just_before = boundary - dt.timedelta(microseconds=1)
+    df = spark.createDataFrame(
+        [(1, just_before), (2, boundary)], "id long, ts timestamp")
+    tdir = str(tmp_path / "hrx")
+    ic.write_table(spark, df, tdir, partition_by=["hour(ts)"])
+
+    prev_hour = (boundary.date() - dt.date(1970, 1, 1)).days * 24 + 11
+    sf = ic.snapshot_files(tdir, partition_filter={"ts": just_before})
+    vals = [sf["partition_values"][p]["ts_hour"] for p in sf["data"]]
+    assert vals == [prev_hour]
+    got = {r.id for r in ic.read_data(
+        spark, tdir, partition_filter={"ts": just_before}).collect()}
+    assert got == {1}
