@@ -47,6 +47,24 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
     return F.pmod(mixed * F.lit(_P2), F.lit(_RING))
 
 
+_INT_TYPES = ("bigint", "int", "smallint", "tinyint", "long", "integer")
+
+
+def _require_int_key(df: DataFrame, key: str) -> None:
+    """String keys would cast('long') -> NULL -> coalesce -> bucket 0
+    for EVERY row — an all-or-nothing 'sample' with no error. Integral
+    keys only; hash string identities upstream (e.g. a stable doc id),
+    or xxhash-style them yourself — no string hash exists that this
+    module could mirror exactly in the ANSI-SQL oracle."""
+    t = dict(df.dtypes).get(key)
+    if t is None:
+        raise ValueError(f"key column {key!r} not in dataframe")
+    if t not in _INT_TYPES:
+        raise TypeError(
+            f"sampling key {key!r} has type {t!r}; integral keys only "
+            "(a string key would silently hash every row to bucket 0)")
+
+
 def hash_sample(df: DataFrame, key: str, fraction: float,
                 salt: int = 0) -> DataFrame:
     """Keep ~fraction of rows, decided by the key's hash bucket —
@@ -54,6 +72,7 @@ def hash_sample(df: DataFrame, key: str, fraction: float,
     the sample at 10% is a subset of the sample at 20% (same salt)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    _require_int_key(df, key)
     cut = int(fraction * _RING)
     return df.where(hash_bucket(F.col(key), salt) < F.lit(cut))
 
@@ -66,6 +85,7 @@ def train_test_split(df: DataFrame, key: str, test_fraction: float,
     if not 0.0 < test_fraction < 1.0:
         raise ValueError(
             f"test_fraction must be in (0, 1), got {test_fraction}")
+    _require_int_key(df, key)
     cut = int(test_fraction * _RING)
     b = hash_bucket(F.col(key), salt)
     return df.where(b >= F.lit(cut)), df.where(b < F.lit(cut))

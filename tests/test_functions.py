@@ -613,3 +613,20 @@ def test_hash_split_keeps_null_keys(spark):
     train, test = train_test_split(df, "k", 0.5)
     assert train.count() + test.count() == 4
     assert hash_sample(df, "k", 1.0).count() == 4
+
+
+def test_hash_sampling_rejects_string_keys(spark):
+    import pytest as _pytest
+
+    from parquet_toolkit_spark.functions.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    with _pytest.raises(TypeError, match="integral keys only"):
+        hash_sample(df, "k", 0.5)
+    with _pytest.raises(TypeError, match="integral keys only"):
+        train_test_split(df, "k", 0.5)
+    with _pytest.raises(ValueError, match="not in dataframe"):
+        hash_sample(df, "nope", 0.5)
