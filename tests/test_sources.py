@@ -2178,3 +2178,53 @@ def test_iceberg_hour_transform_exact_at_far_future_boundary(spark, tmp_path):
     got = {r.id for r in ic.read_data(
         spark, tdir, partition_filter={"ts": just_before}).collect()}
     assert got == {1}
+
+
+def test_transform_scalar_matches_spark_column(spark):
+    """Pruning soundness invariant: _transform_scalar (read-side filter
+    transform) must agree EXACTLY with _spec_partition_col (write-side
+    partition value) — property-tested over adversarial values incl.
+    negatives, pre-1970 timestamps, hour/day/month boundaries, unicode
+    truncation and bucket on full-range ints."""
+    import datetime as dt
+
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        _parse_partition_by,
+        _spec_partition_col,
+        _transform_scalar,
+    )
+
+    ts_vals = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(1969, 7, 20, 20, 17, 40),
+        dt.datetime(2024, 2, 29, 23, 59, 59, 999999),
+        dt.datetime(2250, 6, 1, 11, 59, 59, 999999),
+        dt.datetime(2250, 6, 1, 12, 0, 0),
+        dt.datetime(2000, 1, 1, 0, 0, 0, 1),
+    ]
+    int_vals = [0, 1, -1, 7, -7, 999, -1000, 2**40, -(2**40), 123456789]
+    str_vals = ["", "a", "abcd", "abcdef", "héllo🎉wörld", "小文字テスト", "x" * 50]
+
+    ddl = {"ts": "timestamp", "i": "bigint", "s": "string"}
+    specs = _parse_partition_by(
+        ["year(ts)", "month(ts)", "day(ts)", "hour(ts)",
+         "bucket(7, i)", "truncate(10, i)", "bucket(5, s)",
+         "truncate(4, s)", "i", "s"], ddl)
+
+    rows = [(t, i, s) for t, i, s in
+            zip(ts_vals + ts_vals[:3],
+                (int_vals * 2)[:10],
+                (str_vals * 2)[:10])]
+    df = spark.createDataFrame(rows, "ts timestamp, i long, s string")
+    out = df.select(
+        "ts", "i", "s",
+        *[_spec_partition_col(f, ddl).alias(f"f{k}")
+          for k, f in enumerate(specs)])
+    for r in out.collect():
+        vals = {"ts": r.ts, "i": r.i, "s": r.s}
+        for k, f in enumerate(specs):
+            want = _transform_scalar(f, vals[f["source"]], ddl)
+            got = getattr(r, f"f{k}")
+            assert got == want, (f["transform"], f["source"],
+                                 vals[f["source"]], got, want)
