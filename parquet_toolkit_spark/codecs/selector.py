@@ -50,6 +50,15 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
             stats["max"] = int(v.max())
             d = np.diff(v)
             stats["sortedness"] = float((d >= 0).mean()) if len(d) else 1.0
+        if chunk.kind == "float":
+            # float zone maps (NaN excluded; a NaN-only chunk stores no
+            # bounds and always admits): lets range predicates on ALP/
+            # shuffle-encoded measure columns prune pids like int keys do
+            finite = v[np.isfinite(v)]
+            if len(finite):
+                stats["fmin"] = float(finite.min())
+                stats["fmax"] = float(finite.max())
+            stats["has_special"] = bool(len(finite) < len(v))
         change = np.empty(len(v), dtype=bool)
         change[0] = True
         np.not_equal(v[1:], v[:-1], out=change[1:])

@@ -1073,10 +1073,21 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
         raise FileNotFoundError(f"no manifest under {enc_dir}")
     st = man.where((F.col("column") == column)
                    & (F.col("status") == "committed"))
+    special = F.lit(False)
     if isinstance(lo, str) or isinstance(hi, str):
         mn = F.get_json_object("stats_json", "$.smin")
         mx = F.get_json_object("stats_json", "$.smax")
         lo_l, hi_l = lo, hi
+    elif isinstance(lo, float) or isinstance(hi, float):
+        # float zone maps exclude NaN/inf; chunks holding specials set
+        # has_special and are always admitted (bounds can't speak for an
+        # inf, and engines disagree on NaN ordering — admit, stay sound)
+        mn = F.get_json_object("stats_json", "$.fmin").cast("double")
+        mx = F.get_json_object("stats_json", "$.fmax").cast("double")
+        special = (F.get_json_object("stats_json", "$.has_special")
+                   == F.lit("true"))
+        lo_l = float(lo) if lo is not None else None
+        hi_l = float(hi) if hi is not None else None
     else:
         mn = F.get_json_object("stats_json", "$.min").cast("long")
         mx = F.get_json_object("stats_json", "$.max").cast("long")
@@ -1087,7 +1098,7 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
         cond = cond & (mx >= F.lit(lo_l))
     if hi_l is not None:
         cond = cond & (mn <= F.lit(hi_l))
-    keep = st.where(cond | mn.isNull() | mx.isNull())
+    keep = st.where(cond | mn.isNull() | mx.isNull() | special)
     return {r.pid for r in keep.select("pid").distinct().collect()}
 
 

@@ -106,10 +106,16 @@ def _chunk_admits(stats: dict, flt) -> bool:
         hi = _prefix_upper_bound(flt.value)
         return smax >= flt.value and (hi is None or smin <= hi)
     v = flt.value
-    if isinstance(v, bool) or not isinstance(v, (int, str)):
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
         return True  # no comparable zone evidence for this value type
     if isinstance(v, str):
         lo, hi = stats.get("smin"), stats.get("smax")
+    elif isinstance(v, float):
+        # float zone maps exclude NaN/inf; a chunk holding specials is
+        # always admitted (see selector.profile_chunk)
+        if stats.get("has_special"):
+            return True
+        lo, hi = stats.get("fmin"), stats.get("fmax")
     else:
         lo, hi = stats.get("min"), stats.get("max")
     if lo is None or hi is None:

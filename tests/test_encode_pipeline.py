@@ -629,3 +629,59 @@ def test_decode_where_composes_all_pruning_layers(spark, tmp_path):
                        columns=["path", "seq"]).toPandas()
     want = full[full.path >= "grp3/item05990"]
     assert sorted(got.seq.tolist()) == sorted(want.seq.tolist())
+
+
+def test_float_zone_maps_prune_and_stay_sound(spark, sf_dir, tmp_path):
+    """Float zone maps: after a price-sorted layout, a float range
+    predicate prunes pids at the manifest layer and decode_where stays
+    exact; chunks holding NaN/inf are always admitted (bounds exclude
+    specials, so pruning them would be unsound)."""
+    import numpy as np
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_where,
+        pids_matching_range,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    enc = str(tmp_path / "enc_fz")
+    encode_pipeline(spark, li, enc, target_bytes=64 << 10, run_id="fz",
+                    range_keys=("l_extendedprice",),
+                    sort_keys=("l_extendedprice", "l_orderkey"),
+                    n_partitions=12)
+    man = read_manifest(spark, enc)
+    n_pids = man.select("pid").distinct().count()
+    assert n_pids >= 8
+
+    lo, hi = 20000.0, 30000.0
+    keep = pids_matching_range(spark, enc, "l_extendedprice", lo, hi)
+    assert 0 < len(keep) < n_pids
+
+    got = decode_where(spark, enc, {"l_extendedprice": (lo, hi)},
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_extendedprice"]).toPandas()
+    want = (li.where((F.col("l_extendedprice") >= lo)
+                     & (F.col("l_extendedprice") <= hi))
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .toPandas())
+    assert len(got) == len(want)
+    assert (set(map(tuple, got.values.tolist()))
+            == set(map(tuple, want.values.tolist())))
+
+    # specials: a chunk with NaN/inf must always be admitted
+    from parquet_toolkit_spark.codecs.chunk import ColumnChunk
+    from parquet_toolkit_spark.codecs.selector import profile_chunk
+    from parquet_toolkit_spark.sources.ptsc_datasource import _chunk_admits
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    v = np.array([1.0, 2.0, np.inf, np.nan])
+    st = profile_chunk(ColumnChunk("float", len(v), values=v,
+                                   meta={"arrow_type": "double"}))
+    assert st["has_special"] and st["fmax"] == 2.0
+    assert _chunk_admits(st, GreaterThanOrEqual(("x",), 1e9))  # inf lives here
+    clean = np.array([1.0, 2.0])
+    st2 = profile_chunk(ColumnChunk("float", len(clean), values=clean,
+                                    meta={"arrow_type": "double"}))
+    assert not st2["has_special"]
+    assert not _chunk_admits(st2, EqualTo(("x",), 5.0))
+    assert _chunk_admits(st2, EqualTo(("x",), 1.5))
