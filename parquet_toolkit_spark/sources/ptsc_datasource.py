@@ -106,8 +106,24 @@ def _chunk_admits(stats: dict, flt) -> bool:
         hi = _prefix_upper_bound(flt.value)
         return smax >= flt.value and (hi is None or smin <= hi)
     v = flt.value
-    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
-        return True  # no comparable zone evidence for this value type
+    if not isinstance(v, (int, float, str, bool)):
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            # timestamp chunks store int64 microsecond zone maps (UTC);
+            # compare datetimes on the same axis. Naive datetimes are
+            # UTC by convention (the session timezone is pinned).
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            delta = v - _dt.datetime(1970, 1, 1)
+            # exact integer microseconds (total_seconds() is float64 and
+            # loses sub-second resolution at far-future epochs)
+            v = ((delta.days * 86_400 + delta.seconds) * 1_000_000
+                 + delta.microseconds)
+        else:
+            return True  # no comparable zone evidence for this type
+    if isinstance(v, bool):
+        return True  # int stats exist but booleans aren't zone-mapped
     if isinstance(v, str):
         lo, hi = stats.get("smin"), stats.get("smax")
     elif isinstance(v, float):

@@ -685,3 +685,45 @@ def test_float_zone_maps_prune_and_stay_sound(spark, sf_dir, tmp_path):
     assert not st2["has_special"]
     assert not _chunk_admits(st2, EqualTo(("x",), 5.0))
     assert _chunk_admits(st2, EqualTo(("x",), 1.5))
+
+
+def test_datetime_predicates_prune_timestamp_chunks(spark, sf_dir, tmp_path):
+    """decode_where with datetime values: timestamp chunks store int64
+    microsecond zone maps, and datetime predicates compare on the same
+    axis (exact integer conversion) — range pruning + exact residual."""
+    import datetime as dt
+
+    from parquet_toolkit_spark.operators.encode import decode_where
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    enc = str(tmp_path / "enc_ts")
+    encode_pipeline(spark, ev, enc, target_bytes=48 << 10, run_id="ts",
+                    range_keys=("ts",), sort_keys=("ts", "event_id"),
+                    n_partitions=10)
+    man = read_manifest(spark, enc)
+    n_pids = man.select("pid").distinct().count()
+    assert n_pids >= 6
+
+    bounds = ev.agg(F.min("ts"), F.max("ts")).first()
+    lo = bounds[0] + (bounds[1] - bounds[0]) / 4
+    hi = bounds[0] + (bounds[1] - bounds[0]) / 2
+    got = decode_where(spark, enc, {"ts": (lo, hi)},
+                       columns=["event_id"]).toPandas()
+    want = (ev.where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+            .select("event_id").toPandas())
+    assert sorted(got.event_id) == sorted(want.event_id)
+
+    # and the pruning actually pruned (sorted layout, quarter range)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    from parquet_toolkit_spark.sources.ptsc_datasource import _chunk_admits
+    import json as _json
+
+    rows = man.where(F.col("column") == "ts").select("pid", "stats_json").collect()
+    admitted = {
+        r.pid for r in rows
+        if _chunk_admits(_json.loads(r.stats_json),
+                         GreaterThanOrEqual(("ts",), lo))
+        and _chunk_admits(_json.loads(r.stats_json),
+                          LessThanOrEqual(("ts",), hi))
+    }
+    assert 0 < len(admitted) < n_pids
