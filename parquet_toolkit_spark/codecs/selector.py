@@ -48,6 +48,15 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
         if chunk.kind == "int":
             stats["min"] = int(v.min())
             stats["max"] = int(v.max())
+            # logical unit marker: int zone maps of timestamps are in the
+            # source unit and dates are day numbers — a temporal filter
+            # value must only be compared after conversion to the SAME
+            # unit, and never against a plain int column (code-review r4:
+            # epoch-µs vs day-number comparison pruned every chunk)
+            if chunk.meta.get("ts_unit"):
+                stats["logical"] = f"ts_{chunk.meta['ts_unit']}"
+            elif chunk.meta.get("date_bits"):
+                stats["logical"] = "date"
             d = np.diff(v)
             stats["sortedness"] = float((d >= 0).mean()) if len(d) else 1.0
         if chunk.kind == "float":

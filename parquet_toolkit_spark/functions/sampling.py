@@ -47,7 +47,7 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
     return F.pmod(mixed * F.lit(_P2), F.lit(_RING))
 
 
-_INT_TYPES = ("bigint", "int", "smallint", "tinyint", "long", "integer")
+_INT_TYPES = ("bigint", "int", "smallint", "tinyint")
 
 
 def _require_int_key(df: DataFrame, key: str) -> None:
@@ -55,8 +55,18 @@ def _require_int_key(df: DataFrame, key: str) -> None:
     for EVERY row — an all-or-nothing 'sample' with no error. Integral
     keys only; hash string identities upstream (e.g. a stable doc id),
     or xxhash-style them yourself — no string hash exists that this
-    module could mirror exactly in the ANSI-SQL oracle."""
-    t = dict(df.dtypes).get(key)
+    module could mirror exactly in the ANSI-SQL oracle.
+
+    Lookup mirrors Spark's default case-insensitive resolution (F.col
+    resolves 'DOC_ID' to doc_id; a case-exact dict check would reject
+    names the expression itself accepts — code-review r4)."""
+    dtypes = dict(df.dtypes)
+    t = dtypes.get(key)
+    if t is None:
+        hits = [ty for name, ty in dtypes.items()
+                if name.lower() == key.lower()]
+        if len(hits) == 1:
+            t = hits[0]
     if t is None:
         raise ValueError(f"key column {key!r} not in dataframe")
     if t not in _INT_TYPES:

@@ -1073,32 +1073,45 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
         raise FileNotFoundError(f"no manifest under {enc_dir}")
     st = man.where((F.col("column") == column)
                    & (F.col("status") == "committed"))
-    special = F.lit(False)
     if isinstance(lo, str) or isinstance(hi, str):
         mn = F.get_json_object("stats_json", "$.smin")
         mx = F.get_json_object("stats_json", "$.smax")
-        lo_l, hi_l = lo, hi
-    elif isinstance(lo, float) or isinstance(hi, float):
-        # float zone maps exclude NaN/inf; chunks holding specials set
-        # has_special and are always admitted (bounds can't speak for an
-        # inf, and engines disagree on NaN ordering — admit, stay sound)
-        mn = F.get_json_object("stats_json", "$.fmin").cast("double")
-        mx = F.get_json_object("stats_json", "$.fmax").cast("double")
-        special = (F.get_json_object("stats_json", "$.has_special")
-                   == F.lit("true"))
-        lo_l = float(lo) if lo is not None else None
-        hi_l = float(hi) if hi is not None else None
-    else:
-        mn = F.get_json_object("stats_json", "$.min").cast("long")
-        mx = F.get_json_object("stats_json", "$.max").cast("long")
-        lo_l = int(lo) if lo is not None else None
-        hi_l = int(hi) if hi is not None else None
-    cond = F.lit(True)
-    if lo_l is not None:
-        cond = cond & (mx >= F.lit(lo_l))
-    if hi_l is not None:
-        cond = cond & (mn <= F.lit(hi_l))
-    keep = st.where(cond | mn.isNull() | mx.isNull() | special)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (mx >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (mn <= F.lit(hi))
+        keep = st.where(cond | mn.isNull() | mx.isNull())
+        return {r.pid for r in keep.select("pid").distinct().collect()}
+
+    # numeric bounds: evaluate WHICHEVER evidence kind the chunk carries
+    # — int chunks store $.min/$.max, float chunks $.fmin/$.fmax. A
+    # value-type dispatch instead of an evidence dispatch silently
+    # admitted everything when the literal type didn't match the column
+    # (float bound on an int column; code-review r4). Float bounds
+    # tighten exactly against int evidence via ceil(lo)/floor(hi) —
+    # integer values satisfy v >= lo iff v >= ceil(lo). Chunks holding
+    # NaN/inf always admit (bounds exclude specials).
+    mn_i = F.get_json_object("stats_json", "$.min").cast("long")
+    mx_i = F.get_json_object("stats_json", "$.max").cast("long")
+    mn_f = F.get_json_object("stats_json", "$.fmin").cast("double")
+    mx_f = F.get_json_object("stats_json", "$.fmax").cast("double")
+    special = (F.get_json_object("stats_json", "$.has_special")
+               == F.lit("true"))
+    int_cond = F.lit(True)
+    flt_cond = F.lit(True)
+    if lo is not None:
+        int_cond = int_cond & (mx_i >= F.lit(math.ceil(lo)))
+        flt_cond = flt_cond & (mx_f >= F.lit(float(lo)))
+    if hi is not None:
+        int_cond = int_cond & (mn_i <= F.lit(math.floor(hi)))
+        flt_cond = flt_cond & (mn_f <= F.lit(float(hi)))
+    int_ev = mn_i.isNotNull() & mx_i.isNotNull()
+    flt_ev = mn_f.isNotNull() & mx_f.isNotNull()
+    keep = st.where(
+        (~int_ev & ~flt_ev) | special
+        | (int_ev & int_cond) | (flt_ev & flt_cond)
+    )
     return {r.pid for r in keep.select("pid").distinct().collect()}
 
 

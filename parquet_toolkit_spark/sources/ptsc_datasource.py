@@ -94,6 +94,39 @@ def _manifest_stats(path: str) -> list[dict]:
     raise FileNotFoundError(f"no manifest under {path}")
 
 
+_TS_UNIT_US = {"ts_s": 1_000_000, "ts_ms": 1_000, "ts_us": 1, "ts_ns": None}
+
+
+def _temporal_to_stat_units(v, logical: str | None):
+    """datetime/date filter value -> the integer axis the chunk's zone
+    map uses, or None when no sound comparison exists (plain int column,
+    unit-less legacy stats, or a unit we won't scale exactly).
+
+    Truncation to a coarser axis (datetime -> date) is pruning-safe:
+    the derived bound admits a superset and the residual stays exact."""
+    import datetime as _dt
+
+    if logical == "date":
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        return (d - _dt.date(1970, 1, 1)).days
+    if logical in _TS_UNIT_US:
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        else:
+            v = _dt.datetime(v.year, v.month, v.day)
+        delta = v - _dt.datetime(1970, 1, 1)
+        # exact integer microseconds (total_seconds() is float64 and
+        # loses sub-second resolution at far-future epochs)
+        us = ((delta.days * 86_400 + delta.seconds) * 1_000_000
+              + delta.microseconds)
+        scale = _TS_UNIT_US[logical]
+        if scale is None:
+            return us * 1_000  # ns
+        return us // scale if scale > 1 else us
+    return None
+
+
 def _chunk_admits(stats: dict, flt) -> bool:
     """Can this (pid, column) chunk hold rows matching `flt`? Missing
     evidence always admits — pruning must stay sound."""
@@ -105,34 +138,35 @@ def _chunk_admits(stats: dict, flt) -> bool:
             return True
         hi = _prefix_upper_bound(flt.value)
         return smax >= flt.value and (hi is None or smin <= hi)
-    v = flt.value
-    if not isinstance(v, (int, float, str, bool)):
-        import datetime as _dt
+    import datetime as _dt
 
-        if isinstance(v, _dt.datetime):
-            # timestamp chunks store int64 microsecond zone maps (UTC);
-            # compare datetimes on the same axis. Naive datetimes are
-            # UTC by convention (the session timezone is pinned).
-            if v.tzinfo is not None:
-                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            delta = v - _dt.datetime(1970, 1, 1)
-            # exact integer microseconds (total_seconds() is float64 and
-            # loses sub-second resolution at far-future epochs)
-            v = ((delta.days * 86_400 + delta.seconds) * 1_000_000
-                 + delta.microseconds)
-        else:
-            return True  # no comparable zone evidence for this type
+    v = flt.value
     if isinstance(v, bool):
         return True  # int stats exist but booleans aren't zone-mapped
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        # temporal values compare ONLY against chunks whose stats carry
+        # the matching logical-unit marker — timestamps store source-unit
+        # epoch ints, dates store day numbers, and a plain int column is
+        # not a time axis at all (code-review r4: comparing epoch-µs to
+        # day numbers pruned every chunk; old stores without the marker
+        # always admit)
+        v = _temporal_to_stat_units(v, stats.get("logical"))
+        if v is None:
+            return True
+    elif not isinstance(v, (int, float, str)):
+        return True  # no comparable zone evidence for this value type
     if isinstance(v, str):
         lo, hi = stats.get("smin"), stats.get("smax")
-    elif isinstance(v, float):
-        # float zone maps exclude NaN/inf; a chunk holding specials is
-        # always admitted (see selector.profile_chunk)
+    elif "fmin" in stats or "fmax" in stats or stats.get("has_special"):
+        # float evidence (int AND float predicate values both compare
+        # exactly against it in python); chunks holding NaN/inf are
+        # always admitted — bounds exclude specials
         if stats.get("has_special"):
             return True
         lo, hi = stats.get("fmin"), stats.get("fmax")
     else:
+        # int evidence; python int/float comparisons are exact, so a
+        # float predicate value needs no ceil/floor adjustment here
         lo, hi = stats.get("min"), stats.get("max")
     if lo is None or hi is None:
         admit = True

@@ -727,3 +727,59 @@ def test_datetime_predicates_prune_timestamp_chunks(spark, sf_dir, tmp_path):
                           LessThanOrEqual(("ts",), hi))
     }
     assert 0 < len(admitted) < n_pids
+
+
+def test_zone_map_evidence_dispatch_is_sound(spark, tmp_path):
+    """Review-fix regressions (code-review r4 second pass):
+    - datetime predicates on a DATE column compare day numbers, not
+      epoch microseconds (the mis-scaled compare pruned every chunk)
+    - float bounds on an int column still prune (evidence dispatch, not
+      value-type dispatch) and stay exact via ceil/floor tightening
+    - int bounds on a float column prune too"""
+    import datetime as dt
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_where,
+        pids_matching_range,
+    )
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 200),
+          float(i) + 0.25) for i in range(4000)],
+        "id long, d date, score double")
+    enc = str(tmp_path / "enc_ev")
+    encode_pipeline(spark, df, enc, target_bytes=16 << 10, run_id="ev",
+                    range_keys=("id",), sort_keys=("id",), n_partitions=10)
+    man = read_manifest(spark, enc)
+    n_pids = man.select("pid").distinct().count()
+
+    # datetime + date predicates on the DATE column: exact, never empty
+    cut = dt.date(2024, 4, 1)
+    want = {r.id for r in df.where(F.col("d") >= F.lit(cut)).collect()}
+    got = {r.id for r in decode_where(spark, enc, {"d": (cut, None)},
+                                      columns=["id", "d"]).collect()}
+    assert got == want and got
+    got2 = {r.id for r in decode_where(
+        spark, enc, {"d": (dt.datetime(2024, 4, 1, 5, 30), None)},
+        columns=["id", "d"]).collect()}
+    want2 = {r.id for r in df.where(
+        F.col("d").cast("timestamp") >= F.lit(dt.datetime(2024, 4, 1, 5, 30))
+    ).collect()}
+    assert got2 == want2
+
+    # float bounds on the INT id column: prunes AND exact (regression:
+    # the float branch read absent fmin/fmax and admitted everything)
+    keep = pids_matching_range(spark, enc, "id", lo=None, hi=1999.5)
+    assert 0 < len(keep) < n_pids
+    got3 = {r.id for r in decode_where(spark, enc, {"id": (None, 1999.5)},
+                                       columns=["id"]).collect()}
+    assert got3 == set(range(2000))
+
+    # int bounds on the FLOAT score column: prunes AND exact
+    keep_f = pids_matching_range(spark, enc, "score", lo=1000, hi=1999)
+    assert 0 < len(keep_f) < n_pids
+    got4 = {r.id for r in decode_where(spark, enc, {"score": (1000, 1999)},
+                                       columns=["id", "score"]).collect()}
+    want4 = {r.id for r in df.where(
+        (F.col("score") >= 1000) & (F.col("score") <= 1999)).collect()}
+    assert got4 == want4

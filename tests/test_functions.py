@@ -630,3 +630,11 @@ def test_hash_sampling_rejects_string_keys(spark):
         train_test_split(df, "k", 0.5)
     with _pytest.raises(ValueError, match="not in dataframe"):
         hash_sample(df, "nope", 0.5)
+
+
+def test_hash_sampling_case_insensitive_key(spark):
+    from parquet_toolkit_spark.functions.sampling import hash_sample
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, "DOC_ID", 0.5).count() == \
+        hash_sample(df, "doc_id", 0.5).count()
