@@ -326,6 +326,48 @@ def q_decode_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered store (operators/zorder.py): events laid out on
+    the Morton interleave of (ts, user_id) quantile ranks, then a 2-D
+    range read through decode_where — BOTH predicates prune pids at the
+    manifest layer (a single-key sort prunes only its leading key), the
+    residual keeps the answer exact vs a plain SQL WHERE. Bounds derive
+    from min/max aggregates both engines compute identically (quartile
+    points on exact integer microseconds / ids)."""
+    import datetime as dt
+
+    from parquet_toolkit_spark.operators.encode import decode_where
+
+    ev = _t(spark, sf_dir, "events")
+    enc = _fixture_path("zorder_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc, "_DONE")):
+        from parquet_toolkit_spark.operators.encode import encode_pipeline
+
+        encode_pipeline(spark, ev, enc, target_bytes=128 << 10,
+                        run_id="zo", cluster_keys=("ts", "user_id"))
+        with open(os.path.join(enc, "_DONE"), "w") as fh:
+            fh.write("ok")
+    r = ev.agg(F.min("ts").alias("tlo"), F.max("ts").alias("thi"),
+               F.min("user_id").alias("ulo"),
+               F.max("user_id").alias("uhi")).first()
+
+    def _us(d: dt.datetime) -> int:
+        delta = d - dt.datetime(1970, 1, 1)
+        return ((delta.days * 86_400 + delta.seconds) * 1_000_000
+                + delta.microseconds)
+
+    a, b = _us(r.tlo), _us(r.thi)
+    epoch = dt.datetime(1970, 1, 1)
+    ts_lo = epoch + dt.timedelta(microseconds=a + (b - a) // 4)
+    ts_hi = epoch + dt.timedelta(microseconds=a + (b - a) // 2)
+    u_lo = int(r.ulo) + (int(r.uhi) - int(r.ulo)) // 4
+    u_hi = int(r.ulo) + (int(r.uhi) - int(r.ulo)) // 2
+    dec = decode_where(
+        spark, enc, {"ts": (ts_lo, ts_hi), "user_id": (u_lo, u_hi)},
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return dec.select("event_id", "user_id", "event_type")
+
+
 def q_iceberg_fs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-python Iceberg layer as a Catalyst source: format(
     "iceberg_fs") over the identity-partitioned fixture table with a
@@ -1306,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
         "decode_where": q_decode_where,
+        "zorder_prune": q_zorder_prune,
         "ptsc_scan": q_ptsc_scan,
         "iceberg_fs_scan": q_iceberg_fs_scan,
         "encode_numeric_roundtrip": q_encode_numeric_roundtrip,
@@ -1427,6 +1470,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = (SELECT min(source) FROM documents) "
             "AND doc_id <= (SELECT CAST(FLOOR(max(doc_id) / 2) AS BIGINT) "
             "FROM documents)"
+        ),
+        "zorder_prune": (
+            "WITH b AS (SELECT epoch_us(min(ts)) AS tlo, "
+            "epoch_us(max(ts)) AS thi, min(user_id) AS ulo, "
+            "max(user_id) AS uhi FROM events) "
+            "SELECT e.event_id, e.user_id, e.event_type "
+            "FROM events e, b "
+            "WHERE e.ts >= make_timestamp(b.tlo + (b.thi - b.tlo) // 4) "
+            "AND e.ts <= make_timestamp(b.tlo + (b.thi - b.tlo) // 2) "
+            "AND e.user_id >= b.ulo + (b.uhi - b.ulo) // 4 "
+            "AND e.user_id <= b.ulo + (b.uhi - b.ulo) // 2"
         ),
         "ptsc_scan": (
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "

@@ -62,7 +62,8 @@ BENCH_QUERIES = [
     "iceberg_write_read", "iceberg_mor_delete", "iceberg_partition_prune",
     "iceberg_bucket_prune",
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
-    "compact_store", "decode_where", "ptsc_scan", "iceberg_fs_scan",
+    "compact_store", "decode_where", "zorder_prune", "ptsc_scan",
+    "iceberg_fs_scan",
     "iceberg_stream_sink", "hash_sample_split", "cap_per_group",
 ]
 

@@ -19,6 +19,7 @@ Two modes:
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import json
 import math
@@ -152,18 +153,48 @@ def _schema_map(df: DataFrame, exclude: tuple[str, ...] = ("pid",)) -> dict[str,
 def plan_layout(df: DataFrame, target_bytes: int,
                 range_keys: tuple[str, ...] = DEFAULT_RANGE_KEYS,
                 sort_keys: tuple[str, ...] = DEFAULT_SORT_KEYS,
-                n_partitions: int | None = None) -> tuple[DataFrame, int]:
+                n_partitions: int | None = None,
+                cluster_keys: tuple[str, ...] | None = None,
+                cluster_bits: int = 8) -> tuple[DataFrame, int]:
     """Range-partition + sort the table into ~target_bytes partitions.
 
     Range partitioning on (repo, path) splits a skewed mega-repo across
     partitions by path ranges (Catalyst samples the key distribution), so
     layout skew is handled without salting; salting is for hash-based
     groupBy aggregations (see operators/skew.py).
+
+    cluster_keys switches the layout to Z-order clustering (operators/
+    zorder.py): partitions range over a Morton key interleaving the
+    quantile ranks of every cluster column, so the per-pid zone maps
+    prune on EACH of them — a single-key sort prunes on its leading key
+    only. range_keys is ignored in this mode; rows sort within each
+    partition by the cluster columns themselves (compression locality),
+    or by sort_keys when the caller overrides the default.
     """
+    n_rows: int | None = None
     if n_partitions is None:
         bpr = estimate_bytes_per_row(df)
         n_rows = df.count()
         n_partitions = max(1, math.ceil(bpr * n_rows / target_bytes))
+    if cluster_keys:
+        from parquet_toolkit_spark.operators.zorder import (
+            ZCLUSTER_COL,
+            zorder_key,
+        )
+
+        if ZCLUSTER_COL in df.columns:
+            raise ValueError(f"input already has a {ZCLUSTER_COL} column")
+        zk = zorder_key(df, tuple(cluster_keys), bits=cluster_bits,
+                        total_rows=n_rows)
+        eff_sort = (tuple(cluster_keys) if sort_keys is DEFAULT_SORT_KEYS
+                    else tuple(sort_keys))
+        out = (
+            df.withColumn(ZCLUSTER_COL, zk)
+            .repartitionByRange(n_partitions, F.col(ZCLUSTER_COL))
+            .sortWithinPartitions(*[F.col(k) for k in eff_sort])
+            .drop(ZCLUSTER_COL)
+        )
+        return out, n_partitions
     out = (
         df.repartitionByRange(n_partitions, *[F.col(k) for k in range_keys])
         .sortWithinPartitions(*[F.col(k) for k in sort_keys])
@@ -177,14 +208,20 @@ def encode_pipeline(spark: SparkSession, df: DataFrame, out_dir: str,
                     sort_keys: tuple[str, ...] = DEFAULT_SORT_KEYS,
                     run_id: str = "r0",
                     n_partitions: int | None = None,
-                    bloom_columns: tuple[str, ...] = ()) -> DataFrame:
+                    bloom_columns: tuple[str, ...] = (),
+                    cluster_keys: tuple[str, ...] | None = None,
+                    cluster_bits: int = 8) -> DataFrame:
     """Fused layout+encode in one Spark job. Returns the manifest DataFrame.
 
     mapInPandas accumulates the partition's Arrow batches (one partition ==
     one codec scope, per the north rule's per-partition symbol tables).
     bloom_columns: per-chunk blooms for pids_matching_value point lookups.
+    cluster_keys: Z-order the layout over these columns instead of
+    range_keys (see plan_layout) — zone maps then prune on every one.
     """
-    laid, _ = plan_layout(df, target_bytes, range_keys, sort_keys, n_partitions)
+    laid, _ = plan_layout(df, target_bytes, range_keys, sort_keys,
+                          n_partitions, cluster_keys=cluster_keys,
+                          cluster_bits=cluster_bits)
     schema_map = _schema_map(laid)
 
     def encode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -208,7 +245,9 @@ def layout_stage(spark: SparkSession, df: DataFrame, staging_dir: str,
                  target_bytes: int = 64 << 20,
                  range_keys: tuple[str, ...] = DEFAULT_RANGE_KEYS,
                  sort_keys: tuple[str, ...] = DEFAULT_SORT_KEYS,
-                 n_partitions: int | None = None) -> int:
+                 n_partitions: int | None = None,
+                 cluster_keys: tuple[str, ...] | None = None,
+                 cluster_bits: int = 8) -> int:
     """Phase A: write the laid-out table, one file per deterministic pid.
 
     The staged table IS the toolkit-parity output (merged + sorted +
@@ -221,7 +260,9 @@ def layout_stage(spark: SparkSession, df: DataFrame, staging_dir: str,
     encoding is wasted work on it (the codec engine re-derives its own
     dictionaries), and zstd-1 halves the spooled bytes vs snappy at equal
     measured write speed on the F0 corpus (VERDICT r2 #1)."""
-    laid, n_parts = plan_layout(df, target_bytes, range_keys, sort_keys, n_partitions)
+    laid, n_parts = plan_layout(df, target_bytes, range_keys, sort_keys,
+                                n_partitions, cluster_keys=cluster_keys,
+                                cluster_bits=cluster_bits)
     (
         laid.write.mode("overwrite")
         .option("compression", "zstd")
@@ -1073,6 +1114,32 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
         raise FileNotFoundError(f"no manifest under {enc_dir}")
     st = man.where((F.col("column") == column)
                    & (F.col("status") == "committed"))
+    if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
+        # temporal bounds (datetime is a date subclass): unit-aware
+        # admission lives in the shared _chunk_admits — timestamp chunks
+        # store source-unit epoch ints, date chunks day numbers, and the
+        # stats' logical marker says which; evaluate driver-side over the
+        # one column's manifest rows (O(n_pids), same cost as the
+        # collect below)
+        from pyspark.sql.datasource import (
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        from parquet_toolkit_spark.sources.ptsc_datasource import (
+            _chunk_admits,
+        )
+
+        flts = []
+        if lo is not None:
+            flts.append(GreaterThanOrEqual((column,), lo))
+        if hi is not None:
+            flts.append(LessThanOrEqual((column,), hi))
+        return {
+            r.pid for r in st.select("pid", "stats_json").collect()
+            if all(_chunk_admits(json.loads(r.stats_json), f)
+                   for f in flts)
+        }
     if isinstance(lo, str) or isinstance(hi, str):
         mn = F.get_json_object("stats_json", "$.smin")
         mx = F.get_json_object("stats_json", "$.smax")
