@@ -992,6 +992,21 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
 
 
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/packing.py): documents concatenate
+    per source shard in doc_id order and cut into 512-token training
+    bins — a doc's bin is where its first token lands, long docs span
+    bins (concat-then-chunk). One window per group, no global order."""
+    from parquet_toolkit_spark.functions import text
+    from parquet_toolkit_spark.functions.packing import pack_greedy
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return pack_greedy(d, ("source",), "doc_id", "n_tokens", 512) \
+        .select("doc_id", "source", "pack_bin", "pack_offset")
+
+
 # ----------------------------------------------------------------- dedup
 
 
@@ -1369,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": q_join_agg,
         "events_hourly": q_events_hourly,
         "text_stats": q_text_stats,
+        "pack_greedy": q_pack_greedy,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "exact_dedup": q_exact_dedup,
@@ -1591,6 +1607,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST({_TOKCNT} AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars_q, "
             "sha256(text) AS text_sha FROM documents"
+        ),
+        "pack_greedy": (
+            f"WITH t AS (SELECT doc_id, source, "
+            f"CAST({_TOKCNT} AS BIGINT) AS n FROM documents), "
+            "c AS (SELECT doc_id, source, "
+            "SUM(n) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s "
+            "FROM t) "
+            "SELECT doc_id, source, CAST(s // 512 AS BIGINT) AS pack_bin, "
+            "CAST(s % 512 AS BIGINT) AS pack_offset FROM c"
         ),
         "lang_id": (
             f"SELECT doc_id, CAST({s['en']} AS BIGINT) AS score_en, "

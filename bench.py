@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "compact_store", "decode_where", "zorder_prune", "ptsc_scan",
     "iceberg_fs_scan",
     "iceberg_stream_sink", "hash_sample_split", "cap_per_group",
+    "pack_greedy",
 ]
 
 
@@ -178,7 +179,7 @@ def main() -> None:
                  "ngram_jaccard_minhash", "dedup_clusters",
                  "encode_pruned_decode", "fsck_store",
                  "bloom_point_lookup", "compact_store",
-                 "iceberg_bucket_prune", "ptsc_scan"):
+                 "iceberg_bucket_prune", "ptsc_scan", "zorder_prune"):
         qs[name](spark, SF_DIR)
     qs["merge_compact"](spark, SF_DIR)
     # ptsc_scan's first execution spins up the python data source's

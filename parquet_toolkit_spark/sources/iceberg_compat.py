@@ -287,6 +287,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
     data_seq: dict[str, int] = {}
+    record_counts: dict[str, int | None] = {}
     partition_values: dict[str, dict] = {}
     raw_to_resolved: dict[str, str] = {}
     for mf in read_manifest_list(mlist_path, spark):
@@ -312,6 +313,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                     continue  # zone-map pruning: bounds exclude the range
                 data.append(resolved)
                 data_seq[resolved] = seq
+                record_counts[resolved] = dfile.get("record_count")
                 if pvals:
                     partition_values[resolved] = pvals
                 raw_to_resolved[strip_local_scheme(dfile["file_path"])] = \
@@ -331,7 +333,8 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     return {"data": data, "position_deletes": pos_deletes,
             "equality_deletes": eq_deletes, "data_seq": data_seq,
             "partition_values": partition_values,
-            "raw_to_resolved": raw_to_resolved}
+            "raw_to_resolved": raw_to_resolved,
+            "record_counts": record_counts}
 
 
 def _resolve_partition_filter(md: dict, partition_filter: dict
@@ -1753,7 +1756,9 @@ def delete_where_equality(spark: SparkSession, table_dir: str,
 
 def rewrite_data_files(spark: SparkSession, table_dir: str,
                        target_file_rows: int | None = None,
-                       sort_by: list[str] | None = None) -> dict:
+                       sort_by: list[str] | None = None,
+                       zorder_by: list[str] | None = None,
+                       zorder_bits: int = 8) -> dict:
     """Compaction as a REPLACE snapshot — the reference's delete-inputs
     merge semantics (SimpleMultithreadedParquetMerger.java:233-276) on a
     modern table format (VERDICT r3 #5): read the current live row set
@@ -1771,13 +1776,27 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     sort order (order-id 1) committed in the metadata with each new
     file's sort_order_id. Sorted files + the per-file column bounds make
     range_filter pruning on the sort keys surgical: disjoint ranges mean
-    a point/range lookup opens O(1) files."""
+    a point/range lookup opens O(1) files.
+
+    zorder_by: z-order-clustered compaction (mutually exclusive with
+    sort_by) — Iceberg's `rewrite_data_files(strategy => 'sort',
+    sort_order => zorder(...))`: files cluster on the Morton interleave
+    of the columns' quantile ranks (operators/zorder.py), so the
+    manifest's per-file column bounds become small hyper-rectangles and
+    range_filter prunes files on EVERY z column, not only a leading sort
+    key. Like the engine-side action (and per the spec, which defines no
+    z-order sort-order transform), the clustering lives in the data
+    layout + bounds only; no sort order is declared in metadata.
+    Boundary sampling sizes itself from the manifests' record counts —
+    no extra full-table count job."""
     import os
     import uuid
 
     from parquet_toolkit_spark.sources.fs import strip_local_scheme
 
     table_dir = strip_local_scheme(table_dir).rstrip("/")
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     existing = read_table_metadata(table_dir, spark)
     _require_writable(existing)
     sf = snapshot_files(table_dir, None, spark)
@@ -1787,6 +1806,29 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     df = read_data(spark, table_dir)
     sort_orders = None
     sort_order_id = None
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from parquet_toolkit_spark.operators.zorder import (
+            ZCLUSTER_COL,
+            zorder_key,
+        )
+
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns {missing} not in table")
+        counts = list(sf["record_counts"].values())
+        total = (sum(counts) if counts and all(c is not None for c in counts)
+                 else None)  # foreign manifests w/o counts: zorder counts
+        zk = zorder_key(df, tuple(zorder_by), bits=zorder_bits,
+                        total_rows=total)
+        # sortWithinPartitions on the Morton key keeps maxRecordsPerFile's
+        # contiguous splits z-contiguous, so every output file covers one
+        # small z range (-> tight bounds on every cluster column)
+        df = (df.withColumn(ZCLUSTER_COL, zk)
+              .repartitionByRange(F.col(ZCLUSTER_COL))
+              .sortWithinPartitions(ZCLUSTER_COL)
+              .drop(ZCLUSTER_COL))
     if sort_by:
         missing = [c for c in sort_by if c not in df.columns]
         if missing:

@@ -638,3 +638,55 @@ def test_hash_sampling_case_insensitive_key(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
     assert hash_sample(df, "DOC_ID", 0.5).count() == \
         hash_sample(df, "doc_id", 0.5).count()
+
+
+def test_pack_greedy_matches_stream_semantics(spark):
+    from parquet_toolkit_spark.functions.packing import pack_greedy
+
+    rows = [("a", 1, 100), ("a", 2, 300), ("a", 3, 5000), ("a", 4, 10),
+            ("b", 1, 2048), ("b", 2, 1), ("a", 5, 2000), ("a", 6, 48)]
+    df = spark.createDataFrame(rows, "g string, i long, n long")
+    out = {(r.g, r.i): (r.pack_bin, r.pack_offset)
+           for r in pack_greedy(df, ("g",), "i", "n", 2048).collect()}
+
+    # python reference: concat in order, bin = floor(start / budget)
+    want = {}
+    for g in ("a", "b"):
+        s = 0
+        for gg, i, n in sorted(rows):
+            if gg != g:
+                continue
+            want[(g, i)] = (s // 2048, s % 2048)
+            s += n
+    assert out == want
+    # the 5000-token doc starts in bin 0 and pushes the NEXT doc to bin 2
+    # (spans bin 1 entirely) — stream semantics, no special case
+    assert want[("a", 3)][0] == 0 and want[("a", 4)][0] == 2
+
+
+def test_pack_greedy_deterministic_under_shuffle(spark):
+    from parquet_toolkit_spark.functions.packing import pack_greedy
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("i"),
+        (F.pmod(F.col("id") * 37, F.lit(900)) + 1).alias("n"))
+    a = pack_greedy(df, ("g",), "i", "n", 1000)
+    b = pack_greedy(df.repartition(13), ("g",), "i", "n", 1000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # bins fill to at most budget before the next one opens: every bin
+    # except a group's last must have a successor starting at offset < n
+    assert a.where(F.col("pack_offset") >= 1000).count() == 0
+
+
+def test_pack_greedy_guards(spark):
+    import pytest as _pytest
+
+    from parquet_toolkit_spark.functions.packing import pack_greedy
+
+    df = spark.createDataFrame([("a", 1, 5)], "g string, i long, n long")
+    with _pytest.raises(ValueError, match="group columns"):
+        pack_greedy(df, (), "i", "n", 10)
+    with _pytest.raises(ValueError, match="budget"):
+        pack_greedy(df, ("g",), "i", "n", 0)
+    with _pytest.raises(ValueError, match="not in dataframe"):
+        pack_greedy(df, ("g",), "nope", "n", 10)

@@ -2228,3 +2228,65 @@ def test_transform_scalar_matches_spark_column(spark):
             got = getattr(r, f"f{k}")
             assert got == want, (f["transform"], f["source"],
                                  vals[f["source"]], got, want)
+
+
+def test_iceberg_zorder_compaction(spark, tmp_path):
+    # rewrite_data_files(zorder_by=...): files cluster on the Morton
+    # interleave of both columns' quantile ranks, so manifest range_filter
+    # prunes files on EITHER column (a single-key sort prunes only its
+    # leading key) and every pruned read stays exact
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    rows = [(i, (i * 7919) % 3000, f"v{i}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, uid long, v string") \
+        .repartition(5)
+
+    zdir, sdir = str(tmp_path / "zo"), str(tmp_path / "so")
+    ic.write_table(spark, df, zdir)
+    ic.write_table(spark, df, sdir)
+    rw = ic.rewrite_data_files(spark, zdir, target_file_rows=250,
+                               zorder_by=["id", "uid"])
+    ic.rewrite_data_files(spark, sdir, target_file_rows=250,
+                          sort_by=["id"])
+    n_files = len(rw["files"])
+    assert n_files >= 8
+
+    # the NON-leading dimension prunes under z-order, and strictly more
+    # than under the id-sorted layout (which can't prune on uid at all)
+    zo_uid = ic.snapshot_files(zdir, range_filter={"uid": (100, 400)})
+    so_uid = ic.snapshot_files(sdir, range_filter={"uid": (100, 400)})
+    assert 0 < len(zo_uid["data"]) < n_files
+    assert len(zo_uid["data"]) < len(so_uid["data"])
+    # the other dimension prunes too
+    zo_id = ic.snapshot_files(zdir, range_filter={"id": (0, 500)})
+    assert 0 < len(zo_id["data"]) < n_files
+
+    # pruned read + residual == plain filter (exactness)
+    got = {r.id for r in
+           ic.read_data(spark, zdir, range_filter={"uid": (100, 400)})
+           .where("uid >= 100 and uid <= 400").collect()}
+    want = {i for i, u, _v in rows if 100 <= u <= 400}
+    assert got == want and got
+
+    # no sort order declared (the spec has no z-order transform); the
+    # replace snapshot still reads exactly in full
+    import json
+
+    with open(ic.read_table_metadata(zdir)["metadata_file"]) as fh:
+        md = json.load(fh)
+    assert all(o["order-id"] == 0 for o in md.get("sort-orders", []))
+    assert ic.read_data(spark, zdir).count() == 4000
+
+
+def test_iceberg_rewrite_sort_and_zorder_exclusive(spark, tmp_path):
+    import pytest as _pytest
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "x")
+    ic.write_table(spark, spark.createDataFrame([(1, 2)], "a long, b long"),
+                   tdir)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        ic.rewrite_data_files(spark, tdir, sort_by=["a"], zorder_by=["b"])
+    with _pytest.raises(ValueError, match="not in table"):
+        ic.rewrite_data_files(spark, tdir, zorder_by=["nope"])
