@@ -106,6 +106,25 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
     seen = {bytes(chunk.data[off[i] : off[i + 1]]) for i in idx}
     stats["distinct_est"] = int(len(seen) * step) if step > 1 else len(seen)
     stats["distinct_ratio"] = len(seen) / max(1, len(idx))
+    # front-coding probe: shared-prefix bytes between ADJACENT values
+    # (adjacency is the whole signal — a strided row sample destroys it)
+    # over a few contiguous windows spread across the chunk
+    if n > 1:
+        from parquet_toolkit_spark.codecs.impl import prefix_lengths
+
+        shared = seen_len = 0
+        win = 512
+        for a in range(0, n, max(win, n // 4)):
+            b = min(n, a + win)
+            if b - a < 2:
+                continue
+            sub_off = off[a:b + 1] - off[a]
+            sub = chunk.data[off[a]:off[b]]
+            shared += int(prefix_lengths(sub, sub_off, wc_cap=256).sum())
+            seen_len += int(sub_off[-1])
+        stats["prefix_gain"] = shared / seen_len if seen_len else 0.0
+    else:
+        stats["prefix_gain"] = 0.0
     # byte entropy on a sample of the payload
     sb = np.frombuffer(chunk.data[:_SAMPLE], dtype=np.uint8)
     if len(sb):
@@ -172,6 +191,17 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict,
     cands: list[str] = []
     if stats.get("distinct_ratio", 1.0) < 0.5:
         cands.append("bin_dict")
+    if (
+        "bin_prefix" not in exclude
+        and stats.get("prefix_gain", 0.0) > 0.3
+        and _prefix_sample_wins(chunk.data, chunk.offsets)
+    ):
+        # sorted-layout key columns (path/repo after the range sort):
+        # front coding; the size trial settles prefix-vs-dict. The gate
+        # is cost-aware like FSST's: bin_prefix decodes ~25x slower than
+        # plain+zstd (~50 vs ~1300 MB/s per core), so a marginal size
+        # win must not buy a decode-throughput regression.
+        cands.append("bin_prefix")
     payload = len(chunk.data)
     if (
         "bin_fsst" not in exclude
@@ -183,6 +213,36 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict,
         cands.append("bin_fsst")
     cands.append("bin_plain")
     return cands
+
+
+_PREFIX_TRIAL_ROWS = 4096
+
+
+def _prefix_sample_wins(data: bytes, offsets) -> bool:
+    """Front-coding admission trial on a contiguous row slice: encode it
+    through the REAL codec sections and require a >15% zstd'd size win
+    over zstd(plain slice). Cost-aware margin (see candidate_codecs):
+    bin_prefix's vectorized-forward-fill decode runs ~50 MB/s/core vs
+    the plain floor's ~1.3 GB/s, so marginal wins are a bad trade. The
+    F0 `path` column clears the margin at 28%; `commit` (random hex,
+    zero adjacency) and `lang` (dict territory) are rejected before the
+    per-chunk trial encode is ever paid."""
+    from parquet_toolkit_spark.codecs.container import _ZSTD
+    from parquet_toolkit_spark.codecs.impl import enc_bin_prefix
+
+    n = len(offsets) - 1
+    m = min(n, _PREFIX_TRIAL_ROWS)
+    if m < 64:
+        return True  # tiny chunks: trial noise exceeds the signal
+    sub_off = offsets[:m + 1]
+    sub = data[:int(sub_off[-1])]
+    if len(sub) < 1024:
+        return True
+    sec, _meta = enc_bin_prefix(sub, sub_off)
+    pz = sum(len(_ZSTD.compress(bytes(s), asbytes=True))
+             for s in (sec["suf"], sec["plens"], sec["lens"]))
+    plain_z = len(_ZSTD.compress(sub, asbytes=True))
+    return pz < 0.85 * plain_z
 
 
 _FSST_TRIAL_BYTES = 1 << 20

@@ -376,3 +376,49 @@ def test_select_codec_exclude_profile():
     name_floor, blob2, _ = select_codec(
         ch, exclude={"bin_fsst", "bin_dict", "bin_plain"})
     assert name_floor == "bin_plain"
+
+
+# ------------------------------------------------------------ front coding
+
+
+def test_bin_prefix_selected_for_sorted_paths_only():
+    """Selector picks front coding where adjacency pays (sorted path-like
+    values) and never where it doesn't (random hex: zero shared prefix;
+    the cost-aware trial must also reject marginal wins)."""
+    paths = sorted(
+        f"src/very/long/shared/prefix/module_{i % 40}/file_{i}.py".encode()
+        for i in range(8000)
+    )
+    codec, blob, stats = select_codec(_bin_chunk(paths))
+    assert codec == "bin_prefix"
+    assert stats["prefix_gain"] > 0.3
+    out = decode_blob(blob)
+    assert to_arrow(out).cast(pa.large_binary()).to_pylist() == paths
+
+    hexes = [rng.bytes(20).hex().encode() for _ in range(4000)]
+    codec2, _b, stats2 = select_codec(_bin_chunk(hexes))
+    assert codec2 != "bin_prefix"
+    assert stats2["prefix_gain"] < 0.1
+
+
+def test_bin_prefix_roundtrip_adversarial_shapes():
+    """Shapes that stress the forward-fill decode: prefix chains longer
+    than one hop, zero-length values interleaved, a value that is a
+    strict prefix of its predecessor, and prefix lengths at the plane
+    cap boundary."""
+    cases = [
+        # deep chain: every row extends the previous one
+        [b"a" * i for i in range(1, 300)],
+        # strict-prefix steps down then up
+        [b"abcdef", b"abcd", b"ab", b"abcdefgh", b"", b"abc"],
+        # empties between sharers
+        [b"shared/one", b"", b"shared/two", b"", b"shared/three"] * 50,
+        # identical values (pl == len, empty suffixes)
+        [b"same-value-here"] * 1000,
+        # long values crossing the uint16-row plane path
+        [(b"p" * 200) + str(i).encode() for i in range(70_000)],
+    ]
+    for vals in cases:
+        chunk = _bin_chunk(vals)
+        out = _roundtrip(chunk, "bin_prefix")
+        assert to_arrow(out).cast(pa.large_binary()).to_pylist() == vals
