@@ -1,0 +1,214 @@
+"""Deployable CLI: the toolkit's operational surface as one submit-able
+module.
+
+The reference ships its operations as Java builder code driven from
+main() harnesses (kz/hustle/test/Main.java:11-87 and siblings, SURVEY
+§5.1); this is the same surface as a single argparse entry point that
+works identically as
+
+    python -m parquet_toolkit_spark <verb> ...          # local
+    spark-submit --py-files dist/parquet_toolkit_spark.zip \
+        cli_launcher.py <verb> ...                      # cluster
+
+(the north rule's ship-via-spark-submit discipline — when run under
+spark-submit, the already-configured session is reused; standalone runs
+build a local one).
+
+Verbs map 1:1 onto the library operators; nothing here adds logic —
+parse args, call the operator, print one JSON result line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _size(s: str) -> int:
+    """'128MB' / '64kb' / plain bytes -> int."""
+    s = s.strip().lower()
+    for suf, mul in (("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+                     ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+                     ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mul)
+    return int(s)
+
+
+def _cols(s: str | None) -> list[str] | None:
+    return [c.strip() for c in s.split(",") if c.strip()] if s else None
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="parquet_toolkit_spark",
+        description="PySpark-native parquet maintenance + columnar encode")
+    p.add_argument("--master", default=None,
+                   help="Spark master for standalone runs (default "
+                        "local[*]); ignored under spark-submit")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    c = sub.add_parser("compact", help="merge many small parquet files")
+    c.add_argument("--input", required=True, nargs="+")
+    c.add_argument("--output", required=True)
+    c.add_argument("--target-size", default="128MB")
+    c.add_argument("--codec", default="snappy")
+
+    s = sub.add_parser("sort", help="globally sort by key columns")
+    s.add_argument("--input", required=True, nargs="+")
+    s.add_argument("--output", required=True)
+    s.add_argument("--keys", required=True, help="comma-separated")
+    s.add_argument("--target-size", default="128MB")
+    s.add_argument("--codec", default="snappy")
+    s.add_argument("--descending", action="store_true")
+
+    sp = sub.add_parser("split", help="split files into <= target size")
+    sp.add_argument("--input", required=True, nargs="+")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--target-size", required=True)
+    sp.add_argument("--codec", default="snappy")
+    sp.add_argument("--strict", action="store_true",
+                    help="refuse when input <= target (reference parity)")
+
+    cv = sub.add_parser("csv2parquet", help="typed CSV -> parquet")
+    cv.add_argument("--input", required=True)
+    cv.add_argument("--output", required=True)
+    cv.add_argument("--codec", default="gzip")
+    cv.add_argument("--delimiter", default=",")
+    cv.add_argument("--no-header", action="store_true")
+
+    e = sub.add_parser("encode", help="layout + columnar-encode a table "
+                                      "into a blob store")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--target-size", default="16MB")
+    e.add_argument("--range-keys", default=None, help="comma-separated")
+    e.add_argument("--sort-keys", default=None)
+    e.add_argument("--cluster-keys", default=None,
+                   help="Z-order instead of range layout")
+    e.add_argument("--bloom-columns", default=None)
+    e.add_argument("--run-id", default="cli")
+
+    d = sub.add_parser("decode", help="read a blob store back to parquet")
+    d.add_argument("--store", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--columns", default=None)
+    d.add_argument("--where", default=None, action="append",
+                   help="col:lo:hi range (repeatable; empty bound = open)")
+
+    f = sub.add_parser("fsck", help="distributed store integrity check")
+    f.add_argument("--store", required=True)
+    return p
+
+
+def _session(master: str | None):
+    from pyspark.sql import SparkSession
+
+    from parquet_toolkit_spark.runtime import (
+        spark_builder_defaults,
+        tune_malloc,
+    )
+
+    tune_malloc()
+    active = SparkSession.getActiveSession()
+    if active is not None:  # spark-submit: reuse the submitted session
+        return active
+    b = SparkSession.builder
+    if master:
+        b = b.master(master)
+    return spark_builder_defaults(b).getOrCreate()
+
+
+def _parse_where(terms: list[str] | None) -> dict | None:
+    if not terms:
+        return None
+    out = {}
+    for t in terms:
+        col, lo, hi = t.split(":", 2)
+
+        def _v(x: str):
+            if x == "":
+                return None
+            try:
+                return int(x)
+            except ValueError:
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+        out[col] = (_v(lo), _v(hi))
+    return out
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    spark = _session(args.master)
+    v = args.verb
+    if v == "compact":
+        from parquet_toolkit_spark.operators.layout import compact
+        res = compact(spark, args.input, args.output,
+                      target_bytes=_size(args.target_size),
+                      compression=args.codec)
+    elif v == "sort":
+        from parquet_toolkit_spark.operators.layout import sort_by_key
+        res = sort_by_key(spark, args.input, args.output,
+                          keys=_cols(args.keys),
+                          target_bytes=_size(args.target_size),
+                          compression=args.codec,
+                          descending=args.descending)
+    elif v == "split":
+        from parquet_toolkit_spark.operators.layout import split_by_size
+        res = split_by_size(spark, args.input, args.output,
+                            target_bytes=_size(args.target_size),
+                            compression=args.codec, strict=args.strict)
+    elif v == "csv2parquet":
+        from parquet_toolkit_spark.sources.csv_ingest import convert_csv
+        rows = convert_csv(spark, args.input, args.output,
+                           compression=args.codec, delimiter=args.delimiter,
+                           header=not args.no_header)
+        res = {"rows": rows}
+    elif v == "encode":
+        from parquet_toolkit_spark.operators.encode import encode_pipeline
+        kw = {}
+        if _cols(args.range_keys):
+            kw["range_keys"] = tuple(_cols(args.range_keys))
+        if _cols(args.sort_keys):
+            kw["sort_keys"] = tuple(_cols(args.sort_keys))
+        if _cols(args.cluster_keys):
+            kw["cluster_keys"] = tuple(_cols(args.cluster_keys))
+        man = encode_pipeline(
+            spark, spark.read.parquet(args.input), args.output,
+            target_bytes=_size(args.target_size), run_id=args.run_id,
+            bloom_columns=tuple(_cols(args.bloom_columns) or ()), **kw)
+        agg = man.groupBy().agg(
+            {"bytes_in": "sum", "bytes_out": "sum"}).first()
+        res = {"pids": man.select("pid").distinct().count(),
+               "bytes_in": agg["sum(bytes_in)"],
+               "bytes_out": agg["sum(bytes_out)"]}
+    elif v == "decode":
+        from parquet_toolkit_spark.operators.encode import (
+            decode_pipeline,
+            decode_where,
+        )
+        where = _parse_where(args.where)
+        df = (decode_where(spark, args.store, where,
+                           columns=_cols(args.columns))
+              if where else
+              decode_pipeline(spark, args.store, columns=_cols(args.columns)))
+        df.write.mode("overwrite").parquet(args.output)
+        res = {"rows": spark.read.parquet(args.output).count()}
+    elif v == "fsck":
+        from parquet_toolkit_spark.operators.encode import fsck_store
+        rep = fsck_store(spark, args.store)
+        res = {r["status"]: r["n"] for r in
+               rep.groupBy("status").count()
+               .withColumnRenamed("count", "n").collect()}
+    else:  # pragma: no cover — argparse enforces the choices
+        raise SystemExit(2)
+    print(json.dumps({"verb": v, **res}, default=str))
+    return res
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,82 @@
+"""CLI surface (python -m parquet_toolkit_spark): every verb maps onto
+the library operator and the module is deployable as the spark-submit
+job the north rule requires (reference parity: the Java toolkit ships
+its operations as main() harnesses, kz/hustle/test/Main.java)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_toolkit_spark.__main__ import _parse_where, _size, main
+
+
+def test_size_parse():
+    assert _size("128MB") == 128 << 20
+    assert _size("64kb") == 64 << 10
+    assert _size("1.5g") == int(1.5 * (1 << 30))
+    assert _size("4096") == 4096
+
+
+def test_parse_where_types():
+    w = _parse_where(["id:10:20", "score:0.5:", "name:a:zz"])
+    assert w == {"id": (10, 20), "score": (0.5, None), "name": ("a", "zz")}
+
+
+def test_cli_compact_encode_decode_fsck(spark, tmp_path):
+    # an active session exists (conftest) — the CLI must reuse it, which
+    # is exactly the spark-submit path
+    src = str(tmp_path / "src")
+    spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        F.sha1(F.col("id").cast("string")).alias("v"),
+    ).repartition(24).write.parquet(src)
+
+    merged = str(tmp_path / "merged")
+    main(["compact", "--input", src, "--output", merged,
+          "--target-size", "4MB"])
+    got = spark.read.parquet(merged)
+    assert got.count() == 5000
+    assert len(got.inputFiles()) < 24
+
+    enc = str(tmp_path / "enc")
+    res = main(["encode", "--input", merged, "--output", enc,
+                "--target-size", "64kb", "--range-keys", "id",
+                "--sort-keys", "id", "--run-id", "t"])
+    assert res["pids"] >= 1 and res["bytes_out"] < res["bytes_in"]
+
+    out = str(tmp_path / "dec")
+    res2 = main(["decode", "--store", enc, "--output", out,
+                 "--columns", "id,v", "--where", "id:100:199"])
+    assert res2["rows"] == 100
+    dec = spark.read.parquet(out)
+    assert set(dec.columns) == {"id", "v"}
+
+    res3 = main(["fsck", "--store", enc])
+    assert set(res3) == {"ok"}
+
+
+def test_cli_sort_split_csv(spark, tmp_path):
+    src = str(tmp_path / "s")
+    spark.range(2000).select(
+        (2000 - F.col("id")).alias("a"), F.col("id").alias("b")
+    ).repartition(4).write.parquet(src)
+    dst = str(tmp_path / "sorted")
+    main(["sort", "--input", src, "--output", dst, "--keys", "a"])
+    rows = [r.a for r in spark.read.parquet(dst).collect()]
+    # global sort: each file internally sorted and files disjoint
+    import pyarrow.parquet as pq
+    files = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+    prev_max = None
+    for f in files:
+        vals = pq.read_table(os.path.join(dst, f)).column("a").to_pylist()
+        assert vals == sorted(vals)
+    assert sorted(rows) == list(range(1, 2001))
+
+    csv = str(tmp_path / "x.csv")
+    with open(csv, "w") as fh:
+        fh.write("a,b\n1,x\n2,y\n")
+    pdir = str(tmp_path / "csvout")
+    main(["csv2parquet", "--input", csv, "--output", pdir])
+    assert spark.read.parquet(pdir).count() == 2
