@@ -68,7 +68,11 @@ def test_any_float_roundtrips_bitexact(vals):
                                  width=32), max_size=32)),
     max_size=60,
 ))
-def test_any_float_list_roundtrips(vals):
+def test_any_float_list_roundtrips_dense(vals):
+    # dense rows (no null elements): the common embeddings shape.
+    # NOTE: was shadowed by the null-element variant below sharing its
+    # name — pytest collects one function per name, so this body never
+    # ran (code-review r4)
     arr = pa.array(vals, pa.list_(pa.float32()))
     codec, blob, _ = select_codec(from_arrow(arr))
     assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.float32())).to_pylist() \
@@ -92,6 +96,34 @@ def test_any_float_list_roundtrips(vals):
     codec, blob, _ = select_codec(from_arrow(arr))
     assert to_arrow(decode_blob(blob)).cast(pa.list_(pa.float32())).to_pylist() == \
         arr.to_pylist()
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=220)), max_size=180))
+def test_bin_prefix_forced_roundtrips(vals):
+    # FORCE bin_prefix (the selector only picks it when the size trial
+    # wins, so selector-routed fuzzing rarely reaches the forward-fill
+    # decode): arbitrary byte strings + null pattern must round-trip
+    from parquet_toolkit_spark.codecs.container import encode_blob
+
+    arr = pa.array(vals, pa.large_binary())
+    blob = encode_blob(from_arrow(arr), "bin_prefix")
+    assert to_arrow(decode_blob(blob)).cast(pa.large_binary()).to_pylist() \
+        == vals
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.binary(max_size=64), max_size=120))
+def test_bin_prefix_forced_roundtrips_sorted(vals):
+    # sorted input maximizes shared prefixes — the shape the codec is
+    # FOR, exercising deep inheritance chains in the decode
+    from parquet_toolkit_spark.codecs.container import encode_blob
+
+    vals = sorted(vals)
+    arr = pa.array(vals, pa.large_binary())
+    blob = encode_blob(from_arrow(arr), "bin_prefix")
+    assert to_arrow(decode_blob(blob)).cast(pa.large_binary()).to_pylist() \
+        == vals
 
 
 @settings(**_SETTINGS)
