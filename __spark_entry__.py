@@ -547,6 +547,22 @@ def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (functions/sampling.py): down-sample
+    six sources to a 5:3:2:2:1:1 target mix. The per-group cutoffs are
+    pure integer arithmetic (w_g*c_b*2^32 // (w_b*c_g)) over counts both
+    engines agree on, and the row filter is the shared overflow-free
+    hash — so the oracle derives the IDENTICAL sample row set."""
+    from parquet_toolkit_spark.functions.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"src0": 5, "src1": 3, "src2": 2, "src3": 2,
+               "src4": 1, "src5": 1}
+    return mixture_sample(docs, "source", "doc_id", weights, salt=11) \
+        .select("doc_id", "source",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source capping (corpus curation: one mega-source must not
     dominate the mix): first 5 docs per source by doc_id."""
@@ -1372,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_encode": q_incremental_encode,
         "iceberg_stream_sink": q_iceberg_stream_sink,
         "hash_sample_split": q_hash_sample_split,
+        "mixture_sample": q_mixture_sample,
         "cap_per_group": q_cap_per_group,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
         "iceberg_write_read": q_iceberg_write_read,
@@ -1530,6 +1547,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, "
             "((doc_id % 4294967296) * 1000000007 + 7) % 4294967296 AS h1 "
             "FROM documents)"
+        ),
+        "mixture_sample": (
+            "WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), "
+            "('src2', 2), ('src3', 2), ('src4', 1), ('src5', 1)), "
+            "j AS (SELECT d.source, COUNT(*) AS c, w.wt FROM documents d "
+            "JOIN w ON d.source = w.source GROUP BY d.source, w.wt), "
+            "m AS (SELECT c AS mc, wt AS mw FROM j "
+            "ORDER BY c * 1.0 / wt, source LIMIT 1), "
+            "cuts AS (SELECT source, (wt * mc * 4294967296) // (mw * c) "
+            "AS cut FROM j, m), "
+            "h AS (SELECT doc_id, source, text, "
+            "((doc_id % 4294967296) * 1000000007 + 11) % 4294967296 AS h1 "
+            "FROM documents) "
+            "SELECT h.doc_id, h.source, sha256(h.text) AS text_sha "
+            "FROM h JOIN cuts ON h.source = cuts.source "
+            "WHERE (xor(h1, h1 >> 16) * 998244353) % 4294967296 < cut"
         ),
         "cap_per_group": (
             "SELECT doc_id, source, sha256(text) AS text_sha FROM ("

@@ -64,7 +64,8 @@ BENCH_QUERIES = [
     "bloom_point_lookup", "fsck_store", "encode_numeric_roundtrip",
     "compact_store", "decode_where", "zorder_prune", "ptsc_scan",
     "iceberg_fs_scan",
-    "iceberg_stream_sink", "hash_sample_split", "cap_per_group",
+    "iceberg_stream_sink", "hash_sample_split", "mixture_sample",
+    "cap_per_group",
     "pack_greedy",
 ]
 

@@ -101,6 +101,70 @@ def train_test_split(df: DataFrame, key: str, test_fraction: float,
     return df.where(b >= F.lit(cut)), df.where(b < F.lit(cut))
 
 
+def mixture_plan(counts: dict, weights: dict[str, int]) -> dict:
+    """Per-group hash-bucket cutoffs realizing a target domain mixture.
+
+    Given per-group row counts and positive INTEGER target weights,
+    returns {group: cut} such that keeping rows with
+    hash_bucket(key) < cut yields the LARGEST corpus whose composition
+    matches weights (down-sampling only — the binding group, the one
+    with the smallest count/weight ratio, keeps everything; every other
+    group keeps ~w_g/w_binding of the binding group's count, off by at
+    most the floor rounding of the cut).
+
+    All-integer arithmetic: cut = w_g * c_b * 2^32 // (w_b * c_g) — no
+    float in the cut itself, so a SQL oracle computes the identical
+    sample. The binding group is chosen by (count/weight, group) order;
+    the float ratio appears ONLY in that argmin, where a rounding tie
+    falls to the group-name tiebreak identically in every engine."""
+    bad = [g for g, w in weights.items()
+           if not isinstance(w, int) or isinstance(w, bool) or w <= 0]
+    if bad:
+        raise ValueError(
+            f"weights must be positive ints (exact cross-engine "
+            f"arithmetic), got {bad}")
+    empty = [g for g in weights if counts.get(g, 0) <= 0]
+    if empty:
+        raise ValueError(
+            f"mixture groups with no rows: {empty} — the target mixture "
+            "is unreachable (remove them or fix the group column)")
+    binding = min(weights, key=lambda g: (counts[g] / weights[g], g))
+    cb, wb = counts[binding], weights[binding]
+    return {g: (weights[g] * cb * _RING) // (wb * counts[g])
+            for g in weights}
+
+
+def mixture_sample(df: DataFrame, group: str, key: str,
+                   weights: dict[str, int], salt: int = 0) -> DataFrame:
+    """Down-sample each domain to a target mixture — the data-mixing
+    step of pretraining corpus assembly (e.g. 5:3:2 web:code:books).
+    Groups absent from `weights` are dropped (weight zero).
+
+    Deterministic and append-stable per row (same hash discipline as
+    hash_sample: a kept row stays kept as other groups grow, until the
+    plan is recomputed). One map-side-combined groupBy count job sizes
+    the plan (O(#groups) driver state — mixture weights are config,
+    inherently driver-bounded); the sample itself is a pure codegen'd
+    Column filter, zero extra shuffle."""
+    _require_int_key(df, key)
+    if group not in df.columns:
+        raise ValueError(f"group column {group!r} not in dataframe")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.where(F.col(group).isin(list(weights)))
+        .groupBy(F.col(group).alias("g")).agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cuts = mixture_plan(counts, weights)
+    cut_expr = None
+    for g, cut in cuts.items():
+        w = F.when(F.col(group) == g, F.lit(cut))
+        cut_expr = w if cut_expr is None else cut_expr.when(
+            F.col(group) == g, F.lit(cut))
+    # unweighted groups: cut_expr is NULL -> comparison NULL -> dropped
+    return df.where(hash_bucket(F.col(key), salt) < cut_expr)
+
+
 def cap_per_group(df: DataFrame, group: str, order: str, n: int) -> DataFrame:
     """At most n rows per group, keeping the FIRST n by `order` — the
     source-capping step of corpus curation (one mega-source must not

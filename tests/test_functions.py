@@ -640,6 +640,52 @@ def test_hash_sampling_case_insensitive_key(spark):
         hash_sample(df, "doc_id", 0.5).count()
 
 
+def test_mixture_plan_cuts_are_exact_integers():
+    from parquet_toolkit_spark.functions.sampling import mixture_plan
+
+    counts = {"web": 1000, "code": 1000, "books": 50}
+    # binding group: books (50/1). web/code keep ~ w * 50 / 1000 of ring
+    cuts = mixture_plan(counts, {"web": 5, "code": 3, "books": 1})
+    ring = 1 << 32
+    assert cuts["books"] == ring  # binding group keeps everything
+    assert cuts["web"] == (5 * 50 * ring) // (1 * 1000)
+    assert cuts["code"] == (3 * 50 * ring) // (1 * 1000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive ints"):
+        mixture_plan(counts, {"web": 0.5})
+    with _pytest.raises(ValueError, match="no rows"):
+        mixture_plan(counts, {"web": 1, "missing": 1})
+
+
+def test_mixture_sample_hits_target_composition(spark):
+    """Skewed corpus (3000/1500/120 rows) resampled to 2:1:1 — achieved
+    counts match the integer plan, unweighted groups drop, and the
+    sample is reproducible."""
+    from parquet_toolkit_spark.functions.sampling import mixture_sample
+
+    rows = ([("web", i) for i in range(3000)]
+            + [("code", i + 10_000) for i in range(1500)]
+            + [("books", i + 50_000) for i in range(120)]
+            + [("junk", i + 90_000) for i in range(200)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = mixture_sample(df, "source", "doc_id",
+                         {"web": 2, "code": 1, "books": 1}, salt=3)
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in got  # weight-0 groups dropped
+    assert got["books"] == 120  # binding group fully kept
+    # hash-uniform keep counts land within a few % of the exact target
+    assert abs(got["web"] - 240) <= 25
+    assert abs(got["code"] - 120) <= 18
+    # deterministic: identical row set on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_sample(
+        df, "source", "doc_id",
+        {"web": 2, "code": 1, "books": 1}, salt=3).collect())
+    assert a == b
+
+
 def test_pack_greedy_matches_stream_semantics(spark):
     from parquet_toolkit_spark.functions.packing import pack_greedy
 
