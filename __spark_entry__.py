@@ -200,6 +200,24 @@ def q_split_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _li_with_ship_str(spark.read.parquet(out))
 
 
+def q_binary_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: zero-decode row-group binary append (TreeMergeThread.java:116
+    appendFile parity) — bin-pack the many-small lineitem scatter and
+    merge each bin by raw byte copy + footer surgery; multiset must be
+    preserved exactly."""
+    from parquet_toolkit_spark.operators.binary_append import append_compact
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    small = os.path.join(_TMP, f"merge_small_{base}")
+    out = os.path.join(_TMP, "binapp_out")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        # same cached scatter the compact query uses (deterministic multiset)
+        li.repartition(40).write.mode("overwrite").parquet(small)
+    append_compact(spark, small, out, target_bytes=4 << 20)
+    return _li_with_ship_str(spark.read.parquet(out))
+
+
 _CSV_ROWS = [
     (1, 100, "alpha"), (2, None, "beta"), (3, 300, None), (4, 42, "käse🎉"),
 ]
@@ -1374,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_compact": q_merge_compact,
         "sort_by_key": q_sort_by_key,
         "split_by_size": q_split_by_size,
+        "binary_append": q_binary_append,
         "csv_convert": q_csv_convert,
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
@@ -1491,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_compact": _LI_ORACLE_PROJ,
         "sort_by_key": _LI_ORACLE_PROJ,
         "split_by_size": _LI_ORACLE_PROJ,
+        "binary_append": _LI_ORACLE_PROJ,
         "csv_convert": _CSV_ORACLE,
         "encode_roundtrip_sha":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",

@@ -1,0 +1,391 @@
+"""Zero-decode parquet merge: row-group binary append (M3 parity).
+
+The reference's tree merger concatenates whole files WITHOUT decoding any
+page: `TreeMergeThread.java:110-131` calls parquet-mr's
+`ParquetFileWriter.appendFile` (`writer.appendFile(...)` at `:116`), which
+copies raw row-group bytes and rewrites the footer with shifted offsets.
+Neither Spark's writer nor pyarrow exposes that surgery, so this module
+does it directly on the public parquet-format layout
+(https://github.com/apache/parquet-format: PAR1 magic, row-group data,
+thrift-compact FileMetaData footer, 4-byte LE footer length, PAR1):
+
+  * copy each input row group's byte span verbatim (dictionary pages,
+    data pages, statistics-bearing headers — everything) into the output;
+  * parse each input footer with `sources/thrift_lite` (schema-free, so
+    unknown future fields survive untouched), shift every offset field by
+    the placement delta, and emit one merged footer.
+
+No value is ever decompressed or decoded — merge cost is IO, not CPU.
+Compare `operators/layout.compact`, the decode+re-encode path that allows
+codec/row-group re-tuning; this one is the no-retuning fast path, exactly
+the reference's M3/M1 split.
+
+Offset fields patched (ids from apache/parquet-format parquet.thrift):
+  RowGroup.file_offset(5); ColumnChunk.file_offset(2);
+  ColumnMetaData.data_page_offset(9), .index_page_offset(10),
+  .dictionary_page_offset(11).
+Page-index and bloom pointers (ColumnChunk 4-7, ColumnMetaData 14/15)
+point OUTSIDE the row-group span (they live just before the footer), so
+those structures are not copied and the pointer fields are dropped —
+readers treat them as the optional features they are. parquet-mr's
+appendFile drops page indexes the same way.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from parquet_toolkit_spark.sources import thrift_lite as tl
+
+_MAGIC = b"PAR1"
+_COPY_BUF = 8 << 20
+
+# FileMetaData field ids
+_FMD_VERSION = 1
+_FMD_SCHEMA = 2
+_FMD_NUM_ROWS = 3
+_FMD_ROW_GROUPS = 4
+_FMD_KV_META = 5
+_FMD_CREATED_BY = 6
+_FMD_COLUMN_ORDERS = 7
+_FMD_ENCRYPTION = 8
+_FMD_SIGNING_KEY = 9
+
+# RowGroup field ids
+_RG_COLUMNS = 1
+_RG_NUM_ROWS = 3
+_RG_FILE_OFFSET = 5
+_RG_ORDINAL = 7
+
+# ColumnChunk field ids
+_CC_FILE_PATH = 1
+_CC_FILE_OFFSET = 2
+_CC_META = 3
+_CC_INDEX_FIELDS = (4, 5, 6, 7)  # offset/column index pointers: dropped
+_CC_CRYPTO = 8
+_CC_ENC_META = 9
+
+# ColumnMetaData field ids
+_CM_TOTAL_COMPRESSED = 7
+_CM_DATA_PAGE_OFF = 9
+_CM_INDEX_PAGE_OFF = 10
+_CM_DICT_PAGE_OFF = 11
+_CM_BLOOM_FIELDS = (14, 15)  # bloom pointer+length: dropped
+
+
+class AppendError(ValueError):
+    pass
+
+
+def read_footer(path: str) -> tuple[list, int, int]:
+    """Parse a parquet file's FileMetaData.
+
+    Returns (fields, footer_start, file_size); `fields` is the
+    thrift_lite struct field list."""
+    size = os.path.getsize(path)
+    if size < 12:
+        raise AppendError(f"{path}: not a parquet file (too small)")
+    with open(path, "rb") as f:
+        head = f.read(4)
+        f.seek(size - 8)
+        tail = f.read(8)
+        if head != _MAGIC or tail[4:] != _MAGIC:
+            raise AppendError(f"{path}: missing PAR1 magic")
+        flen = struct.unpack("<I", tail[:4])[0]
+        footer_start = size - 8 - flen
+        if footer_start < 4:
+            raise AppendError(f"{path}: corrupt footer length {flen}")
+        f.seek(footer_start)
+        tree = tl.loads(f.read(flen))
+    return tree[1], footer_start, size
+
+
+def _i64(fields: list, fid: int) -> int | None:
+    v = tl.get(fields, fid)
+    return None if v is None else int(v[1])
+
+
+def _chunk_span(cc_fields: list) -> tuple[int, int]:
+    """[start, end) byte span of one column chunk's pages."""
+    meta = tl.get(cc_fields, _CC_META)
+    if meta is None:
+        raise AppendError("column chunk without inline ColumnMetaData "
+                          "(external metadata is not supported)")
+    m = meta[1]
+    data_off = _i64(m, _CM_DATA_PAGE_OFF)
+    dict_off = _i64(m, _CM_DICT_PAGE_OFF)
+    comp = _i64(m, _CM_TOTAL_COMPRESSED)
+    if data_off is None or comp is None:
+        raise AppendError("column chunk missing data_page_offset/"
+                          "total_compressed_size")
+    start = data_off if dict_off is None else min(dict_off, data_off)
+    return start, start + comp
+
+
+def _rg_span(rg_fields: list) -> tuple[int, int]:
+    cols = tl.get(rg_fields, _RG_COLUMNS)
+    if cols is None or not cols[2]:
+        raise AppendError("row group without column chunks")
+    spans = [_chunk_span(cc) for cc in cols[2]]
+    return min(s for s, _ in spans), max(e for _, e in spans)
+
+
+def _shift(fields: list, fid: int, delta: int) -> list:
+    v = tl.get(fields, fid)
+    if v is None:
+        return fields
+    return tl.set_field(fields, fid, (v[0], int(v[1]) + delta))
+
+
+def _patch_row_group(rg_fields: list, delta: int, ordinal: int) -> list:
+    out = _shift(rg_fields, _RG_FILE_OFFSET, delta)
+    if tl.get(out, _RG_ORDINAL) is not None:
+        out = tl.set_field(out, _RG_ORDINAL, ("i16", ordinal))
+    cols = tl.get(out, _RG_COLUMNS)
+    new_cols = []
+    for cc in cols[2]:
+        if tl.get(cc, _CC_FILE_PATH) is not None:
+            raise AppendError("column chunk stored in an external file "
+                              "(ColumnChunk.file_path) — cannot append")
+        if tl.get(cc, _CC_CRYPTO) is not None or \
+                tl.get(cc, _CC_ENC_META) is not None:
+            raise AppendError("encrypted column chunk — cannot append")
+        cc = _shift(cc, _CC_FILE_OFFSET, delta)
+        cc = tl.drop_fields(cc, _CC_INDEX_FIELDS)
+        meta = tl.get(cc, _CC_META)
+        m = meta[1]
+        for f in (_CM_DATA_PAGE_OFF, _CM_INDEX_PAGE_OFF, _CM_DICT_PAGE_OFF):
+            m = _shift(m, f, delta)
+        m = tl.drop_fields(m, _CM_BLOOM_FIELDS)
+        cc = tl.set_field(cc, _CC_META, ("struct", m))
+        new_cols.append(cc)
+    return tl.set_field(out, _RG_COLUMNS, (cols[0], cols[1], new_cols))
+
+
+def _copy_span(src, dst, start: int, end: int) -> None:
+    src.seek(start)
+    left = end - start
+    while left > 0:
+        chunk = src.read(min(_COPY_BUF, left))
+        if not chunk:
+            raise AppendError("input truncated mid row group")
+        dst.write(chunk)
+        left -= len(chunk)
+
+
+def append_files(in_paths: list[str], out_path: str) -> dict:
+    """Merge parquet files into one by raw row-group copy (zero decode).
+
+    All inputs must share one schema (byte-compared on the parsed footer
+    schema tree) and column orders; encrypted files and external column
+    chunks are refused. Inputs with zero row groups are skipped (M6
+    parity). Writes to `out_path + '.inprogress'` then renames — the same
+    temp-suffix commit as the reference (MergeThread temp naming)."""
+    if not in_paths:
+        raise AppendError("no input files")
+    base_schema = None
+    base_orders = None
+    merged_rgs: list = []
+    total_rows = 0
+    version = 1
+    kv_meta = None
+    created_by = None
+    tmp = out_path + ".inprogress"
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    bytes_copied = 0
+    with open(tmp, "wb") as out:
+        out.write(_MAGIC)
+        for path in in_paths:
+            fields, _, _ = read_footer(path)
+            if tl.get(fields, _FMD_ENCRYPTION) is not None or \
+                    tl.get(fields, _FMD_SIGNING_KEY) is not None:
+                raise AppendError(f"{path}: encrypted footer — cannot append")
+            schema = tl.get(fields, _FMD_SCHEMA)
+            orders = tl.get(fields, _FMD_COLUMN_ORDERS)
+            if base_schema is None:
+                base_schema = schema
+                base_orders = orders
+                kv_meta = tl.get(fields, _FMD_KV_META)
+                created_by = tl.get(fields, _FMD_CREATED_BY)
+            elif schema != base_schema:
+                raise AppendError(
+                    f"{path}: schema differs from {in_paths[0]} — binary "
+                    "append requires identical schemas (use layout.compact "
+                    "for schema evolution)")
+            elif orders != base_orders:
+                raise AppendError(f"{path}: column_orders differ — refuse")
+            v = tl.get(fields, _FMD_VERSION)
+            if v is not None:
+                version = max(version, int(v[1]))
+            rgs = tl.get(fields, _FMD_ROW_GROUPS)
+            if rgs is None or not rgs[2]:
+                continue  # empty file: skip, like the reference's M6
+            with open(path, "rb") as src:
+                for rg in rgs[2]:
+                    start, end = _rg_span(rg)
+                    delta = out.tell() - start
+                    _copy_span(src, out, start, end)
+                    bytes_copied += end - start
+                    merged_rgs.append(
+                        _patch_row_group(rg, delta, len(merged_rgs)))
+                    total_rows += _i64(rg, _RG_NUM_ROWS) or 0
+        if base_schema is None:
+            raise AppendError("no readable input footers")
+        fmd = [(_FMD_VERSION, ("i32", version)),
+               (_FMD_SCHEMA, base_schema),
+               (_FMD_NUM_ROWS, ("i64", total_rows)),
+               (_FMD_ROW_GROUPS, ("list", tl.T_STRUCT, merged_rgs))]
+        if kv_meta is not None:
+            fmd.append((_FMD_KV_META, kv_meta))
+        if created_by is not None:
+            fmd.append((_FMD_CREATED_BY, created_by))
+        if base_orders is not None:
+            fmd.append((_FMD_COLUMN_ORDERS, base_orders))
+        footer = tl.dumps(("struct", fmd))
+        out.write(footer)
+        out.write(struct.pack("<I", len(footer)))
+        out.write(_MAGIC)
+    os.replace(tmp, out_path)
+    return {"files_in": len(in_paths), "row_groups": len(merged_rgs),
+            "rows": total_rows, "bytes_copied": bytes_copied}
+
+
+def _list_parquet(in_path: str | list[str]) -> list[tuple[str, int]]:
+    paths = [in_path] if isinstance(in_path, str) else list(in_path)
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                if name.startswith(("_", ".")):
+                    continue
+                if name.lower().endswith((".parquet", ".parq")):
+                    full = os.path.join(p, name)
+                    out.append((full, os.path.getsize(full)))
+        else:
+            out.append((p, os.path.getsize(p)))
+    if not out:
+        raise AppendError(f"no parquet files under {in_path}")
+    return out
+
+
+def _bin_pack(files: list[tuple[str, int]],
+              target_bytes: int) -> list[list[str]]:
+    """First-fit in listing order: adjacent files share a bin until the
+    bin crosses target — the reference's chunk builder
+    (SimpleMultithreadedParquetMerger.java:291-321)."""
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for path, size in files:
+        if cur and cur_bytes + size > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(path)
+        cur_bytes += size
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def append_compact(spark, in_path: str | list[str], out_path: str,
+                   target_bytes: int = 128 << 20,
+                   fan_in: int | None = None) -> dict:
+    """Distributed zero-decode compaction: bin-pack input files to
+    ~target_bytes groups, one Spark task per group, each task streaming a
+    raw row-group append into one output file.
+
+    This is the M1/M3 fusion at scale: no shuffle, no decode, no
+    re-encode — each task's cost is sequential IO over its own bin. The
+    per-task work is pure python file IO (no SparkSession captured), so
+    it distributes over executors exactly like the encode kernel's
+    per-pid tasks. `fan_in` caps files per single append pass: a bin
+    larger than fan_in is reduced tree-style WITHIN the task (chunks of
+    fan_in into task-local temps, recurse — TreeMultithreadedParquetMerger
+    .java:255-278 semantics) to bound open-file count on 10^5-file bins.
+    """
+    files = _list_parquet(in_path)
+    bins = _bin_pack(files, target_bytes)
+    out_dir = strip = out_path.rstrip("/")
+    os.makedirs(strip, exist_ok=True)
+    tasks = [(i, b) for i, b in enumerate(bins)]
+
+    def _merge_one(task):
+        idx, paths = task
+        dest = os.path.join(out_dir, f"part-{idx:05d}.parquet")
+        cap = fan_in
+        if cap is not None and cap >= 2 and len(paths) > cap:
+            import tempfile
+
+            round_paths = list(paths)
+            level = 0
+            with tempfile.TemporaryDirectory(prefix="ptsa_") as td:
+                while len(round_paths) > cap:
+                    nxt = []
+                    for j in range(0, len(round_paths), cap):
+                        chunk = round_paths[j:j + cap]
+                        if len(chunk) == 1:
+                            nxt.append(chunk[0])
+                            continue
+                        mid = os.path.join(td, f"l{level}-{j}.parquet")
+                        append_files(chunk, mid)
+                        nxt.append(mid)
+                    round_paths = nxt
+                    level += 1
+                info = append_files(round_paths, dest)
+        else:
+            info = append_files(paths, dest)
+        return {"part": idx, **info}
+
+    sc = spark.sparkContext
+    results = sc.parallelize(tasks, len(tasks)).map(_merge_one).collect()
+    return {"n_bins": len(bins), "files_in": len(files),
+            "rows": sum(r["rows"] for r in results),
+            "row_groups": sum(r["row_groups"] for r in results),
+            "bytes_copied": sum(r["bytes_copied"] for r in results)}
+
+
+def tree_merge(spark, in_path: str | list[str], out_file: str,
+               fan_in: int = 5) -> dict:
+    """Faithful M3 shape: tree-reduce ALL inputs to ONE file, chunks of
+    `fan_in` per round, each round's merges running as parallel Spark
+    tasks (TreeMultithreadedParquetMerger.java:255-278, default
+    threadChunkSize=5 at :40-41). For size-targeted output use
+    append_compact — one file is the reference's semantic, not a 100 TB
+    layout."""
+    files = [p for p, _ in _list_parquet(in_path)]
+    sc = spark.sparkContext
+    import tempfile
+
+    rounds = 0
+    with tempfile.TemporaryDirectory(prefix="ptsa_tree_") as td:
+        while len(files) > 1:
+            chunks = [files[i:i + fan_in]
+                      for i in range(0, len(files), fan_in)]
+            outs = [os.path.join(td, f"r{rounds}-{i}.parquet")
+                    for i in range(len(chunks))]
+            work = [(c, o) for c, o in zip(chunks, outs) if len(c) > 1]
+            passthrough = {i: c[0] for i, c in enumerate(chunks)
+                           if len(c) == 1}
+            if work:
+                sc.parallelize(work, len(work)).map(
+                    lambda t: append_files(t[0], t[1])).collect()
+            files = [passthrough.get(i, outs[i])
+                     for i in range(len(chunks))]
+            rounds += 1
+        info = append_files(files, out_file) if rounds == 0 else None
+        if info is None:
+            # final round already produced one temp file: commit it
+            os.makedirs(os.path.dirname(os.path.abspath(out_file)),
+                        exist_ok=True)
+            tmp = out_file + ".inprogress"
+            import shutil
+
+            shutil.copyfile(files[0], tmp)
+            os.replace(tmp, out_file)
+            fields, _, _ = read_footer(out_file)
+            rgs = tl.get(fields, _FMD_ROW_GROUPS)
+            info = {"files_in": 1, "rows": _i64(fields, _FMD_NUM_ROWS),
+                    "row_groups": len(rgs[2]) if rgs else 0,
+                    "bytes_copied": os.path.getsize(out_file)}
+    return {"rounds": max(rounds, 1), **info}
