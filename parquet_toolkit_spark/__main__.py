@@ -70,6 +70,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--codec", default="snappy")
     sp.add_argument("--strict", action="store_true",
                     help="refuse when input <= target (reference parity)")
+    sp.add_argument("--binary", action="store_true",
+                    help="zero-decode split at row-group granularity "
+                         "(no re-encode; --codec ignored)")
+
+    ap = sub.add_parser("append", help="zero-decode merge: raw row-group "
+                                       "copy + footer rewrite, no re-encode")
+    ap.add_argument("--input", required=True, nargs="+")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--target-size", default="128MB")
+    ap.add_argument("--tree", action="store_true",
+                    help="tree-reduce ALL inputs to ONE file "
+                         "(reference M3 semantics; --output is a file)")
+    ap.add_argument("--fan-in", type=int, default=5)
 
     cv = sub.add_parser("csv2parquet", help="typed CSV -> parquet")
     cv.add_argument("--input", required=True)
@@ -158,10 +171,27 @@ def main(argv: list[str] | None = None) -> dict:
                           compression=args.codec,
                           descending=args.descending)
     elif v == "split":
-        from parquet_toolkit_spark.operators.layout import split_by_size
-        res = split_by_size(spark, args.input, args.output,
-                            target_bytes=_size(args.target_size),
-                            compression=args.codec, strict=args.strict)
+        if args.binary:
+            from parquet_toolkit_spark.operators.binary_append import (
+                split_row_groups,
+            )
+            res = split_row_groups(spark, args.input, args.output,
+                                   target_bytes=_size(args.target_size))
+        else:
+            from parquet_toolkit_spark.operators.layout import split_by_size
+            res = split_by_size(spark, args.input, args.output,
+                                target_bytes=_size(args.target_size),
+                                compression=args.codec, strict=args.strict)
+    elif v == "append":
+        from parquet_toolkit_spark.operators.binary_append import (
+            append_compact,
+            tree_merge,
+        )
+        paths = args.input if len(args.input) > 1 else args.input[0]
+        res = (tree_merge(spark, paths, args.output, fan_in=args.fan_in)
+               if args.tree else
+               append_compact(spark, paths, args.output,
+                              target_bytes=_size(args.target_size)))
     elif v == "csv2parquet":
         from parquet_toolkit_spark.sources.csv_ingest import convert_csv
         rows = convert_csv(spark, args.input, args.output,

@@ -174,6 +174,24 @@ def _copy_span(src, dst, start: int, end: int) -> None:
         left -= len(chunk)
 
 
+def _write_footer(out, schema, row_groups: list, num_rows: int,
+                  version: int, kv_meta, created_by, orders) -> None:
+    fmd = [(_FMD_VERSION, ("i32", version)),
+           (_FMD_SCHEMA, schema),
+           (_FMD_NUM_ROWS, ("i64", num_rows)),
+           (_FMD_ROW_GROUPS, ("list", tl.T_STRUCT, row_groups))]
+    if kv_meta is not None:
+        fmd.append((_FMD_KV_META, kv_meta))
+    if created_by is not None:
+        fmd.append((_FMD_CREATED_BY, created_by))
+    if orders is not None:
+        fmd.append((_FMD_COLUMN_ORDERS, orders))
+    footer = tl.dumps(("struct", fmd))
+    out.write(footer)
+    out.write(struct.pack("<I", len(footer)))
+    out.write(_MAGIC)
+
+
 def append_files(in_paths: list[str], out_path: str) -> dict:
     """Merge parquet files into one by raw row-group copy (zero decode).
 
@@ -232,20 +250,8 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
                     total_rows += _i64(rg, _RG_NUM_ROWS) or 0
         if base_schema is None:
             raise AppendError("no readable input footers")
-        fmd = [(_FMD_VERSION, ("i32", version)),
-               (_FMD_SCHEMA, base_schema),
-               (_FMD_NUM_ROWS, ("i64", total_rows)),
-               (_FMD_ROW_GROUPS, ("list", tl.T_STRUCT, merged_rgs))]
-        if kv_meta is not None:
-            fmd.append((_FMD_KV_META, kv_meta))
-        if created_by is not None:
-            fmd.append((_FMD_CREATED_BY, created_by))
-        if base_orders is not None:
-            fmd.append((_FMD_COLUMN_ORDERS, base_orders))
-        footer = tl.dumps(("struct", fmd))
-        out.write(footer)
-        out.write(struct.pack("<I", len(footer)))
-        out.write(_MAGIC)
+        _write_footer(out, base_schema, merged_rgs, total_rows, version,
+                      kv_meta, created_by, base_orders)
     os.replace(tmp, out_path)
     return {"files_in": len(in_paths), "row_groups": len(merged_rgs),
             "rows": total_rows, "bytes_copied": bytes_copied}
@@ -343,6 +349,83 @@ def append_compact(spark, in_path: str | list[str], out_path: str,
             "rows": sum(r["rows"] for r in results),
             "row_groups": sum(r["row_groups"] for r in results),
             "bytes_copied": sum(r["bytes_copied"] for r in results)}
+
+
+def _split_one(task) -> dict:
+    """Write one output file holding a contiguous row-group range of one
+    source file (pure python; runs inside a Spark task)."""
+    src, rg_lo, rg_hi, dest = task
+    fields, _, _ = read_footer(src)
+    rgs = tl.get(fields, _FMD_ROW_GROUPS)[2][rg_lo:rg_hi]
+    tmp = dest + ".inprogress"
+    rows = 0
+    out_rgs = []
+    with open(tmp, "wb") as out, open(src, "rb") as fh:
+        out.write(_MAGIC)
+        for rg in rgs:
+            start, end = _rg_span(rg)
+            delta = out.tell() - start
+            _copy_span(fh, out, start, end)
+            out_rgs.append(_patch_row_group(rg, delta, len(out_rgs)))
+            rows += _i64(rg, _RG_NUM_ROWS) or 0
+        v = tl.get(fields, _FMD_VERSION)
+        _write_footer(out, tl.get(fields, _FMD_SCHEMA), out_rgs, rows,
+                      int(v[1]) if v is not None else 1,
+                      tl.get(fields, _FMD_KV_META),
+                      tl.get(fields, _FMD_CREATED_BY),
+                      tl.get(fields, _FMD_COLUMN_ORDERS))
+    os.replace(tmp, dest)
+    return {"rows": rows, "row_groups": len(out_rgs)}
+
+
+def split_row_groups(spark, in_path: str | list[str], out_path: str,
+                     target_bytes: int = 128 << 20) -> dict:
+    """Zero-decode split: chop files into ~target_bytes outputs at ROW
+    GROUP granularity (the dual of append_compact; P1/P2 fast path).
+
+    Contiguous row groups bin first-fit by their on-disk span until the
+    bin crosses target; each bin becomes one output file via raw byte
+    copy + a rewritten footer — no page is decoded. Granularity bound,
+    stated plainly: a single row group larger than target_bytes cannot
+    be split without decoding (the reference splitter rolls at ROW
+    granularity because it decodes every record,
+    SimpleParquetSplitter.java:118-130) — such a group gets its own
+    output file. Use layout.split_by_size for row-exact splitting with
+    re-encode. One Spark task per output file; refusal rules match
+    append_files (encryption, external chunks)."""
+    files = _list_parquet(in_path)
+    tasks = []
+    for src, _ in files:
+        fields, _, _ = read_footer(src)
+        if tl.get(fields, _FMD_ENCRYPTION) is not None or \
+                tl.get(fields, _FMD_SIGNING_KEY) is not None:
+            raise AppendError(f"{src}: encrypted footer — cannot split")
+        rgs = tl.get(fields, _FMD_ROW_GROUPS)
+        if rgs is None or not rgs[2]:
+            continue
+        spans = [_rg_span(rg) for rg in rgs[2]]
+        lo = 0
+        cur = 0
+        for i, (s, e) in enumerate(spans):
+            size = e - s
+            # a bin takes at least one row group (i > lo): an oversize
+            # group becomes its own file rather than an infinite loop
+            if i > lo and cur + size > target_bytes:
+                tasks.append((src, lo, i))
+                lo, cur = i, 0
+            cur += size
+        tasks.append((src, lo, len(spans)))
+    os.makedirs(out_path.rstrip("/"), exist_ok=True)
+    out_dir = out_path.rstrip("/")
+    jobs = [(src, a, b, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+            for i, (src, a, b) in enumerate(tasks)]
+    if not jobs:
+        raise AppendError(f"no row groups under {in_path}")
+    results = spark.sparkContext.parallelize(jobs, len(jobs)) \
+        .map(_split_one).collect()
+    return {"files_in": len(files), "files_out": len(jobs),
+            "rows": sum(r["rows"] for r in results),
+            "row_groups": sum(r["row_groups"] for r in results)}
 
 
 def tree_merge(spark, in_path: str | list[str], out_file: str,

@@ -174,6 +174,58 @@ def test_tree_merge_single_output(spark, tmp_path):
     assert pq.read_table(out).equals(pa.concat_tables(tables))
 
 
+def test_split_row_groups_zero_decode(spark, tmp_path):
+    """Split at row-group granularity: outputs concat back to the
+    original table, every output row-group byte span is verbatim from
+    the input, and files stay near target size."""
+    t = _table(0, n=2000)
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(t, src, row_group_size=200, compression="zstd")
+    out = str(tmp_path / "splits")
+    rg_bytes = ba._rg_span(tl.get(ba.read_footer(src)[0], 4)[2][0])
+    target = (rg_bytes[1] - rg_bytes[0]) * 3 + 100  # ~3 groups per file
+    info = ba.split_row_groups(spark, src, out, target_bytes=target)
+    assert info["rows"] == 2000 and info["row_groups"] == 10
+    parts = sorted(os.listdir(out))
+    assert len(parts) == info["files_out"] >= 3
+    got = pa.concat_tables(
+        [pq.read_table(os.path.join(out, p)) for p in parts])
+    assert got.equals(t)
+    raw_in = open(src, "rb").read()
+    for p in parts:
+        fields, _, _ = ba.read_footer(os.path.join(out, p))
+        raw_out = open(os.path.join(out, p), "rb").read()
+        for rg in tl.get(fields, 4)[2]:
+            s, e = ba._rg_span(rg)
+            assert raw_out[s:e] in raw_in
+
+
+def test_split_oversize_row_group_gets_own_file(spark, tmp_path):
+    t = _table(1, n=600)
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(t, src, row_group_size=300)
+    out = str(tmp_path / "splits")
+    info = ba.split_row_groups(spark, src, out, target_bytes=1)
+    assert info["files_out"] == 2  # one unsplittable group per file
+    got = pa.concat_tables(
+        [pq.read_table(os.path.join(out, p))
+         for p in sorted(os.listdir(out))])
+    assert got.equals(t)
+
+
+def test_split_then_append_roundtrip(spark, tmp_path):
+    """The two zero-decode ops are inverses at the byte level of the
+    row groups: split then tree-merge reproduces the exact table."""
+    t = _table(2, n=1000)
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(t, src, row_group_size=100, compression="snappy")
+    splits = str(tmp_path / "splits")
+    ba.split_row_groups(spark, src, splits, target_bytes=1)
+    merged = str(tmp_path / "merged.parquet")
+    ba.tree_merge(spark, splits, merged, fan_in=4)
+    assert pq.read_table(merged).equals(t)
+
+
 # ------------------------------------------------------ thrift_lite pins
 
 

@@ -80,3 +80,31 @@ def test_cli_sort_split_csv(spark, tmp_path):
     pdir = str(tmp_path / "csvout")
     main(["csv2parquet", "--input", csv, "--output", pdir])
     assert spark.read.parquet(pdir).count() == 2
+
+
+def test_cli_append_and_binary_split(spark, tmp_path):
+    src = str(tmp_path / "many")
+    spark.range(3000).select(
+        F.col("id"), F.sha1(F.col("id").cast("string")).alias("v")
+    ).repartition(6).write.parquet(src)
+
+    merged = str(tmp_path / "appended")
+    res = main(["append", "--input", src, "--output", merged,
+                "--target-size", "1GB"])
+    assert res["rows"] == 3000
+    got = spark.read.parquet(merged)
+    assert got.count() == 3000 and got.groupBy().sum("id").first()[0] == \
+        sum(range(3000))
+
+    one = str(tmp_path / "one.parquet")
+    res2 = main(["append", "--input", src, "--output", one, "--tree",
+                 "--fan-in", "3"])
+    assert res2["rows"] == 3000
+    import pyarrow.parquet as pq
+    assert pq.read_table(one).num_rows == 3000
+
+    splits = str(tmp_path / "rg_splits")
+    res3 = main(["split", "--input", one, "--output", splits,
+                 "--target-size", "1", "--binary"])
+    assert res3["rows"] == 3000 and res3["files_out"] >= 2
+    assert spark.read.parquet(splits).count() == 3000
