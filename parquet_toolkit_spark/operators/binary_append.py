@@ -428,6 +428,39 @@ def split_row_groups(spark, in_path: str | list[str], out_path: str,
             "row_groups": sum(r["row_groups"] for r in results)}
 
 
+def append_by_schema(spark, in_path: str | list[str], out_path: str,
+                     target_bytes: int = 128 << 20) -> dict:
+    """M5 semantics on the zero-decode path: group input files by their
+    exact footer schema (byte-compared parsed schema tree + column
+    orders) and run one bin-packed append per group, outputs suffixed
+    `-schema-N` for groups beyond the first — the reference's deferred
+    schema-group merge (SimpleMergeThread.java:167-176, suffix naming
+    SimpleMultithreadedParquetMerger.java:341-348; the tree merger
+    likewise reduces to one file PER schema)."""
+    files = _list_parquet(in_path)
+    groups: dict[bytes, list[tuple[str, int]]] = {}
+    order: list[bytes] = []
+    for path, size in files:
+        fields, _, _ = read_footer(path)
+        key = tl.dumps(("struct", [
+            (1, tl.get(fields, _FMD_SCHEMA)),
+            (2, tl.get(fields, _FMD_COLUMN_ORDERS) or ("list", 0, [])),
+        ]))
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((path, size))
+    results = []
+    for i, key in enumerate(order):
+        dest = out_path.rstrip("/") if i == 0 else \
+            out_path.rstrip("/") + f"-schema-{i}"
+        info = append_compact(spark, [p for p, _ in groups[key]], dest,
+                              target_bytes=target_bytes)
+        results.append({"out": dest, **info})
+    return {"schema_groups": len(order), "groups": results,
+            "rows": sum(r["rows"] for r in results)}
+
+
 def tree_merge(spark, in_path: str | list[str], out_file: str,
                fan_in: int = 5) -> dict:
     """Faithful M3 shape: tree-reduce ALL inputs to ONE file, chunks of

@@ -294,3 +294,24 @@ def test_thrift_roundtrip_property():
         assert tl.dumps(tl.loads(buf)) == buf
 
     check()
+
+
+def test_append_by_schema_groups(spark, tmp_path):
+    """Mixed-schema inputs merge into one output set PER schema with the
+    reference's -schema-N suffix naming (M5 on the zero-decode path)."""
+    src = tmp_path / "mixed"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(_table(i, n=200), str(src / f"a{i}.parquet"))
+    other = pa.table({"x": pa.array(range(50), pa.int32())})
+    for i in range(2):
+        pq.write_table(other, str(src / f"b{i}.parquet"))
+    out = str(tmp_path / "bysch")
+    info = ba.append_by_schema(spark, str(src), out, target_bytes=1 << 30)
+    assert info["schema_groups"] == 2 and info["rows"] == 700
+    outs = sorted(r["out"] for r in info["groups"])
+    assert outs == [out, out + "-schema-1"]
+    counts = sorted(
+        pq.read_table(os.path.join(d, f)).num_rows
+        for d in outs for f in os.listdir(d) if f.endswith(".parquet"))
+    assert sum(counts) == 700
