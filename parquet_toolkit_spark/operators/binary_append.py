@@ -33,10 +33,10 @@ appendFile drops page indexes the same way.
 
 from __future__ import annotations
 
-import os
 import struct
 
 from parquet_toolkit_spark.sources import thrift_lite as tl
+from parquet_toolkit_spark.sources.fs import task_fs
 
 _MAGIC = b"PAR1"
 _COPY_BUF = 8 << 20
@@ -82,14 +82,17 @@ def read_footer(path: str) -> tuple[list, int, int]:
     """Parse a parquet file's FileMetaData.
 
     Returns (fields, footer_start, file_size); `fields` is the
-    thrift_lite struct field list."""
-    size = os.path.getsize(path)
-    if size < 12:
+    thrift_lite struct field list. IO goes through the pyarrow fs shim
+    (sources/fs.task_fs), so hdfs:// and s3 paths work wherever the
+    corresponding pyarrow filesystem is available."""
+    fs, p = task_fs(path)
+    size = fs.get_file_info(p).size
+    if size is None or size < 12:
         raise AppendError(f"{path}: not a parquet file (too small)")
-    with open(path, "rb") as f:
-        head = f.read(4)
+    with fs.open_input_file(p) as f:
+        head = bytes(f.read(4))
         f.seek(size - 8)
-        tail = f.read(8)
+        tail = bytes(f.read(8))
         if head != _MAGIC or tail[4:] != _MAGIC:
             raise AppendError(f"{path}: missing PAR1 magic")
         flen = struct.unpack("<I", tail[:4])[0]
@@ -97,7 +100,7 @@ def read_footer(path: str) -> tuple[list, int, int]:
         if footer_start < 4:
             raise AppendError(f"{path}: corrupt footer length {flen}")
         f.seek(footer_start)
-        tree = tl.loads(f.read(flen))
+        tree = tl.loads(bytes(f.read(flen)))
     return tree[1], footer_start, size
 
 
@@ -167,11 +170,16 @@ def _copy_span(src, dst, start: int, end: int) -> None:
     src.seek(start)
     left = end - start
     while left > 0:
-        chunk = src.read(min(_COPY_BUF, left))
+        chunk = bytes(src.read(min(_COPY_BUF, left)))
         if not chunk:
             raise AppendError("input truncated mid row group")
         dst.write(chunk)
         left -= len(chunk)
+
+
+def _parent_dir(path: str) -> str:
+    return path.rstrip("/").rsplit("/", 1)[0] if "/" in path.rstrip("/") \
+        else "."
 
 
 def _write_footer(out, schema, row_groups: list, num_rows: int,
@@ -210,9 +218,10 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
     kv_meta = None
     created_by = None
     tmp = out_path + ".inprogress"
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    ofs, otmp = task_fs(tmp)
+    ofs.create_dir(_parent_dir(otmp), recursive=True)
     bytes_copied = 0
-    with open(tmp, "wb") as out:
+    with ofs.open_output_stream(otmp, compression=None) as out:
         out.write(_MAGIC)
         for path in in_paths:
             fields, _, _ = read_footer(path)
@@ -239,7 +248,8 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
             rgs = tl.get(fields, _FMD_ROW_GROUPS)
             if rgs is None or not rgs[2]:
                 continue  # empty file: skip, like the reference's M6
-            with open(path, "rb") as src:
+            sfs, sp = task_fs(path)
+            with sfs.open_input_file(sp) as src:
                 for rg in rgs[2]:
                     start, end = _rg_span(rg)
                     delta = out.tell() - start
@@ -252,27 +262,56 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
             raise AppendError("no readable input footers")
         _write_footer(out, base_schema, merged_rgs, total_rows, version,
                       kv_meta, created_by, base_orders)
-    os.replace(tmp, out_path)
+    ofs.move(otmp, task_fs(out_path)[1])
     return {"files_in": len(in_paths), "row_groups": len(merged_rgs),
             "rows": total_rows, "bytes_copied": bytes_copied}
 
 
 def _list_parquet(in_path: str | list[str]) -> list[tuple[str, int]]:
+    import pyarrow.fs as pafs
+
     paths = [in_path] if isinstance(in_path, str) else list(in_path)
     out = []
     for p in paths:
-        if os.path.isdir(p):
-            for name in sorted(os.listdir(p)):
+        fs, fp = task_fs(p)
+        info = fs.get_file_info(fp)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(fp, recursive=False)
+            for fi in sorted(fs.get_file_info(sel), key=lambda x: x.path):
+                name = fi.base_name
                 if name.startswith(("_", ".")):
                     continue
                 if name.lower().endswith((".parquet", ".parq")):
-                    full = os.path.join(p, name)
-                    out.append((full, os.path.getsize(full)))
+                    out.append((_rejoin(p, fi.path), fi.size))
         else:
-            out.append((p, os.path.getsize(p)))
+            out.append((p, info.size))
     if not out:
         raise AppendError(f"no parquet files under {in_path}")
     return out
+
+
+def _rejoin(original: str, fs_path: str) -> str:
+    """Re-attach the scheme prefix of `original` to a listing result so
+    downstream task_fs calls resolve the same filesystem."""
+    from parquet_toolkit_spark.sources.fs import has_scheme
+
+    if not has_scheme(original) or original.startswith("file:"):
+        return fs_path
+    scheme = original.split("://", 1)[0]
+    return f"{scheme}://{fs_path.lstrip('/')}" if "://" not in fs_path \
+        else fs_path
+
+
+def _fresh_dir(path: str) -> None:
+    """Overwrite semantics for directory outputs (matching Spark's
+    write.mode('overwrite')): stale part files from a previous run with
+    a different bin count must not survive into the new result."""
+    import pyarrow.fs as pafs
+
+    fs, p = task_fs(path)
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        fs.delete_dir(p)
+    fs.create_dir(p, recursive=True)
 
 
 def _bin_pack(files: list[tuple[str, int]],
@@ -312,13 +351,13 @@ def append_compact(spark, in_path: str | list[str], out_path: str,
     """
     files = _list_parquet(in_path)
     bins = _bin_pack(files, target_bytes)
-    out_dir = strip = out_path.rstrip("/")
-    os.makedirs(strip, exist_ok=True)
+    out_dir = out_path.rstrip("/")
+    _fresh_dir(out_dir)
     tasks = [(i, b) for i, b in enumerate(bins)]
 
     def _merge_one(task):
         idx, paths = task
-        dest = os.path.join(out_dir, f"part-{idx:05d}.parquet")
+        dest = f"{out_dir}/part-{idx:05d}.parquet"
         cap = fan_in
         if cap is not None and cap >= 2 and len(paths) > cap:
             import tempfile
@@ -333,7 +372,9 @@ def append_compact(spark, in_path: str | list[str], out_path: str,
                         if len(chunk) == 1:
                             nxt.append(chunk[0])
                             continue
-                        mid = os.path.join(td, f"l{level}-{j}.parquet")
+                        # executor-local scratch: correct on a cluster,
+                        # only the final dest goes to the target fs
+                        mid = f"{td}/l{level}-{j}.parquet"
                         append_files(chunk, mid)
                         nxt.append(mid)
                     round_paths = nxt
@@ -360,7 +401,10 @@ def _split_one(task) -> dict:
     tmp = dest + ".inprogress"
     rows = 0
     out_rgs = []
-    with open(tmp, "wb") as out, open(src, "rb") as fh:
+    ofs, otmp = task_fs(tmp)
+    sfs, sp = task_fs(src)
+    with ofs.open_output_stream(otmp, compression=None) as out, \
+            sfs.open_input_file(sp) as fh:
         out.write(_MAGIC)
         for rg in rgs:
             start, end = _rg_span(rg)
@@ -374,7 +418,7 @@ def _split_one(task) -> dict:
                       tl.get(fields, _FMD_KV_META),
                       tl.get(fields, _FMD_CREATED_BY),
                       tl.get(fields, _FMD_COLUMN_ORDERS))
-    os.replace(tmp, dest)
+    ofs.move(otmp, task_fs(dest)[1])
     return {"rows": rows, "row_groups": len(out_rgs)}
 
 
@@ -415,9 +459,9 @@ def split_row_groups(spark, in_path: str | list[str], out_path: str,
                 lo, cur = i, 0
             cur += size
         tasks.append((src, lo, len(spans)))
-    os.makedirs(out_path.rstrip("/"), exist_ok=True)
     out_dir = out_path.rstrip("/")
-    jobs = [(src, a, b, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    _fresh_dir(out_dir)
+    jobs = [(src, a, b, f"{out_dir}/part-{i:05d}.parquet")
             for i, (src, a, b) in enumerate(tasks)]
     if not jobs:
         raise AppendError(f"no row groups under {in_path}")
@@ -471,14 +515,20 @@ def tree_merge(spark, in_path: str | list[str], out_file: str,
     layout."""
     files = [p for p, _ in _list_parquet(in_path)]
     sc = spark.sparkContext
-    import tempfile
-
+    # intermediates go on the DESTINATION filesystem: on a real cluster
+    # round N+1's tasks must read round N's outputs, so a driver-local
+    # tempdir would only work in local mode
+    scratch = out_file + ".tmp-rounds"
+    sfs, scratch_p = task_fs(scratch)
+    sfs.create_dir(scratch_p, recursive=True)
     rounds = 0
-    with tempfile.TemporaryDirectory(prefix="ptsa_tree_") as td:
+    try:
         while len(files) > 1:
             chunks = [files[i:i + fan_in]
                       for i in range(0, len(files), fan_in)]
-            outs = [os.path.join(td, f"r{rounds}-{i}.parquet")
+            final = len(chunks) == 1
+            outs = [out_file if final else
+                    f"{scratch}/r{rounds}-{i}.parquet"
                     for i in range(len(chunks))]
             work = [(c, o) for c, o in zip(chunks, outs) if len(c) > 1]
             passthrough = {i: c[0] for i, c in enumerate(chunks)
@@ -489,19 +539,14 @@ def tree_merge(spark, in_path: str | list[str], out_file: str,
             files = [passthrough.get(i, outs[i])
                      for i in range(len(chunks))]
             rounds += 1
-        info = append_files(files, out_file) if rounds == 0 else None
-        if info is None:
-            # final round already produced one temp file: commit it
-            os.makedirs(os.path.dirname(os.path.abspath(out_file)),
-                        exist_ok=True)
-            tmp = out_file + ".inprogress"
-            import shutil
-
-            shutil.copyfile(files[0], tmp)
-            os.replace(tmp, out_file)
-            fields, _, _ = read_footer(out_file)
-            rgs = tl.get(fields, _FMD_ROW_GROUPS)
-            info = {"files_in": 1, "rows": _i64(fields, _FMD_NUM_ROWS),
-                    "row_groups": len(rgs[2]) if rgs else 0,
-                    "bytes_copied": os.path.getsize(out_file)}
+        if files[0] != out_file:
+            # single-input edge: one append pass rewrites the footer
+            append_files(files, out_file)
+        fields, _, size = read_footer(out_file)
+        rgs = tl.get(fields, _FMD_ROW_GROUPS)
+        info = {"rows": _i64(fields, _FMD_NUM_ROWS),
+                "row_groups": len(rgs[2]) if rgs else 0,
+                "bytes_copied": size}
+    finally:
+        sfs.delete_dir(scratch_p)
     return {"rounds": max(rounds, 1), **info}

@@ -315,3 +315,18 @@ def test_append_by_schema_groups(spark, tmp_path):
         pq.read_table(os.path.join(d, f)).num_rows
         for d in outs for f in os.listdir(d) if f.endswith(".parquet"))
     assert sum(counts) == 700
+
+
+def test_append_compact_overwrites_stale_parts(spark, tmp_path):
+    """Re-running into the same output dir with a different bin count
+    must not leave stale part files (Spark overwrite semantics)."""
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(4):
+        pq.write_table(_table(i, n=100), str(src / f"f{i}.parquet"))
+    out = str(tmp_path / "o")
+    ba.append_compact(spark, str(src), out, target_bytes=1)   # 4 parts
+    ba.append_compact(spark, str(src), out, target_bytes=1 << 30)  # 1 part
+    got = spark.read.parquet(out)
+    assert got.count() == 400
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
