@@ -24,11 +24,13 @@ Offset fields patched (ids from apache/parquet-format parquet.thrift):
   RowGroup.file_offset(5); ColumnChunk.file_offset(2);
   ColumnMetaData.data_page_offset(9), .index_page_offset(10),
   .dictionary_page_offset(11).
-Page-index and bloom pointers (ColumnChunk 4-7, ColumnMetaData 14/15)
-point OUTSIDE the row-group span (they live just before the footer), so
-those structures are not copied and the pointer fields are dropped —
-readers treat them as the optional features they are. parquet-mr's
-appendFile drops page indexes the same way.
+Page indexes and bloom filters (ColumnChunk 4-7, ColumnMetaData 14/15)
+live OUTSIDE the row-group span, but they are CARRIED, not dropped:
+ColumnIndex and bloom bytes copy raw (they hold values, not offsets)
+and OffsetIndex — which contains absolute page offsets — is parsed,
+shifted, and re-serialized through the same thrift codec. parquet-mr's
+appendFile drops all three; keeping them preserves page skipping and
+bloom point lookups on the merged file.
 """
 
 from __future__ import annotations
@@ -62,7 +64,11 @@ _RG_ORDINAL = 7
 _CC_FILE_PATH = 1
 _CC_FILE_OFFSET = 2
 _CC_META = 3
-_CC_INDEX_FIELDS = (4, 5, 6, 7)  # offset/column index pointers: dropped
+_CC_OFFIDX_OFF = 4
+_CC_OFFIDX_LEN = 5
+_CC_COLIDX_OFF = 6
+_CC_COLIDX_LEN = 7
+_CC_INDEX_FIELDS = (4, 5, 6, 7)
 _CC_CRYPTO = 8
 _CC_ENC_META = 9
 
@@ -71,7 +77,14 @@ _CM_TOTAL_COMPRESSED = 7
 _CM_DATA_PAGE_OFF = 9
 _CM_INDEX_PAGE_OFF = 10
 _CM_DICT_PAGE_OFF = 11
-_CM_BLOOM_FIELDS = (14, 15)  # bloom pointer+length: dropped
+_CM_BLOOM_OFF = 14
+_CM_BLOOM_LEN = 15
+_CM_BLOOM_FIELDS = (14, 15)
+
+# OffsetIndex / PageLocation / BloomFilterHeader field ids
+_OI_PAGE_LOCATIONS = 1
+_PL_OFFSET = 1
+_BFH_NUM_BYTES = 1
 
 
 class AppendError(ValueError):
@@ -141,11 +154,63 @@ def _shift(fields: list, fid: int, delta: int) -> list:
     return tl.set_field(fields, fid, (v[0], int(v[1]) + delta))
 
 
-def _patch_row_group(rg_fields: list, delta: int, ordinal: int) -> list:
-    out = _shift(rg_fields, _RG_FILE_OFFSET, delta)
-    if tl.get(out, _RG_ORDINAL) is not None:
-        out = tl.set_field(out, _RG_ORDINAL, ("i16", ordinal))
-    cols = tl.get(out, _RG_COLUMNS)
+def _read_at(src, off: int, ln: int) -> bytes:
+    src.seek(off)
+    b = bytes(src.read(ln))
+    if len(b) != ln:
+        raise AppendError("truncated index/bloom region")
+    return b
+
+
+def _shift_offset_index(raw: bytes, delta: int) -> bytes:
+    """Shift every PageLocation.offset inside a serialized OffsetIndex.
+
+    Unlike ColumnIndex (pure min/max values) the OffsetIndex CONTAINS
+    absolute page offsets, so a raw copy would point at the old file's
+    positions — it must be parsed, shifted, and re-serialized."""
+    fields = tl.loads(raw)[1]
+    pls = tl.get(fields, _OI_PAGE_LOCATIONS)
+    if pls is None:
+        return raw
+    shifted = [_shift(pl, _PL_OFFSET, delta) for pl in pls[2]]
+    fields = tl.set_field(fields, _OI_PAGE_LOCATIONS,
+                          (pls[0], pls[1], shifted))
+    return tl.dumps(("struct", fields))
+
+
+def _bloom_total_len(src, off: int, declared: int | None,
+                     file_size: int) -> int | None:
+    """Byte length of a serialized bloom filter (header + bitset).
+
+    Newer writers record bloom_filter_length; older ones only the
+    offset, so the BloomFilterHeader (a thrift compact struct holding
+    numBytes) is parsed from the front to size the copy."""
+    if declared is not None:
+        return declared
+    probe = _read_at(src, off, min(256, file_size - off))
+    try:
+        header, consumed = tl.loads_prefix(probe)
+    except tl.ThriftError:
+        return None
+    nb = tl.get(header[1], _BFH_NUM_BYTES)
+    if nb is None:
+        return None
+    return consumed + int(nb[1])
+
+
+def _patch_row_group(rg_fields: list, delta: int, ordinal: int,
+                     src=None, out=None, file_size: int = 0) -> list:
+    """Shift a RowGroup's offsets by `delta`; when `src`/`out` are given
+    also CARRY the chunk's page index and bloom filter: ColumnIndex and
+    bloom bytes copy raw (no internal offsets), OffsetIndex is rewritten
+    with shifted page offsets. parquet-mr's appendFile drops all three;
+    preserving them keeps page skipping and point lookups working on the
+    merged file. Structures that cannot be sized are dropped, never
+    mis-copied."""
+    outf = _shift(rg_fields, _RG_FILE_OFFSET, delta)
+    if tl.get(outf, _RG_ORDINAL) is not None:
+        outf = tl.set_field(outf, _RG_ORDINAL, ("i16", ordinal))
+    cols = tl.get(outf, _RG_COLUMNS)
     new_cols = []
     for cc in cols[2]:
         if tl.get(cc, _CC_FILE_PATH) is not None:
@@ -155,15 +220,44 @@ def _patch_row_group(rg_fields: list, delta: int, ordinal: int) -> list:
                 tl.get(cc, _CC_ENC_META) is not None:
             raise AppendError("encrypted column chunk — cannot append")
         cc = _shift(cc, _CC_FILE_OFFSET, delta)
-        cc = tl.drop_fields(cc, _CC_INDEX_FIELDS)
         meta = tl.get(cc, _CC_META)
         m = meta[1]
         for f in (_CM_DATA_PAGE_OFF, _CM_INDEX_PAGE_OFF, _CM_DICT_PAGE_OFF):
             m = _shift(m, f, delta)
-        m = tl.drop_fields(m, _CM_BLOOM_FIELDS)
+        carry = src is not None and out is not None
+        # ColumnIndex: value stats only — raw copy to the new position
+        ci_off, ci_len = _i64(cc, _CC_COLIDX_OFF), _i64(cc, _CC_COLIDX_LEN)
+        if carry and ci_off is not None and ci_len is not None:
+            pos = out.tell()
+            out.write(_read_at(src, ci_off, ci_len))
+            cc = tl.set_field(cc, _CC_COLIDX_OFF, ("i64", pos))
+        else:
+            cc = tl.drop_fields(cc, (_CC_COLIDX_OFF, _CC_COLIDX_LEN))
+        # OffsetIndex: parse + shift page offsets + re-serialize
+        oi_off, oi_len = _i64(cc, _CC_OFFIDX_OFF), _i64(cc, _CC_OFFIDX_LEN)
+        if carry and oi_off is not None and oi_len is not None:
+            blob = _shift_offset_index(_read_at(src, oi_off, oi_len), delta)
+            pos = out.tell()
+            out.write(blob)
+            cc = tl.set_field(cc, _CC_OFFIDX_OFF, ("i64", pos))
+            cc = tl.set_field(cc, _CC_OFFIDX_LEN, ("i32", len(blob)))
+        else:
+            cc = tl.drop_fields(cc, (_CC_OFFIDX_OFF, _CC_OFFIDX_LEN))
+        # Bloom filter: header+bitset raw copy (no internal offsets)
+        bf_off = _i64(m, _CM_BLOOM_OFF)
+        total = (_bloom_total_len(src, bf_off, _i64(m, _CM_BLOOM_LEN),
+                                  file_size)
+                 if carry and bf_off is not None else None)
+        if total is not None:
+            pos = out.tell()
+            out.write(_read_at(src, bf_off, total))
+            m = tl.set_field(m, _CM_BLOOM_OFF, ("i64", pos))
+            m = tl.set_field(m, _CM_BLOOM_LEN, ("i32", total))
+        else:
+            m = tl.drop_fields(m, _CM_BLOOM_FIELDS)
         cc = tl.set_field(cc, _CC_META, ("struct", m))
         new_cols.append(cc)
-    return tl.set_field(out, _RG_COLUMNS, (cols[0], cols[1], new_cols))
+    return tl.set_field(outf, _RG_COLUMNS, (cols[0], cols[1], new_cols))
 
 
 def _copy_span(src, dst, start: int, end: int) -> None:
@@ -224,7 +318,7 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
     with ofs.open_output_stream(otmp, compression=None) as out:
         out.write(_MAGIC)
         for path in in_paths:
-            fields, _, _ = read_footer(path)
+            fields, _, fsize = read_footer(path)
             if tl.get(fields, _FMD_ENCRYPTION) is not None or \
                     tl.get(fields, _FMD_SIGNING_KEY) is not None:
                 raise AppendError(f"{path}: encrypted footer — cannot append")
@@ -255,8 +349,9 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
                     delta = out.tell() - start
                     _copy_span(src, out, start, end)
                     bytes_copied += end - start
-                    merged_rgs.append(
-                        _patch_row_group(rg, delta, len(merged_rgs)))
+                    merged_rgs.append(_patch_row_group(
+                        rg, delta, len(merged_rgs), src=src, out=out,
+                        file_size=fsize))
                     total_rows += _i64(rg, _RG_NUM_ROWS) or 0
         if base_schema is None:
             raise AppendError("no readable input footers")
@@ -396,7 +491,7 @@ def _split_one(task) -> dict:
     """Write one output file holding a contiguous row-group range of one
     source file (pure python; runs inside a Spark task)."""
     src, rg_lo, rg_hi, dest = task
-    fields, _, _ = read_footer(src)
+    fields, _, fsize = read_footer(src)
     rgs = tl.get(fields, _FMD_ROW_GROUPS)[2][rg_lo:rg_hi]
     tmp = dest + ".inprogress"
     rows = 0
@@ -410,7 +505,9 @@ def _split_one(task) -> dict:
             start, end = _rg_span(rg)
             delta = out.tell() - start
             _copy_span(fh, out, start, end)
-            out_rgs.append(_patch_row_group(rg, delta, len(out_rgs)))
+            out_rgs.append(_patch_row_group(rg, delta, len(out_rgs),
+                                            src=fh, out=out,
+                                            file_size=fsize))
             rows += _i64(rg, _RG_NUM_ROWS) or 0
         v = tl.get(fields, _FMD_VERSION)
         _write_footer(out, tl.get(fields, _FMD_SCHEMA), out_rgs, rows,

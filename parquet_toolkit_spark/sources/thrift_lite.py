@@ -163,6 +163,15 @@ def loads(buf: bytes):
     return ("struct", fields)
 
 
+def loads_prefix(buf: bytes) -> tuple[tuple, int]:
+    """Parse one struct from the FRONT of a buffer whose total length is
+    unknown (e.g. a parquet BloomFilterHeader followed by its bitset).
+    Returns (("struct", fields), bytes_consumed)."""
+    r = _Reader(buf)
+    fields = _read_struct_fields(r)
+    return ("struct", fields), r.pos
+
+
 # ---------------------------------------------------------------- write
 
 def _w_varint(out: bytearray, v: int) -> None:

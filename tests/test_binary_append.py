@@ -330,3 +330,84 @@ def test_append_compact_overwrites_stale_parts(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 400
     assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
+
+
+def _cc0(fields):
+    return tl.get(tl.get(fields, 4)[2][0], 1)[2][0]
+
+
+def test_append_preserves_page_index(tmp_path):
+    """ColumnIndex/OffsetIndex survive the merge with offsets rewritten:
+    each chunk's first data-page location must equal its (shifted)
+    data_page_offset, and the index bytes must parse."""
+    paths = []
+    for i in range(2):
+        t = _table(i, n=1000)
+        p = str(tmp_path / f"pi{i}.parquet")
+        pq.write_table(t, p, row_group_size=250, write_page_index=True)
+        paths.append(p)
+    out = str(tmp_path / "m.parquet")
+    ba.append_files(paths, out)
+    fields, _, _ = ba.read_footer(out)
+    raw = open(out, "rb").read()
+    n_checked = 0
+    for rg in tl.get(fields, 4)[2]:
+        for cc in tl.get(rg, 1)[2]:
+            oi_off, oi_len = ba._i64(cc, 4), ba._i64(cc, 5)
+            ci_off, ci_len = ba._i64(cc, 6), ba._i64(cc, 7)
+            assert None not in (oi_off, oi_len, ci_off, ci_len)
+            meta = tl.get(cc, 3)[1]
+            oi = tl.loads(raw[oi_off:oi_off + oi_len])
+            first_page = tl.get(tl.get(oi[1], 1)[2][0], 1)[1]
+            assert first_page == ba._i64(meta, 9)  # data_page_offset
+            tl.loads(raw[ci_off:ci_off + ci_len])  # must parse
+            n_checked += 1
+    assert n_checked == 8 * 4  # 2 files x 4 groups x 4 columns
+    # and the data still reads exactly
+    got = pq.read_table(out)
+    assert got.equals(pa.concat_tables([_table(0, 1000), _table(1, 1000)]))
+
+
+def test_append_preserves_bloom_filters(spark, tmp_path):
+    """parquet-mr-written bloom filters are carried byte-identically to
+    their new position, and Spark still reads the merged file exactly."""
+    from pyspark.sql import functions as F
+
+    srcs = []
+    for i in range(2):
+        d = str(tmp_path / f"b{i}")
+        (spark.range(i * 1000, i * 1000 + 1000)
+         .select(F.col("id"), F.sha1(F.col("id").cast("string")).alias("v"))
+         .coalesce(1).write
+         .option("parquet.bloom.filter.enabled#v", "true")
+         .parquet(d))
+        srcs.append([os.path.join(d, f) for f in os.listdir(d)
+                     if f.endswith(".parquet")][0])
+    out = str(tmp_path / "m.parquet")
+    ba.append_files(srcs, out)
+    fields, _, _ = ba.read_footer(out)
+    raw_out = open(out, "rb").read()
+    found = 0
+    for i, rg in enumerate(tl.get(fields, 4)[2]):
+        for cc in tl.get(rg, 1)[2]:
+            meta = tl.get(cc, 3)[1]
+            bf_off, bf_len = ba._i64(meta, 14), ba._i64(meta, 15)
+            if bf_off is None:
+                continue
+            assert bf_len is not None and bf_len > 0
+            # byte-identical to the source bloom region
+            sfields, _, sfsize = ba.read_footer(srcs[i])
+            scc = [c for c in tl.get(tl.get(sfields, 4)[2][0], 1)[2]
+                   if tl.get(tl.get(c, 3)[1], 14) is not None][0]
+            smeta = tl.get(scc, 3)[1]
+            s_off = ba._i64(smeta, 14)
+            s_len = ba._i64(smeta, 15) or bf_len
+            raw_in = open(srcs[i], "rb").read()
+            assert raw_out[bf_off:bf_off + bf_len] == \
+                raw_in[s_off:s_off + s_len]
+            found += 1
+    assert found == 2  # one bloom-filtered column per source file
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    probe = got.filter(F.col("v") == F.sha1(F.lit("1500"))).collect()
+    assert len(probe) == 1 and probe[0]["id"] == 1500
