@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tree", action="store_true",
                     help="tree-reduce ALL inputs to ONE file "
                          "(reference M3 semantics; --output is a file)")
-    ap.add_argument("--fan-in", type=int, default=5)
+    ap.add_argument("--fan-in", type=int, default=None,
+                    help="files merged per tree round (>= 2; --tree only, "
+                         "default 5)")
 
     cv = sub.add_parser("csv2parquet", help="typed CSV -> parquet")
     cv.add_argument("--input", required=True)
@@ -176,7 +178,8 @@ def main(argv: list[str] | None = None) -> dict:
                 split_row_groups,
             )
             res = split_row_groups(spark, args.input, args.output,
-                                   target_bytes=_size(args.target_size))
+                                   target_bytes=_size(args.target_size),
+                                   strict=args.strict)
         else:
             from parquet_toolkit_spark.operators.layout import split_by_size
             res = split_by_size(spark, args.input, args.output,
@@ -187,8 +190,13 @@ def main(argv: list[str] | None = None) -> dict:
             append_compact,
             tree_merge,
         )
+        if args.fan_in is not None and not args.tree:
+            raise SystemExit("append: --fan-in only applies with --tree "
+                             "(the bin-packed append streams inputs one "
+                             "at a time and needs no fan-in)")
         paths = args.input if len(args.input) > 1 else args.input[0]
-        res = (tree_merge(spark, paths, args.output, fan_in=args.fan_in)
+        res = (tree_merge(spark, paths, args.output,
+                          fan_in=args.fan_in or 5)
                if args.tree else
                append_compact(spark, paths, args.output,
                               target_bytes=_size(args.target_size)))

@@ -209,7 +209,11 @@ def _patch_row_group(rg_fields: list, delta: int, ordinal: int,
     mis-copied."""
     outf = _shift(rg_fields, _RG_FILE_OFFSET, delta)
     if tl.get(outf, _RG_ORDINAL) is not None:
-        outf = tl.set_field(outf, _RG_ORDINAL, ("i16", ordinal))
+        # ordinal is i16; a >32k-group merge drops the optional field
+        # rather than emit values a strict reader wraps negative
+        outf = (tl.set_field(outf, _RG_ORDINAL, ("i16", ordinal))
+                if ordinal <= 32767 else
+                tl.drop_fields(outf, (_RG_ORDINAL,)))
     cols = tl.get(outf, _RG_COLUMNS)
     new_cols = []
     for cc in cols[2]:
@@ -304,16 +308,30 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
     temp-suffix commit as the reference (MergeThread temp naming)."""
     if not in_paths:
         raise AppendError("no input files")
+    tmp = out_path + ".inprogress"
+    ofs, otmp = task_fs(tmp)
+    ofs.create_dir(_parent_dir(otmp), recursive=True)
+    try:
+        return _append_into(ofs, otmp, out_path, in_paths)
+    except BaseException:
+        # never leave a partial .inprogress behind: task retries of the
+        # same bin would otherwise stack orphans on the target fs
+        try:
+            ofs.delete_file(otmp)
+        except OSError:
+            pass
+        raise
+
+
+def _append_into(ofs, otmp: str, out_path: str,
+                 in_paths: list[str]) -> dict:
     base_schema = None
     base_orders = None
-    merged_rgs: list = []
+    merged_rgs = []
     total_rows = 0
     version = 1
     kv_meta = None
     created_by = None
-    tmp = out_path + ".inprogress"
-    ofs, otmp = task_fs(tmp)
-    ofs.create_dir(_parent_dir(otmp), recursive=True)
     bytes_copied = 0
     with ofs.open_output_stream(otmp, compression=None) as out:
         out.write(_MAGIC)
@@ -362,51 +380,49 @@ def append_files(in_paths: list[str], out_path: str) -> dict:
             "rows": total_rows, "bytes_copied": bytes_copied}
 
 
-def _list_parquet(in_path: str | list[str]) -> list[tuple[str, int]]:
-    import pyarrow.fs as pafs
+def _list_parquet(in_path: str | list[str],
+                  spark=None) -> list[tuple[str, int]]:
+    """Driver-side listing through DriverFS — the same control plane the
+    layout operators use (layout.compact), so hdfs://, s3a:// and other
+    Hadoop-resolvable schemes list correctly and remote paths come back
+    with their full URI intact (code review r4: a pyarrow from_uri
+    round-trip dropped the hdfs authority and rejected s3a outright)."""
+    from parquet_toolkit_spark.sources.fs import DriverFS
 
     paths = [in_path] if isinstance(in_path, str) else list(in_path)
+    dfs = DriverFS(spark)
     out = []
     for p in paths:
-        fs, fp = task_fs(p)
-        info = fs.get_file_info(fp)
-        if info.type == pafs.FileType.Directory:
-            sel = pafs.FileSelector(fp, recursive=False)
-            for fi in sorted(fs.get_file_info(sel), key=lambda x: x.path):
-                name = fi.base_name
-                if name.startswith(("_", ".")):
-                    continue
-                if name.lower().endswith((".parquet", ".parq")):
-                    out.append((_rejoin(p, fi.path), fi.size))
-        else:
-            out.append((p, info.size))
+        try:
+            if p.lower().endswith((".parquet", ".parq")):
+                out.append((p, dfs.file_size(p)))
+            else:
+                for fp, sz in dfs.list_files(p):
+                    base = fp.rstrip("/").rsplit("/", 1)[-1]
+                    if base.startswith(("_", ".")):
+                        continue
+                    if base.lower().endswith((".parquet", ".parq")):
+                        out.append((fp, sz))
+        except OSError as e:
+            raise AppendError(f"{p}: cannot list input ({e})") from e
+    for fp, sz in out:
+        if sz is None:
+            raise AppendError(f"{fp}: missing or unreadable input file")
     if not out:
         raise AppendError(f"no parquet files under {in_path}")
     return out
 
 
-def _rejoin(original: str, fs_path: str) -> str:
-    """Re-attach the scheme prefix of `original` to a listing result so
-    downstream task_fs calls resolve the same filesystem."""
-    from parquet_toolkit_spark.sources.fs import has_scheme
-
-    if not has_scheme(original) or original.startswith("file:"):
-        return fs_path
-    scheme = original.split("://", 1)[0]
-    return f"{scheme}://{fs_path.lstrip('/')}" if "://" not in fs_path \
-        else fs_path
-
-
-def _fresh_dir(path: str) -> None:
+def _fresh_dir(path: str, spark=None) -> None:
     """Overwrite semantics for directory outputs (matching Spark's
     write.mode('overwrite')): stale part files from a previous run with
     a different bin count must not survive into the new result."""
-    import pyarrow.fs as pafs
+    from parquet_toolkit_spark.sources.fs import DriverFS
 
-    fs, p = task_fs(path)
-    if fs.get_file_info(p).type != pafs.FileType.NotFound:
-        fs.delete_dir(p)
-    fs.create_dir(p, recursive=True)
+    dfs = DriverFS(spark)
+    if dfs.exists(path):
+        dfs.delete(path, recursive=True)
+    dfs.mkdirs(path)
 
 
 def _bin_pack(files: list[tuple[str, int]],
@@ -429,8 +445,7 @@ def _bin_pack(files: list[tuple[str, int]],
 
 
 def append_compact(spark, in_path: str | list[str], out_path: str,
-                   target_bytes: int = 128 << 20,
-                   fan_in: int | None = None) -> dict:
+                   target_bytes: int = 128 << 20) -> dict:
     """Distributed zero-decode compaction: bin-pack input files to
     ~target_bytes groups, one Spark task per group, each task streaming a
     raw row-group append into one output file.
@@ -439,45 +454,23 @@ def append_compact(spark, in_path: str | list[str], out_path: str,
     re-encode — each task's cost is sequential IO over its own bin. The
     per-task work is pure python file IO (no SparkSession captured), so
     it distributes over executors exactly like the encode kernel's
-    per-pid tasks. `fan_in` caps files per single append pass: a bin
-    larger than fan_in is reduced tree-style WITHIN the task (chunks of
-    fan_in into task-local temps, recurse — TreeMultithreadedParquetMerger
-    .java:255-278 semantics) to bound open-file count on 10^5-file bins.
+    per-pid tasks. Arbitrarily wide bins are fine: append_files streams
+    inputs one at a time (one input + one output handle open at any
+    moment), so a 10^5-file bin needs no fan-in staging — the
+    reference's tree recursion existed for Java THREAD parallelism
+    (TreeMultithreadedParquetMerger.java:255-278), which Spark's task
+    scheduling replaces.
     """
-    files = _list_parquet(in_path)
+    files = _list_parquet(in_path, spark)
     bins = _bin_pack(files, target_bytes)
     out_dir = out_path.rstrip("/")
-    _fresh_dir(out_dir)
+    _fresh_dir(out_dir, spark)
     tasks = [(i, b) for i, b in enumerate(bins)]
 
     def _merge_one(task):
         idx, paths = task
         dest = f"{out_dir}/part-{idx:05d}.parquet"
-        cap = fan_in
-        if cap is not None and cap >= 2 and len(paths) > cap:
-            import tempfile
-
-            round_paths = list(paths)
-            level = 0
-            with tempfile.TemporaryDirectory(prefix="ptsa_") as td:
-                while len(round_paths) > cap:
-                    nxt = []
-                    for j in range(0, len(round_paths), cap):
-                        chunk = round_paths[j:j + cap]
-                        if len(chunk) == 1:
-                            nxt.append(chunk[0])
-                            continue
-                        # executor-local scratch: correct on a cluster,
-                        # only the final dest goes to the target fs
-                        mid = f"{td}/l{level}-{j}.parquet"
-                        append_files(chunk, mid)
-                        nxt.append(mid)
-                    round_paths = nxt
-                    level += 1
-                info = append_files(round_paths, dest)
-        else:
-            info = append_files(paths, dest)
-        return {"part": idx, **info}
+        return {"part": idx, **append_files(paths, dest)}
 
     sc = spark.sparkContext
     results = sc.parallelize(tasks, len(tasks)).map(_merge_one).collect()
@@ -498,29 +491,37 @@ def _split_one(task) -> dict:
     out_rgs = []
     ofs, otmp = task_fs(tmp)
     sfs, sp = task_fs(src)
-    with ofs.open_output_stream(otmp, compression=None) as out, \
-            sfs.open_input_file(sp) as fh:
-        out.write(_MAGIC)
-        for rg in rgs:
-            start, end = _rg_span(rg)
-            delta = out.tell() - start
-            _copy_span(fh, out, start, end)
-            out_rgs.append(_patch_row_group(rg, delta, len(out_rgs),
-                                            src=fh, out=out,
-                                            file_size=fsize))
-            rows += _i64(rg, _RG_NUM_ROWS) or 0
-        v = tl.get(fields, _FMD_VERSION)
-        _write_footer(out, tl.get(fields, _FMD_SCHEMA), out_rgs, rows,
-                      int(v[1]) if v is not None else 1,
-                      tl.get(fields, _FMD_KV_META),
-                      tl.get(fields, _FMD_CREATED_BY),
-                      tl.get(fields, _FMD_COLUMN_ORDERS))
-    ofs.move(otmp, task_fs(dest)[1])
+    try:
+        with ofs.open_output_stream(otmp, compression=None) as out, \
+                sfs.open_input_file(sp) as fh:
+            out.write(_MAGIC)
+            for rg in rgs:
+                start, end = _rg_span(rg)
+                delta = out.tell() - start
+                _copy_span(fh, out, start, end)
+                out_rgs.append(_patch_row_group(rg, delta, len(out_rgs),
+                                                src=fh, out=out,
+                                                file_size=fsize))
+                rows += _i64(rg, _RG_NUM_ROWS) or 0
+            v = tl.get(fields, _FMD_VERSION)
+            _write_footer(out, tl.get(fields, _FMD_SCHEMA), out_rgs, rows,
+                          int(v[1]) if v is not None else 1,
+                          tl.get(fields, _FMD_KV_META),
+                          tl.get(fields, _FMD_CREATED_BY),
+                          tl.get(fields, _FMD_COLUMN_ORDERS))
+        ofs.move(otmp, task_fs(dest)[1])
+    except BaseException:
+        try:
+            ofs.delete_file(otmp)
+        except OSError:
+            pass
+        raise
     return {"rows": rows, "row_groups": len(out_rgs)}
 
 
 def split_row_groups(spark, in_path: str | list[str], out_path: str,
-                     target_bytes: int = 128 << 20) -> dict:
+                     target_bytes: int = 128 << 20,
+                     strict: bool = False) -> dict:
     """Zero-decode split: chop files into ~target_bytes outputs at ROW
     GROUP granularity (the dual of append_compact; P1/P2 fast path).
 
@@ -533,8 +534,18 @@ def split_row_groups(spark, in_path: str | list[str], out_path: str,
     SimpleParquetSplitter.java:118-130) — such a group gets its own
     output file. Use layout.split_by_size for row-exact splitting with
     re-encode. One Spark task per output file; refusal rules match
-    append_files (encryption, external chunks)."""
-    files = _list_parquet(in_path)
+    append_files (encryption, external chunks). strict=True refuses
+    when the input is not larger than target (the reference guard,
+    SimpleParquetSplitter.java:89-91 — same contract as
+    layout.split_by_size(strict=True))."""
+    files = _list_parquet(in_path, spark)
+    if strict:
+        total = sum(sz for _, sz in files)
+        if total <= target_bytes:
+            raise AppendError(
+                f"split_row_groups(strict=True): input is {total} bytes, "
+                f"not larger than target_bytes={target_bytes} — nothing "
+                "to split")
     tasks = []
     for src, _ in files:
         fields, _, _ = read_footer(src)
@@ -556,12 +567,14 @@ def split_row_groups(spark, in_path: str | list[str], out_path: str,
                 lo, cur = i, 0
             cur += size
         tasks.append((src, lo, len(spans)))
+    if not tasks:
+        # refuse BEFORE touching the output dir: wiping a previous good
+        # result and then erroring would leave the caller with nothing
+        raise AppendError(f"no row groups under {in_path}")
     out_dir = out_path.rstrip("/")
-    _fresh_dir(out_dir)
+    _fresh_dir(out_dir, spark)
     jobs = [(src, a, b, f"{out_dir}/part-{i:05d}.parquet")
             for i, (src, a, b) in enumerate(tasks)]
-    if not jobs:
-        raise AppendError(f"no row groups under {in_path}")
     results = spark.sparkContext.parallelize(jobs, len(jobs)) \
         .map(_split_one).collect()
     return {"files_in": len(files), "files_out": len(jobs),
@@ -578,7 +591,7 @@ def append_by_schema(spark, in_path: str | list[str], out_path: str,
     schema-group merge (SimpleMergeThread.java:167-176, suffix naming
     SimpleMultithreadedParquetMerger.java:341-348; the tree merger
     likewise reduces to one file PER schema)."""
-    files = _list_parquet(in_path)
+    files = _list_parquet(in_path, spark)
     groups: dict[bytes, list[tuple[str, int]]] = {}
     order: list[bytes] = []
     for path, size in files:
@@ -610,7 +623,11 @@ def tree_merge(spark, in_path: str | list[str], out_file: str,
     threadChunkSize=5 at :40-41). For size-targeted output use
     append_compact — one file is the reference's semantic, not a 100 TB
     layout."""
-    files = [p for p, _ in _list_parquet(in_path)]
+    if fan_in < 2:
+        raise AppendError(
+            f"tree_merge: fan_in must be >= 2, got {fan_in} (a fan-in of "
+            "1 reduces nothing and would loop forever)")
+    files = [p for p, _ in _list_parquet(in_path, spark)]
     sc = spark.sparkContext
     # intermediates go on the DESTINATION filesystem: on a real cluster
     # round N+1's tasks must read round N's outputs, so a driver-local

@@ -234,10 +234,16 @@ def task_fs(path: str):
     """(pyarrow FileSystem, in-fs path) for task-local IO inside workers.
 
     Local bare paths avoid the from_uri round-trip; remote URIs resolve to
-    pyarrow's s3/hdfs/gcs implementations where available."""
+    pyarrow's s3/hdfs/gcs implementations where available. Hadoop's
+    s3a://"/s3n:// spellings map to pyarrow's s3:// — same object store,
+    different client."""
     import pyarrow.fs as pafs
 
     if has_scheme(path) and not path.startswith("file:"):
+        for hadoop_scheme in ("s3a://", "s3n://"):
+            if path.startswith(hadoop_scheme):
+                path = "s3://" + path[len(hadoop_scheme):]
+                break
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), strip_local_scheme(path)
 

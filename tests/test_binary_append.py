@@ -146,20 +146,57 @@ def test_append_compact_binpacks_and_preserves_rows(spark, tmp_path):
     assert got.groupBy().sum("id").first()[0] == want
 
 
-def test_append_compact_fan_in_tree_within_task(spark, tmp_path):
-    """A bin wider than fan_in reduces tree-style inside the task; the
-    result is identical to the flat append."""
+def test_tree_merge_refuses_degenerate_fan_in(spark, tmp_path):
+    """fan_in=1 reduces nothing — it must refuse, not spin forever."""
     src = tmp_path / "many"
     src.mkdir()
-    for i in range(7):
-        pq.write_table(_table(i, n=100), str(src / f"f{i}.parquet"))
-    flat = str(tmp_path / "flat")
-    treed = str(tmp_path / "treed")
-    ba.append_compact(spark, str(src), flat, target_bytes=1 << 30)
-    ba.append_compact(spark, str(src), treed, target_bytes=1 << 30, fan_in=2)
-    a = pq.read_table(os.path.join(flat, "part-00000.parquet"))
-    b = pq.read_table(os.path.join(treed, "part-00000.parquet"))
-    assert a.equals(b)
+    for i in range(3):
+        pq.write_table(_table(i, n=50), str(src / f"f{i}.parquet"))
+    with pytest.raises(ba.AppendError, match="fan_in"):
+        ba.tree_merge(spark, str(src), str(tmp_path / "o.parquet"), fan_in=1)
+
+
+def test_split_strict_refuses_small_input(spark, tmp_path):
+    p = str(tmp_path / "small.parquet")
+    pq.write_table(_table(0, n=50), p)
+    with pytest.raises(ba.AppendError, match="strict"):
+        ba.split_row_groups(spark, p, str(tmp_path / "o"),
+                            target_bytes=1 << 30, strict=True)
+
+
+def test_split_no_work_preserves_previous_output(spark, tmp_path):
+    """A refusal (all inputs empty) must not have wiped the output dir
+    from an earlier good run first."""
+    good_src = str(tmp_path / "good.parquet")
+    pq.write_table(_table(0, n=100), good_src, row_group_size=50)
+    out = str(tmp_path / "o")
+    ba.split_row_groups(spark, good_src, out, target_bytes=1)
+    before = sorted(os.listdir(out))
+    # a writer closed without writes: a footer with ZERO row groups
+    empty_src = str(tmp_path / "empty.parquet")
+    pq.ParquetWriter(empty_src, _table(0, n=1).schema).close()
+    with pytest.raises(ba.AppendError, match="no row groups"):
+        ba.split_row_groups(spark, empty_src, out, target_bytes=1)
+    assert sorted(os.listdir(out)) == before
+
+
+def test_missing_input_is_a_clean_error(spark, tmp_path):
+    with pytest.raises(ba.AppendError, match="cannot list|missing"):
+        ba.append_compact(spark, str(tmp_path / "nope.parquet"),
+                          str(tmp_path / "o"))
+
+
+def test_failed_append_leaves_no_inprogress(tmp_path):
+    """Schema drift mid-merge must clean up the partial temp file."""
+    p0 = str(tmp_path / "a.parquet")
+    p1 = str(tmp_path / "b.parquet")
+    pq.write_table(_table(0), p0)
+    pq.write_table(pa.table({"other": [1]}), p1)
+    out = str(tmp_path / "m.parquet")
+    with pytest.raises(ba.AppendError):
+        ba.append_files([p0, p1], out)
+    assert not os.path.exists(out + ".inprogress")
+    assert not os.path.exists(out)
 
 
 def test_tree_merge_single_output(spark, tmp_path):
