@@ -1758,7 +1758,9 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
                        target_file_rows: int | None = None,
                        sort_by: list[str] | None = None,
                        zorder_by: list[str] | None = None,
-                       zorder_bits: int = 8) -> dict:
+                       zorder_bits: int = 8,
+                       binary: bool = False,
+                       binary_target_bytes: int = 128 << 20) -> dict:
     """Compaction as a REPLACE snapshot — the reference's delete-inputs
     merge semantics (SimpleMultithreadedParquetMerger.java:233-276) on a
     modern table format (VERDICT r3 #5): read the current live row set
@@ -1788,7 +1790,20 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     z-order sort-order transform), the clustering lives in the data
     layout + bounds only; no sort order is declared in metadata.
     Boundary sampling sizes itself from the manifests' record counts —
-    no extra full-table count job."""
+    no extra full-table count job.
+
+    binary=True: ZERO-DECODE compaction — the live data files are merged
+    by raw row-group byte copy + footer surgery
+    (operators/binary_append), bin-packed to ~binary_target_bytes, one
+    Spark task per bin, and committed through the identical REPLACE
+    snapshot path. No page is decompressed anywhere: the new files'
+    manifest bounds come from their footer statistics (carried verbatim
+    from the inputs). This is the M3+M7 fusion on the table format —
+    merge cost is sequential IO. Refused (loudly, with the decode path
+    named) when the table carries live delete files (a byte copy would
+    resurrect deleted rows), is partitioned, or when sort_by/zorder_by
+    is requested; identical parquet schemas across inputs are enforced
+    by the append itself."""
     import os
     import uuid
 
@@ -1802,6 +1817,11 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     sf = snapshot_files(table_dir, None, spark)
     meta_dir = os.path.join(table_dir, "metadata")
     data_dir = os.path.join(table_dir, "data")
+
+    if binary:
+        return _rewrite_binary(spark, table_dir, existing, sf, meta_dir,
+                               data_dir, sort_by, zorder_by,
+                               binary_target_bytes)
 
     df = read_data(spark, table_dir)
     sort_orders = None
@@ -1870,7 +1890,66 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     import pyarrow.parquet as pq
 
     counts = {p: pq.ParquetFile(p).metadata.num_rows for p in new_files}
+    return _commit_replace_snapshot(
+        table_dir, existing, sf, meta_dir, commit_uuid, new_files, counts,
+        part_vals, part_fields, sort_orders, sort_order_id)
 
+
+def _rewrite_binary(spark, table_dir: str, existing: dict, sf: dict,
+                    meta_dir: str, data_dir: str, sort_by, zorder_by,
+                    target_bytes: int) -> dict:
+    """Zero-decode compaction body: bin-pack live data files, merge each
+    bin by raw row-group copy in one Spark task, commit via the shared
+    REPLACE path. See rewrite_data_files(binary=True) for the contract."""
+    import uuid
+
+    from parquet_toolkit_spark.operators.binary_append import (
+        _bin_pack,
+        append_files,
+    )
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    if sort_by or zorder_by:
+        raise ValueError(
+            "rewrite_data_files(binary=True) cannot sort or z-order — "
+            "reordering rows requires decoding; drop binary or the keys")
+    if sf["position_deletes"] or sf["equality_deletes"]:
+        raise ValueError(
+            "rewrite_data_files(binary=True): table carries live delete "
+            "files; a raw byte copy would resurrect deleted rows — run "
+            "the default decode path, which absorbs delete debt")
+    if _default_spec_fields(existing):
+        raise ValueError(
+            "rewrite_data_files(binary=True) supports unpartitioned "
+            "tables only (merging across partition values would corrupt "
+            "partition pruning)")
+    if not sf["data"]:
+        raise ValueError("rewrite_data_files: no live data files")
+    dfs = DriverFS(spark)
+    dfs.mkdirs(data_dir)
+    files = [(p, dfs.file_size(p)) for p in sf["data"]]
+    bins = _bin_pack(files, target_bytes)
+    commit_uuid = uuid.uuid4().hex[:12]
+    jobs = [(b, f"{data_dir}/rw-{commit_uuid}-{i:05d}.parquet")
+            for i, b in enumerate(bins)]
+    results = spark.sparkContext.parallelize(jobs, len(jobs)).map(
+        lambda t: (t[1], append_files(t[0], t[1]))).collect()
+    new_files = [d for d, _ in results]
+    counts = {d: r["rows"] for d, r in results}
+    out = _commit_replace_snapshot(
+        table_dir, existing, sf, meta_dir, commit_uuid, new_files, counts,
+        {}, None, None, None)
+    return {**out, "binary": True, "n_bins": len(bins)}
+
+
+def _commit_replace_snapshot(table_dir: str, existing: dict, sf: dict,
+                             meta_dir: str, commit_uuid: str,
+                             new_files: list, counts: dict,
+                             part_vals: dict, part_fields,
+                             sort_orders, sort_order_id) -> dict:
+    """Shared tail of both compaction paths: one ADDED manifest for the
+    new files (+bounds from their footers), DELETED tombstones for every
+    replaced data/delete file, a replace-operation snapshot commit."""
     old_md = _load_old_md(existing)
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
     rw_types = {n: t for n, t, _r in existing["schema_fields"]}

@@ -2290,3 +2290,79 @@ def test_iceberg_rewrite_sort_and_zorder_exclusive(spark, tmp_path):
         ic.rewrite_data_files(spark, tdir, sort_by=["a"], zorder_by=["b"])
     with _pytest.raises(ValueError, match="not in table"):
         ic.rewrite_data_files(spark, tdir, zorder_by=["nope"])
+
+
+def test_iceberg_rewrite_binary_zero_decode(spark, tmp_path):
+    # rewrite_data_files(binary=True): zero-decode compaction — merged
+    # file carries the inputs' row-group bytes verbatim; REPLACE
+    # snapshot + time travel identical to the decode path
+    import glob as _g
+
+    import pytest as _pt
+
+    from parquet_toolkit_spark.operators import binary_append as ba
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources import thrift_lite as tl
+
+    tdir = str(tmp_path / "rwb")
+    snap_ids = []
+    for k in range(3):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(k * 100, k * 100 + 100)],
+            "id long, v string")
+        snap_ids.append(ic.write_table(spark, df, tdir)["snapshot_id"])
+    old_files = ic.snapshot_files(tdir)["data"]
+    assert len(old_files) >= 3
+
+    rw = ic.rewrite_data_files(spark, tdir, binary=True,
+                               binary_target_bytes=1 << 30)
+    assert rw["binary"] is True and rw["n_bins"] == 1
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        set(range(300))
+    # byte-verbatim row groups: no page was decoded or re-encoded
+    raw_out = open(rw["files"][0], "rb").read()
+    for p in old_files:
+        fields, _, _ = ba.read_footer(p)
+        raw_in = open(p, "rb").read()
+        for rg in tl.get(fields, 4)[2]:
+            s, e = ba._rg_span(rg)
+            assert raw_in[s:e] in raw_out
+    # manifest bounds came from the merged footer: range_filter prunes
+    sf = ic.snapshot_files(tdir)
+    assert set(sf["data"]) == set(rw["files"])
+    # time travel to every pre-rewrite snapshot still exact
+    assert {r.id for r in
+            ic.read_data(spark, tdir, snap_ids[0]).collect()} == \
+        set(range(100))
+    # expire reclaims the replaced files
+    ic.expire_snapshots(spark, tdir, keep_last=1)
+    left = set(_g.glob(tdir + "/data/*.parquet"))
+    assert left == set(rw["files"])
+
+    # live delete debt refuses loudly (a byte copy would resurrect rows)
+    ic.delete_where(spark, tdir, "id = 5")
+    with _pt.raises(ValueError, match="delete"):
+        ic.rewrite_data_files(spark, tdir, binary=True)
+    # the decode path absorbs the debt; binary works again after
+    ic.rewrite_data_files(spark, tdir)
+    rw2 = ic.rewrite_data_files(spark, tdir, binary=True)
+    assert {r.id for r in ic.read_data(spark, tdir).collect()} == \
+        set(range(300)) - {5}
+    assert rw2["binary"] is True
+
+    # sort/zorder with binary refuses
+    with _pt.raises(ValueError, match="sort or z-order"):
+        ic.rewrite_data_files(spark, tdir, binary=True, sort_by=["id"])
+
+
+def test_iceberg_rewrite_binary_refuses_partitioned(spark, tmp_path):
+    import pytest as _pt
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "rwp")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(60)], "id long, g int, v string")
+    ic.write_table(spark, df, tdir, partition_by=["g"])
+    with _pt.raises(ValueError, match="unpartitioned"):
+        ic.rewrite_data_files(spark, tdir, binary=True)
