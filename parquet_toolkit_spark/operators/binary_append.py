@@ -68,7 +68,6 @@ _CC_OFFIDX_OFF = 4
 _CC_OFFIDX_LEN = 5
 _CC_COLIDX_OFF = 6
 _CC_COLIDX_LEN = 7
-_CC_INDEX_FIELDS = (4, 5, 6, 7)
 _CC_CRYPTO = 8
 _CC_ENC_META = 9
 
