@@ -218,6 +218,20 @@ def q_binary_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _li_with_ship_str(spark.read.parquet(out))
 
 
+def q_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 fast path: zero-decode split of the lineitem file at row-group
+    granularity (raw byte copy + rewritten footers); multiset must be
+    preserved exactly."""
+    from parquet_toolkit_spark.operators.binary_append import (
+        split_row_groups,
+    )
+
+    out = os.path.join(_TMP, "binsplit_out")
+    split_row_groups(spark, f"{sf_dir}/lineitem.parquet", out,
+                     target_bytes=1 << 20)
+    return _li_with_ship_str(spark.read.parquet(out))
+
+
 _CSV_ROWS = [
     (1, 100, "alpha"), (2, None, "beta"), (3, 300, None), (4, 42, "käse🎉"),
 ]
@@ -1393,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_key": q_sort_by_key,
         "split_by_size": q_split_by_size,
         "binary_append": q_binary_append,
+        "binary_split": q_binary_split,
         "csv_convert": q_csv_convert,
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
@@ -1511,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_key": _LI_ORACLE_PROJ,
         "split_by_size": _LI_ORACLE_PROJ,
         "binary_append": _LI_ORACLE_PROJ,
+        "binary_split": _LI_ORACLE_PROJ,
         "csv_convert": _CSV_ORACLE,
         "encode_roundtrip_sha":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",

@@ -50,6 +50,7 @@ ENC_CONC = int(os.environ.get("SPARK_GRAFT_ENCODE_CONCURRENCY",
 
 BENCH_QUERIES = [
     "merge_compact", "sort_by_key", "split_by_size", "binary_append",
+    "binary_split",
     "encode_roundtrip_sha", "q1_pricing_summary", "topk_per_group",
     "join_agg", "events_hourly", "text_stats", "lang_id",
     "exact_dedup", "normalized_dedup", "minhash_lsh", "dedup_clusters",
