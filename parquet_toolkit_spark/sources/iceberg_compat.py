@@ -1799,11 +1799,14 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
     snapshot path. No page is decompressed anywhere: the new files'
     manifest bounds come from their footer statistics (carried verbatim
     from the inputs). This is the M3+M7 fusion on the table format —
-    merge cost is sequential IO. Refused (loudly, with the decode path
-    named) when the table carries live delete files (a byte copy would
-    resurrect deleted rows), is partitioned, or when sort_by/zorder_by
-    is requested; identical parquet schemas across inputs are enforced
-    by the append itself."""
+    merge cost is sequential IO. Partitioned tables compact WITHIN
+    partition groups (the manifest partition record — identity or
+    transform values — carries verbatim to each merged file, preserving
+    pruning). Refused (loudly, with the decode path named) when the
+    table carries live delete files (a byte copy would resurrect
+    deleted rows), when files predate a partition-spec evolution, or
+    when sort_by/zorder_by is requested; identical parquet schemas
+    across inputs are enforced by the append itself."""
     import os
     import uuid
 
@@ -1918,28 +1921,50 @@ def _rewrite_binary(spark, table_dir: str, existing: dict, sf: dict,
             "rewrite_data_files(binary=True): table carries live delete "
             "files; a raw byte copy would resurrect deleted rows — run "
             "the default decode path, which absorbs delete debt")
-    if _default_spec_fields(existing):
-        raise ValueError(
-            "rewrite_data_files(binary=True) supports unpartitioned "
-            "tables only (merging across partition values would corrupt "
-            "partition pruning)")
     if not sf["data"]:
         raise ValueError("rewrite_data_files: no live data files")
+    # partitioned tables compact WITHIN partition groups: every file's
+    # manifest partition record (identity or transform values alike) is
+    # carried verbatim to the merged file it lands in, so pruning
+    # semantics are untouched. Files whose record shape differs from the
+    # current spec (spec evolution) refuse — re-serializing their values
+    # under the current spec's field list would corrupt the manifest.
+    spec_fields = _default_spec_fields(existing)
+    part_fields = ([(f["name"], f["avro"]) for f in spec_fields]
+                   if spec_fields else None)
+    want_keys = {f["name"] for f in spec_fields} if spec_fields else set()
+    pvals = sf.get("partition_values", {})
+    groups: dict[tuple, list[str]] = {}
+    for p in sf["data"]:
+        rec = pvals.get(p) or {}
+        if set(rec.keys()) != want_keys:
+            raise ValueError(
+                "rewrite_data_files(binary=True): data file partition "
+                f"record {sorted(rec)} does not match the current spec "
+                f"{sorted(want_keys)} (partition-spec evolution) — run "
+                "the default decode path")
+        groups.setdefault(tuple(sorted(rec.items())), []).append(p)
     dfs = DriverFS(spark)
     dfs.mkdirs(data_dir)
-    files = [(p, dfs.file_size(p)) for p in sf["data"]]
-    bins = _bin_pack(files, target_bytes)
     commit_uuid = uuid.uuid4().hex[:12]
-    jobs = [(b, f"{data_dir}/rw-{commit_uuid}-{i:05d}.parquet")
-            for i, b in enumerate(bins)]
+    jobs = []
+    part_vals: dict[str, dict] = {}
+    for key, members in sorted(groups.items()):
+        files = [(p, dfs.file_size(p)) for p in members]
+        for b in _bin_pack(files, target_bytes):
+            dest = f"{data_dir}/rw-{commit_uuid}-{len(jobs):05d}.parquet"
+            jobs.append((b, dest))
+            if key:
+                part_vals[dest] = dict(key)
     results = spark.sparkContext.parallelize(jobs, len(jobs)).map(
         lambda t: (t[1], append_files(t[0], t[1]))).collect()
     new_files = [d for d, _ in results]
     counts = {d: r["rows"] for d, r in results}
     out = _commit_replace_snapshot(
         table_dir, existing, sf, meta_dir, commit_uuid, new_files, counts,
-        {}, None, None, None)
-    return {**out, "binary": True, "n_bins": len(bins)}
+        part_vals, part_fields, None, None)
+    return {**out, "binary": True, "n_bins": len(jobs),
+            "partition_groups": len(groups)}
 
 
 def _commit_replace_snapshot(table_dir: str, existing: dict, sf: dict,

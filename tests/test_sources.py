@@ -2355,14 +2355,29 @@ def test_iceberg_rewrite_binary_zero_decode(spark, tmp_path):
         ic.rewrite_data_files(spark, tdir, binary=True, sort_by=["id"])
 
 
-def test_iceberg_rewrite_binary_refuses_partitioned(spark, tmp_path):
-    import pytest as _pt
-
+def test_iceberg_rewrite_binary_partitioned_groups(spark, tmp_path):
+    # binary compaction on a PARTITIONED table: files merge within
+    # partition groups, records carry verbatim, pruning still works
     from parquet_toolkit_spark.sources import iceberg_compat as ic
 
     tdir = str(tmp_path / "rwp")
-    df = spark.createDataFrame(
-        [(i, i % 3, f"v{i}") for i in range(60)], "id long, g int, v string")
-    ic.write_table(spark, df, tdir, partition_by=["g"])
-    with _pt.raises(ValueError, match="unpartitioned"):
-        ic.rewrite_data_files(spark, tdir, binary=True)
+    for k in range(3):  # 3 appends x 3 partitions = 9 data files
+        df = spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(k * 60, k * 60 + 60)],
+            "id long, g int, v string")
+        ic.write_table(spark, df, tdir, partition_by=["g"])
+    assert len(ic.snapshot_files(tdir)["data"]) >= 9
+
+    rw = ic.rewrite_data_files(spark, tdir, binary=True,
+                               binary_target_bytes=1 << 30)
+    assert rw["binary"] is True and rw["partition_groups"] == 3
+    assert rw["n_bins"] == 3 and len(rw["files"]) == 3
+    got = {(r.id, r.g) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(i, i % 3) for i in range(180)}
+    # manifest partition records survived: metadata-level pruning reads
+    # exactly one merged file per partition
+    sf1 = ic.snapshot_files(tdir, partition_filter={"g": 1})
+    assert len(sf1["data"]) == 1
+    assert {r.id % 3 for r in
+            ic.read_data(spark, tdir,
+                         partition_filter={"g": 1}).collect()} == {1}
