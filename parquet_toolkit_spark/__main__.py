@@ -114,6 +114,26 @@ def build_parser() -> argparse.ArgumentParser:
 
     f = sub.add_parser("fsck", help="distributed store integrity check")
     f.add_argument("--store", required=True)
+
+    icc = sub.add_parser("iceberg-compact",
+                         help="rewrite_data_files: compaction as a "
+                              "REPLACE snapshot on a filesystem Iceberg "
+                              "table")
+    icc.add_argument("--table", required=True)
+    icc.add_argument("--target-rows", type=int, default=None)
+    icc.add_argument("--sort-by", default=None, help="comma-separated")
+    icc.add_argument("--zorder-by", default=None, help="comma-separated")
+    icc.add_argument("--binary", action="store_true",
+                     help="zero-decode: raw row-group copy per partition "
+                          "group (no sort/zorder, no delete debt)")
+    icc.add_argument("--target-size", default="128MB",
+                     help="bin size for --binary")
+
+    ice = sub.add_parser("iceberg-expire",
+                         help="expire_snapshots: drop old snapshots and "
+                              "reclaim their files")
+    ice.add_argument("--table", required=True)
+    ice.add_argument("--keep-last", type=int, default=1)
     return p
 
 
@@ -242,6 +262,23 @@ def main(argv: list[str] | None = None) -> dict:
         res = {r["status"]: r["n"] for r in
                rep.groupBy("status").count()
                .withColumnRenamed("count", "n").collect()}
+    elif v == "iceberg-compact":
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            rewrite_data_files,
+        )
+        out = rewrite_data_files(
+            spark, args.table, target_file_rows=args.target_rows,
+            sort_by=_cols(args.sort_by), zorder_by=_cols(args.zorder_by),
+            binary=args.binary,
+            binary_target_bytes=_size(args.target_size))
+        res = {k: (len(v2) if k == "files" else v2)
+               for k, v2 in out.items()}
+    elif v == "iceberg-expire":
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            expire_snapshots,
+        )
+        res = expire_snapshots(spark, args.table,
+                               keep_last=args.keep_last)
     else:  # pragma: no cover — argparse enforces the choices
         raise SystemExit(2)
     print(json.dumps({"verb": v, **res}, default=str))

@@ -108,3 +108,21 @@ def test_cli_append_and_binary_split(spark, tmp_path):
                  "--target-size", "1", "--binary"])
     assert res3["rows"] == 3000 and res3["files_out"] >= 2
     assert spark.read.parquet(splits).count() == 3000
+
+
+def test_cli_iceberg_compact_and_expire(spark, tmp_path):
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "tbl")
+    for k in range(3):
+        df = spark.range(k * 100, k * 100 + 100).select(
+            F.col("id"), F.sha1(F.col("id").cast("string")).alias("v"))
+        ic.write_table(spark, df, tdir)
+
+    res = main(["iceberg-compact", "--table", tdir, "--binary"])
+    assert res["binary"] is True and res["files"] == 1
+    assert ic.read_data(spark, tdir).count() == 300
+
+    res2 = main(["iceberg-expire", "--table", tdir, "--keep-last", "1"])
+    assert res2["removed_snapshots"] == 3
+    assert ic.read_data(spark, tdir).count() == 300
