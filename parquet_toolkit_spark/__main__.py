@@ -134,6 +134,19 @@ def build_parser() -> argparse.ArgumentParser:
                               "reclaim their files")
     ice.add_argument("--table", required=True)
     ice.add_argument("--keep-last", type=int, default=1)
+
+    ico = sub.add_parser("iceberg-orphans",
+                         help="remove_orphan_files: report (default) or "
+                              "delete data files no snapshot references. "
+                              "Deletion skips files newer than "
+                              "--older-than-hours (a concurrent writer "
+                              "lands data files before its commit); "
+                              "single-writer discipline applies.")
+    ico.add_argument("--table", required=True)
+    ico.add_argument("--delete", action="store_true",
+                     help="actually delete (default: dry run)")
+    ico.add_argument("--older-than-hours", type=float, default=72.0,
+                     help="age guard for deletion (default 72h)")
     return p
 
 
@@ -279,6 +292,17 @@ def main(argv: list[str] | None = None) -> dict:
         )
         res = expire_snapshots(spark, args.table,
                                keep_last=args.keep_last)
+    elif v == "iceberg-orphans":
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            remove_orphan_files,
+        )
+        res = remove_orphan_files(
+            spark, args.table, dry_run=not args.delete,
+            older_than_s=args.older_than_hours * 3600.0)
+        res = {"n_orphans": len(res["orphans"]),
+               "deleted": res["deleted"],
+               "skipped_recent": res["skipped_recent"],
+               "orphans": res["orphans"][:20]}
     else:  # pragma: no cover — argparse enforces the choices
         raise SystemExit(2)
     print(json.dumps({"verb": v, **res}, default=str))

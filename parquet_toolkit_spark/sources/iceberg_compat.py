@@ -443,7 +443,9 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
                         for k in v if k in ddl_types})
         if pcols:
             pmap = spark.createDataFrame(
-                [tuple([_norm_fp(fp)] + [vals.get(c) for c in pcols])
+                [tuple([_norm_fp(fp)]
+                       + [_pv_to_spark(vals.get(c), ddl_types[c])
+                          for c in pcols])
                  for fp, vals in sf["partition_values"].items()],
                 ", ".join(["_pv_fp string"]
                           + [f"_pv_{c} {ddl_types[c]}" for c in pcols]),
@@ -481,6 +483,31 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
     if sf.get("equality_deletes"):
         df = _apply_equality_deletes(spark, df, md, sf)
     return df
+
+
+def _pv_to_spark(v, ddl: str):
+    """Decoded manifest partition value -> python value of the declared
+    Spark type. Foreign identity-partitioned tables store temporal
+    partition values as raw Avro ints (date = days since epoch,
+    timestamp = epoch micros, Iceberg spec Appendix A); createDataFrame
+    with a date/timestamp DDL rejects those ints (ADVICE r4). Our own
+    writer lands typed python values, which pass through untouched."""
+    import datetime as _dt
+
+    if v is None or not isinstance(v, int):
+        return v
+    t = ddl.lower()
+    if t == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if t == "timestamp_ntz":
+        return (_dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=v))
+    if t.startswith("timestamp"):
+        # timestamptz: epoch micros UTC; a tz-aware datetime converts to
+        # the exact instant regardless of the session timezone
+        return (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                + _dt.timedelta(microseconds=v))
+    return v
 
 
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame, md: dict,
@@ -847,7 +874,18 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
         spec_fields = (_parse_partition_by(partition_by, df_ddl)
                        if partition_by else [])
 
-    name_to_fid = {f["name"]: f["id"] for f in fields}
+    if existing is not None and schemas_out is None:
+        # plain append to an existing table: key manifest bounds (and any
+        # spec source-ids) to the table's COMMITTED field ids, not the
+        # positional renumbering above — a foreign-written table's ids need
+        # not be positional, and a collision would compare one column's
+        # filter against another column's bounds (unsound pruning,
+        # ADVICE r4). The evolution path already uses committed ids via
+        # `fields = new_fields`.
+        name_to_fid = {n: int(i)
+                       for n, i in existing["schema_name_to_id"].items()}
+    else:
+        name_to_fid = {f["name"]: f["id"] for f in fields}
     part_fields = ([(f["name"], f["avro"]) for f in spec_fields]
                    if spec_fields else None)
     partition_specs = None
@@ -1139,16 +1177,31 @@ def _spec_partition_col(f: dict, ddl: dict[str, str]):
             import numpy as np
             import pandas as pd
 
-            mask = s.isna()
-            v = s.fillna(0).to_numpy(dtype=np.int64)
+            # The Arrow->pandas conversion turns an int64 batch WITH nulls
+            # into float64, silently rounding |v| > 2^53 before hashing
+            # (ADVICE r4: 2**53+1 -> 2**53 -> wrong bucket in the manifest
+            # -> read-side pruning drops the file holding matching rows).
+            # Nulls are coalesced away below so every batch arrives as an
+            # exact integer dtype; a float batch here means that invariant
+            # broke — refuse rather than hash a rounded value.
+            if s.dtype.kind == "f":
+                raise TypeError(
+                    "_bucket_int received a float batch (nulls reached the "
+                    "UDF); bucket hashes would be inexact above 2^53"
+                )
+            v = s.to_numpy(dtype=np.int64)
             h = _murmur3_32_i64_vec(v)
             out = ((h & np.uint32(0x7FFFFFFF)).astype(np.int64)
                    % np.int64(n)).astype("int32")
-            res = pd.Series(out, index=s.index, dtype="Int32")
-            res[mask] = pd.NA
-            return res
+            return pd.Series(out, index=s.index, dtype="Int32")
 
-        return _bucket_int(src)
+        # NULL source values never enter the UDF batch (they would force
+        # the float64 conversion above): hash a placeholder 0 and mask the
+        # result back to NULL JVM-side. Iceberg's null partition value is
+        # null, matching the read-side scalar transform.
+        return F.when(src.isNull(), F.lit(None).cast("int")).otherwise(
+            _bucket_int(F.coalesce(src, F.lit(0).cast(src_ddl)))
+        )
 
     @pandas_udf("int")
     def _bucket_str(s):
@@ -2244,7 +2297,8 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def remove_orphan_files(spark: SparkSession | None, table_dir: str,
-                        dry_run: bool = True) -> dict:
+                        dry_run: bool = True,
+                        older_than_s: float = 3 * 24 * 3600.0) -> dict:
     """Iceberg maintenance: list files under data/ that NO snapshot
     references (crashed writes, aborted compactions — our own writers
     land data files before the metadata commit, so a crash between the
@@ -2256,7 +2310,17 @@ def remove_orphan_files(spark: SparkSession | None, table_dir: str,
     through older snapshots and must not be treated as orphan. Metadata
     files are never touched (expire_snapshots owns those).
 
-    Returns {"orphans": [paths], "deleted": int}."""
+    `older_than_s` is the age guard (default 3 days, mirroring Iceberg's
+    RemoveOrphanFiles olderThan default): files whose mtime is within the
+    window are reported but NEVER deleted. Because writers land data files
+    BEFORE the metadata commit, a concurrent in-flight write's just-landed
+    files look orphaned until its commit — deleting them would let that
+    writer commit a snapshot referencing missing files (ADVICE r4). The
+    guard makes the default safe; pass older_than_s=0 only when the table
+    provably has no concurrent writer (single-writer discipline applies
+    to every mutating entry point in this module).
+
+    Returns {"orphans": [paths], "deleted": int, "skipped_recent": int}."""
     import glob as _g
     import json
     import os
@@ -2293,14 +2357,22 @@ def remove_orphan_files(spark: SparkSession | None, table_dir: str,
     }
     orphans = sorted(on_disk - referenced)
     deleted = 0
+    skipped_recent = 0
     if not dry_run:
+        import time as _time
+
+        cutoff = _time.time() - max(0.0, older_than_s)
         for p in orphans:
             try:
+                if os.path.getmtime(p) > cutoff:
+                    skipped_recent += 1  # possibly a concurrent in-flight
+                    continue             # write's pre-commit data file
                 os.remove(p)
                 deleted += 1
             except FileNotFoundError:
                 pass
-    return {"orphans": orphans, "deleted": deleted}
+    return {"orphans": orphans, "deleted": deleted,
+            "skipped_recent": skipped_recent}
 
 
 def incremental_scan(spark: SparkSession, table_dir: str,
@@ -2364,8 +2436,15 @@ def incremental_scan(spark: SparkSession, table_dir: str,
             mpath = _resolve_path(mf["manifest_path"], table_dir,
                                   md["location"])
             for e in read_manifest(mpath, spark):
+                # spec: an entry's snapshot_id may be null, inherited from
+                # the manifest-list row's added_snapshot_id (same rule as
+                # sequence-number inheritance) — foreign-written manifests
+                # use this; dropping them would under-read (ADVICE r4)
+                eid = e.get("snapshot_id")
+                if eid is None:
+                    eid = mf.get("added_snapshot_id")
                 if (e.get("status", 0) == 1
-                        and e.get("snapshot_id") == s["snapshot_id"]
+                        and eid == s["snapshot_id"]
                         and e["data_file"].get("content", 0) == 0):
                     added.append(_resolve_path(e["data_file"]["file_path"],
                                                table_dir, md["location"]))
@@ -2405,8 +2484,13 @@ def _scan_added_after(spark: SparkSession, md: dict, table_dir: str,
         mpath = _resolve_path(mf["manifest_path"], table_dir,
                               md["location"])
         for e in read_manifest(mpath, spark):
+            # null snapshot_id inherits the manifest's added_snapshot_id
+            # (same spec rule as in incremental_scan above)
+            eid = e.get("snapshot_id")
+            if eid is None:
+                eid = mf.get("added_snapshot_id")
             if (e.get("status", 0) != 2
-                    and (e.get("snapshot_id") or 0) > after_id
+                    and (eid or 0) > after_id
                     and e["data_file"].get("content", 0) == 0):
                 added.append(_resolve_path(e["data_file"]["file_path"],
                                            table_dir, md["location"]))

@@ -50,16 +50,31 @@ def _canon(rows, colnames):
 
 
 ORACLED = sorted(entrymod.oracle_sql().keys())
+# oracle-twin queries kept out of the driver registry (50-entry runner cap)
+# but still hash-checked here on every pytest run
+EXTRA = sorted(entrymod.extra_oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", ORACLED)
+def _all_queries():
+    d = dict(entrymod.queries())
+    d.update(entrymod.extra_queries())
+    return d
+
+
+def _all_oracles():
+    d = dict(entrymod.oracle_sql())
+    d.update(entrymod.extra_oracle_sql())
+    return d
+
+
+@pytest.mark.parametrize("name", ORACLED + EXTRA)
 def test_query_matches_oracle(spark, con, name):
-    q = entrymod.queries()[name]
+    q = _all_queries()[name]
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = con.execute(entrymod.oracle_sql()[name])
+    res = con.execute(_all_oracles()[name])
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
 

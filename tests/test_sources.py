@@ -1525,7 +1525,14 @@ def test_iceberg_remove_orphan_files(spark, tmp_path):
     assert rep["orphans"] == [stray] and rep["deleted"] == 0
     assert os.path.exists(stray)
 
-    rep2 = ic.remove_orphan_files(spark, tdir, dry_run=False)
+    # default age guard: the just-written stray is "recent" = possibly a
+    # concurrent writer's pre-commit file — reported but NOT deleted
+    rep_guard = ic.remove_orphan_files(spark, tdir, dry_run=False)
+    assert rep_guard["deleted"] == 0 and rep_guard["skipped_recent"] == 1
+    assert os.path.exists(stray)
+
+    rep2 = ic.remove_orphan_files(spark, tdir, dry_run=False,
+                                  older_than_s=0)
     assert rep2["deleted"] == 1 and not os.path.exists(stray)
 
     # nothing else was touched: both snapshots still read exactly
@@ -2381,3 +2388,102 @@ def test_iceberg_rewrite_binary_partitioned_groups(spark, tmp_path):
     assert {r.id % 3 for r in
             ic.read_data(spark, tdir,
                          partition_filter={"g": 1}).collect()} == {1}
+
+
+def test_iceberg_bucket_exact_above_2_53_with_nulls(spark, tmp_path):
+    """ADVICE r4 (medium): an int64 batch containing NULLs used to reach
+    the bucket pandas UDF as float64, rounding |v| > 2^53 before hashing
+    (2**53+1 -> 2**53) — the manifest recorded a wrong bucket while the
+    read-side scalar transform computed the exact one, so a partition
+    lookup pruned the file holding the matching row. Nulls now never
+    enter the UDF batch (coalesce + JVM-side mask)."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    big = 2**53 + 1
+    rows = [(big, "big"), (None, "nul"), (7, "small"), (2**60 + 3, "huge")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    tdir = str(tmp_path / "bigbucket")
+    ic.write_table(spark, df, tdir, partition_by=["bucket(8, id)"])
+
+    # every manifest bucket value matches the exact scalar transform of
+    # the rows actually inside that file
+    sf = ic.snapshot_files(tdir)
+    by_file = {}
+    for p in sf["data"]:
+        got = spark.read.parquet(p).select("id").collect()
+        by_file[p] = [r.id for r in got]
+    for p, ids in by_file.items():
+        rec = sf["partition_values"][p]["id_bucket"]
+        for i in ids:
+            want = None if i is None else ic._bucket_of(i, "bigint", 8)
+            assert rec == want, (p, i, rec, want)
+
+    # point lookups on the exact big values are NOT pruned away
+    for probe in (big, 2**60 + 3, 7):
+        got = {r.id for r in ic.read_data(
+            spark, tdir, partition_filter={"id": probe}).collect()}
+        assert probe in got, probe
+    # full read exact, including the null-id row
+    allv = {r.v for r in ic.read_data(spark, tdir).collect()}
+    assert allv == {"big", "nul", "small", "huge"}
+
+
+def test_iceberg_append_foreign_nonpositional_field_ids(spark, tmp_path):
+    """ADVICE r4 (medium): appending to a vN filesystem table whose
+    committed field ids are NOT positional (written by another tool)
+    used to key manifest bounds to a fresh positional renumbering —
+    colliding ids made range_filter compare one column's filter against
+    another's bounds. Bounds must use the table's committed ids."""
+    import json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = tmp_path / "fids"
+    meta = tdir / "metadata"
+    meta.mkdir(parents=True)
+    (tdir / "data").mkdir()
+    # committed ids: id -> 3, v -> 1 (positional renumbering would say
+    # id -> 1, v -> 2: "id" bounds land on v's real id = collision)
+    md = {
+        "format-version": 2, "table-uuid": "fid-test",
+        "location": str(tdir), "current-schema-id": 0,
+        "last-column-id": 3,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 3, "name": "id", "type": "long", "required": False},
+            {"id": 1, "name": "v", "type": "string", "required": False},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    (meta / "version-hint.text").write_text("1")
+
+    df = spark.createDataFrame(
+        [(10, "aa"), (20, "bb"), (30, "cc")], "id long, v string")
+    ic.write_table(spark, df, str(tdir))
+
+    info = ic.read_table_metadata(str(tdir))
+    assert info["schema_name_to_id"] == {"id": 3, "v": 1}
+    mlist = ic.read_manifest_list(
+        info["snapshots"][-1]["manifest_list"], spark)
+    entries = ic.read_manifest(mlist[0]["manifest_path"], spark)
+    added = [e for e in entries if e.get("status", 0) == 1
+             and e["data_file"].get("lower_bounds")]  # skip empty parts
+    assert added
+    for e in added:
+        keys = {b["key"] for b in e["data_file"]["lower_bounds"]}
+        assert keys == {3, 1}, keys  # committed ids, not positional 1/2
+
+    # range pruning on each column stays sound: the files holding the
+    # matching rows are admitted, out-of-range files pruned
+    sf = ic.snapshot_files(str(tdir), range_filter={"v": ("aa", "ab")})
+    assert any("aa" in {r.v for r in spark.read.parquet(p).collect()}
+               for p in sf["data"])
+    sf2 = ic.snapshot_files(str(tdir), range_filter={"id": (25, 35)})
+    assert any(30 in {r.id for r in spark.read.parquet(p).collect()}
+               for p in sf2["data"])
+    # out-of-range filter: only bound-less (empty) parts may be admitted
+    sf3 = ic.snapshot_files(str(tdir), range_filter={"id": (99, 100)})
+    assert all(spark.read.parquet(p).count() == 0 for p in sf3["data"])
+    got = {tuple(r) for r in ic.read_data(spark, str(tdir)).collect()}
+    assert got == {(10, "aa"), (20, "bb"), (30, "cc")}
