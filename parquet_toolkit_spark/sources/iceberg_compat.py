@@ -288,6 +288,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     eq_deletes: list[dict] = []
     data_seq: dict[str, int] = {}
     record_counts: dict[str, int | None] = {}
+    file_sizes: dict[str, int | None] = {}
     partition_values: dict[str, dict] = {}
     raw_to_resolved: dict[str, str] = {}
     for mf in read_manifest_list(mlist_path, spark):
@@ -314,6 +315,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                 data.append(resolved)
                 data_seq[resolved] = seq
                 record_counts[resolved] = dfile.get("record_count")
+                file_sizes[resolved] = dfile.get("file_size_in_bytes")
                 if pvals:
                     partition_values[resolved] = pvals
                 raw_to_resolved[strip_local_scheme(dfile["file_path"])] = \
@@ -334,7 +336,8 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
             "equality_deletes": eq_deletes, "data_seq": data_seq,
             "partition_values": partition_values,
             "raw_to_resolved": raw_to_resolved,
-            "record_counts": record_counts}
+            "record_counts": record_counts,
+            "file_sizes": file_sizes}
 
 
 def _resolve_partition_filter(md: dict, partition_filter: dict
@@ -907,34 +910,33 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
         data_files = _land_parquet_parts(df, table_dir, data_dir, commit_uuid)
         part_vals = {}
 
-    import pyarrow.parquet as pq
-
-    counts = {p: pq.ParquetFile(p).metadata.num_rows for p in data_files}
-
     old_md = _load_old_md(existing)
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
 
     # ---- manifest for the new files (column bounds from the parquet
-    # footers: free file-level zone maps for range_filter scan pruning)
+    # footers: free file-level zone maps for range_filter scan pruning;
+    # footer reads run task-side above a threshold — VERDICT r4 #3)
     ddl_types = {f["name"]: _iceberg_type_to_ddl(f["type"]) for f in fields}
+    stats = _collect_file_stats(spark, data_files, name_to_fid, ddl_types)
+    n_records = sum(s[0] for s in stats.values())
     man_path = _write_manifest(
         meta_dir, f"m-{commit_uuid}.avro",
-        [_added_entry(p, snapshot_id, counts[p],
+        [_added_entry(p, snapshot_id, stats[p][0],
                       partition=part_vals.get(p),
-                      bounds=_file_bounds(p, name_to_fid, ddl_types))
+                      bounds=stats[p][2], file_size=stats[p][1])
          for p in data_files],
         partition_fields=part_fields)
     new_mf = _manifest_file_row(man_path, content=0, seq=seq,
                                 snapshot_id=snapshot_id,
                                 added_files=len(data_files),
-                                added_rows=sum(counts.values()))
+                                added_rows=n_records)
     mlist_path = _write_manifest_list(
         meta_dir, f"snap-{snapshot_id}-{commit_uuid}.avro",
         _prior_manifest_rows(existing, table_dir, spark) + [new_mf])
 
     summary = {"operation": "append",
                "added-data-files": str(len(data_files)),
-               "added-records": str(sum(counts.values()))}
+               "added-records": str(n_records)}
     if snapshot_props:
         # caller-stamped snapshot summary entries (e.g. the streaming
         # sink's epoch watermark); values coerced to strings per spec
@@ -1402,10 +1404,15 @@ def _added_entry(path: str, snapshot_id: int, record_count: int,
                  equality_ids: list[int] | None = None,
                  partition: dict | None = None,
                  bounds: tuple[list, list] | None = None,
-                 sort_order_id: int | None = None) -> dict:
+                 sort_order_id: int | None = None,
+                 file_size: int | None = None) -> dict:
     import os
 
     lowers, uppers = bounds if bounds else (None, None)
+    if file_size is None:
+        # callers on an O(files) path pass file_size (from task-side stats
+        # or the prior manifest) to keep per-file driver IO off commits
+        file_size = (os.path.getsize(path) if os.path.exists(path) else 0)
     return {
         "status": status, "snapshot_id": snapshot_id,
         "sequence_number": None, "file_sequence_number": None,
@@ -1413,8 +1420,7 @@ def _added_entry(path: str, snapshot_id: int, record_count: int,
                       "file_format": "PARQUET",
                       "partition": partition or {},
                       "record_count": record_count,
-                      "file_size_in_bytes": os.path.getsize(path)
-                      if os.path.exists(path) else 0,
+                      "file_size_in_bytes": file_size,
                       "split_offsets": None,
                       "equality_ids": equality_ids,
                       "lower_bounds": lowers, "upper_bounds": uppers,
@@ -1465,7 +1471,44 @@ def _file_bounds(path: str, name_to_fid: dict, ddl_types: dict
     extra IO. Returns the spec's k/v-array map encoding."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _bounds_from_pq_md(pq.ParquetFile(path).metadata,
+                              name_to_fid, ddl_types)
+
+
+def _collect_file_stats(spark: SparkSession | None, paths,
+                        name_to_fid: dict, ddl_types: dict
+                        ) -> dict[str, tuple]:
+    """{path: (num_rows, size_bytes, bounds)} from the parquet footers.
+
+    The per-file footer work is O(files) and runs on the EXECUTORS above
+    a small threshold: the commit paths used to read every footer on the
+    driver — fine at 10^3 files, a serial driver bottleneck at 10^6
+    (VERDICT r4 #3). The driver receives only the compact per-file tuples
+    it must hold anyway to write the manifest. Below the threshold a
+    local loop skips the job-launch latency."""
+    paths = list(paths)
+
+    def _stat(p):
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(p).metadata
+        return p, (md.num_rows, _os.path.getsize(p),
+                   _bounds_from_pq_md(md, name_to_fid, ddl_types))
+
+    if spark is None or len(paths) <= 32:
+        return dict(_stat(p) for p in paths)
+    n_tasks = min(max(1, len(paths) // 16),
+                  spark.sparkContext.defaultParallelism * 4)
+    return dict(
+        spark.sparkContext.parallelize(paths, n_tasks).map(_stat).collect()
+    )
+
+
+def _bounds_from_pq_md(md, name_to_fid: dict, ddl_types: dict
+                       ) -> tuple[list, list] | None:
+    """_file_bounds body over an already-read pyarrow footer metadata."""
     lo: dict[str, object] = {}
     hi: dict[str, object] = {}
     for rg in range(md.num_row_groups):
@@ -1697,10 +1740,8 @@ def delete_where(spark: SparkSession, table_dir: str,
     delete_files = _land_parquet_parts(
         hits.repartition(1).sortWithinPartitions("file_path", "pos"),
         table_dir, data_dir, f"delete-{commit_uuid}")
-    import pyarrow.parquet as pq
-
-    n_deleted = sum(pq.ParquetFile(p).metadata.num_rows
-                    for p in delete_files)
+    dstats = _collect_file_stats(spark, delete_files, {}, {})
+    n_deleted = sum(s[0] for s in dstats.values())
     if n_deleted == 0:
         for p in delete_files:
             os.remove(p)
@@ -1711,7 +1752,8 @@ def delete_where(spark: SparkSession, table_dir: str,
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
     man_path = _write_manifest(
         meta_dir, f"m-del-{commit_uuid}.avro",
-        [_added_entry(p, snapshot_id, n_deleted, content=1)
+        [_added_entry(p, snapshot_id, n_deleted, content=1,
+                      file_size=dstats[p][1])
          for p in delete_files])
     del_mf = _manifest_file_row(man_path, content=1, seq=seq,
                                 snapshot_id=snapshot_id,
@@ -1943,12 +1985,9 @@ def rewrite_data_files(spark: SparkSession, table_dir: str,
                                         commit_uuid,
                                         max_records=target_file_rows)
         part_vals = {}
-    import pyarrow.parquet as pq
-
-    counts = {p: pq.ParquetFile(p).metadata.num_rows for p in new_files}
     return _commit_replace_snapshot(
-        table_dir, existing, sf, meta_dir, commit_uuid, new_files, counts,
-        part_vals, part_fields, sort_orders, sort_order_id)
+        table_dir, existing, sf, meta_dir, commit_uuid, new_files, None,
+        part_vals, part_fields, sort_orders, sort_order_id, spark=spark)
 
 
 def _rewrite_binary(spark, table_dir: str, existing: dict, sf: dict,
@@ -2002,8 +2041,14 @@ def _rewrite_binary(spark, table_dir: str, existing: dict, sf: dict,
     commit_uuid = uuid.uuid4().hex[:12]
     jobs = []
     part_vals: dict[str, dict] = {}
+    man_sizes = sf.get("file_sizes", {})
     for key, members in sorted(groups.items()):
-        files = [(p, dfs.file_size(p)) for p in members]
+        # sizes come from the manifest entries just read (the spec stores
+        # file_size_in_bytes) — a per-file dfs RPC here is an O(files)
+        # driver loop (VERDICT r4 #3); fall back only for a foreign
+        # manifest that recorded 0/None
+        files = [(p, man_sizes.get(p) or dfs.file_size(p))
+                 for p in members]
         for b in _bin_pack(files, target_bytes):
             dest = f"{data_dir}/rw-{commit_uuid}-{len(jobs):05d}.parquet"
             jobs.append((b, dest))
@@ -2015,28 +2060,35 @@ def _rewrite_binary(spark, table_dir: str, existing: dict, sf: dict,
     counts = {d: r["rows"] for d, r in results}
     out = _commit_replace_snapshot(
         table_dir, existing, sf, meta_dir, commit_uuid, new_files, counts,
-        part_vals, part_fields, None, None)
+        part_vals, part_fields, None, None, spark=spark)
     return {**out, "binary": True, "n_bins": len(jobs),
             "partition_groups": len(groups)}
 
 
 def _commit_replace_snapshot(table_dir: str, existing: dict, sf: dict,
                              meta_dir: str, commit_uuid: str,
-                             new_files: list, counts: dict,
+                             new_files: list, counts: dict | None,
                              part_vals: dict, part_fields,
-                             sort_orders, sort_order_id) -> dict:
+                             sort_orders, sort_order_id,
+                             spark: SparkSession | None = None) -> dict:
     """Shared tail of both compaction paths: one ADDED manifest for the
     new files (+bounds from their footers), DELETED tombstones for every
-    replaced data/delete file, a replace-operation snapshot commit."""
+    replaced data/delete file, a replace-operation snapshot commit.
+
+    All per-file footer/stat work runs task-side via _collect_file_stats
+    (VERDICT r4 #3); tombstone sizes come from the prior manifest."""
     old_md = _load_old_md(existing)
     snapshot_id, seq, version = _next_commit_ids(existing, old_md)
     rw_types = {n: t for n, t, _r in existing["schema_fields"]}
+    stats = _collect_file_stats(spark, new_files,
+                                existing["schema_name_to_id"], rw_types)
+    if counts is None:  # decode path: rows not known task-side
+        counts = {p: stats[p][0] for p in new_files}
     add_man = _write_manifest(
         meta_dir, f"m-rw-{commit_uuid}.avro",
         [_added_entry(p, snapshot_id, counts[p],
                       partition=part_vals.get(p),
-                      bounds=_file_bounds(p, existing["schema_name_to_id"],
-                                          rw_types),
+                      bounds=stats[p][2], file_size=stats[p][1],
                       sort_order_id=sort_order_id)
          for p in new_files],
         partition_fields=part_fields)
@@ -2046,8 +2098,10 @@ def _commit_replace_snapshot(table_dir: str, existing: dict, sf: dict,
     # matching manifest-list content flags — the spec forbids delete-file
     # entries inside a data manifest and strict engines validate it
     # (code-review r4)
+    man_sizes = sf.get("file_sizes", {})
     data_dels = [
-        _added_entry(p, snapshot_id, 0, status=2, content=0)
+        _added_entry(p, snapshot_id, 0, status=2, content=0,
+                     file_size=man_sizes.get(p) or 0)
         for p in sf["data"]
     ]
     deletefile_dels = [

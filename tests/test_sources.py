@@ -2487,3 +2487,33 @@ def test_iceberg_append_foreign_nonpositional_field_ids(spark, tmp_path):
     assert all(spark.read.parquet(p).count() == 0 for p in sf3["data"])
     got = {tuple(r) for r in ic.read_data(spark, str(tdir)).collect()}
     assert got == {(10, "aa"), (20, "bb"), (30, "cc")}
+
+
+def test_collect_file_stats_distributed_matches_local(spark, tmp_path):
+    """VERDICT r4 #3: commit-path footer stats run task-side above the
+    threshold; the distributed result must be byte-identical to the
+    driver-local loop (rows, sizes, encoded bounds)."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    d = tmp_path / "many"
+    d.mkdir()
+    paths = []
+    for i in range(40):  # > the 32-file threshold -> Spark job path
+        p = str(d / f"f{i:03d}.parquet")
+        spark.createDataFrame([(i, f"s{i}"), (i + 100, f"t{i}")],
+                              "id long, v string").coalesce(1) \
+            .write.mode("overwrite").parquet(p + ".dir")
+        import glob as _g
+        import os as _os
+
+        _os.replace(_g.glob(p + ".dir/part-*.parquet")[0], p)
+        paths.append(p)
+    fid = {"id": 3, "v": 1}
+    ddl = {"id": "bigint", "v": "string"}
+    dist = ic._collect_file_stats(spark, paths, fid, ddl)
+    local = ic._collect_file_stats(None, paths, fid, ddl)
+    assert dist == local
+    assert len(dist) == 40
+    rows, size, bounds = dist[paths[5]]
+    assert rows == 2 and size > 0
+    assert {b["key"] for b in bounds[0]} == {3, 1}
