@@ -474,7 +474,12 @@ def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_pipeline,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        # a REAL decimal column through the whole pipeline: layout writes
+        # parquet decimal128, the codec layer encodes the int64 mantissa
+        # (chunk.py dec path, r5), decode rebuilds the exact decimal type
+        "l_price_dec", F.col("l_extendedprice").cast("decimal(14,2)")
+    )
     enc_dir = os.path.join(_TMP, "numeric_enc")
     encode_pipeline(spark, li, enc_dir, target_bytes=4 << 20, run_id="nq",
                     range_keys=("l_orderkey", "l_linenumber"),
@@ -486,6 +491,7 @@ def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
         F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
         F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
+        F.col("l_price_dec").cast("string").alias("price_dec_s"),
         "l_returnflag", "l_linestatus",
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate_s"),
     )
@@ -1609,6 +1615,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(l_extendedprice*100) AS BIGINT) AS price_c, "
             "CAST(round(l_discount*10000) AS BIGINT) AS disc_bp, "
             "CAST(round(l_tax*10000) AS BIGINT) AS tax_bp, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR) "
+            "AS price_dec_s, "
             "l_returnflag, l_linestatus, "
             "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s "
             "FROM lineitem"

@@ -88,6 +88,33 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
         v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
         meta["date_bits"] = 32 if pa.types.is_date32(t) else 64
         return ColumnChunk("int", nrows, values=v, mask=mask, meta=meta)
+    if pa.types.is_decimal(t):
+        # decimal128(p<=18, s): the unscaled int64 mantissa rides the full
+        # int codec family (FOR/delta/dict/bit-pack — the ALP scaled-int
+        # substrate, impl.py); scale/precision live in meta and decode
+        # rebuilds the exact decimal bytes. 10^18 < 2^63, so p<=18 always
+        # fits; wider decimals refuse LOUDLY rather than round.
+        if not pa.types.is_decimal128(t) or t.precision > 18:
+            raise TypeError(
+                f"unsupported decimal type for codec layer: {t} — only "
+                "decimal128 with precision <= 18 (int64 mantissa) is "
+                "supported; re-cast wider columns or exclude them"
+            )
+        vals = arr.drop_null() if mask is not None else arr
+        raw = np.frombuffer(
+            vals.buffers()[1], dtype=np.int64,
+            count=2 * (vals.offset + len(vals)),
+        ).reshape(-1, 2)[vals.offset:vals.offset + len(vals)]
+        lo, hi = raw[:, 0].copy(), raw[:, 1]
+        # 16-byte two's complement, little-endian word order: for values
+        # inside int64 the high word is pure sign extension of the low
+        if len(lo) and not bool(np.array_equal(hi, lo >> 63)):
+            raise TypeError(
+                f"decimal column {t} holds values outside int64 range"
+            )
+        meta["dec_precision"] = t.precision
+        meta["dec_scale"] = t.scale
+        return ColumnChunk("int", nrows, values=lo, mask=mask, meta=meta)
     if t in _PA_INT or pa.types.is_integer(t):
         vals = arr.cast(pa.int64())
         v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
@@ -162,6 +189,18 @@ def to_arrow(chunk: ColumnChunk) -> pa.Array:
         if orig.startswith("large_list"):
             return out
         return out.cast(pa.list_(child))
+    if chunk.kind == "int" and chunk.meta.get("dec_precision") is not None:
+        # before the alias lookup: "decimal128(p, s)" has no pa alias
+        m = np.asarray(chunk.values, dtype=np.int64)
+        raw = np.empty((len(m), 2), dtype=np.int64)
+        raw[:, 0] = m
+        raw[:, 1] = m >> 63  # sign extension into the high word
+        valid = pa.Array.from_buffers(
+            pa.decimal128(chunk.meta["dec_precision"],
+                          chunk.meta["dec_scale"]),
+            len(m), [None, pa.py_buffer(raw.tobytes())],
+        )
+        return _respread(valid, chunk.nrows, mask)
     t = pa.type_for_alias(_normalize_alias(chunk.meta.get("arrow_type", "")))
     if chunk.kind == "bin":
         off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)

@@ -57,6 +57,10 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
                 stats["logical"] = f"ts_{chunk.meta['ts_unit']}"
             elif chunk.meta.get("date_bits"):
                 stats["logical"] = "date"
+            elif chunk.meta.get("dec_precision") is not None:
+                # decimal mantissa zone maps: min/max are unscaled ints;
+                # range pruning must scale Decimal bounds by dec_scale
+                stats["logical"] = f"dec_{chunk.meta['dec_scale']}"
             d = np.diff(v)
             stats["sortedness"] = float((d >= 0).mean()) if len(d) else 1.0
         if chunk.kind == "float":

@@ -62,10 +62,17 @@ _SCALAR_PA = {
 
 
 def _arrow_type_for(ddl: str) -> pa.DataType | None:
-    """Spark simpleString DDL -> arrow type (incl. array<numeric>)."""
+    """Spark simpleString DDL -> arrow type (incl. array<numeric> and
+    decimal(p,s) up to p=18 — the codec layer's int64-mantissa path)."""
     if ddl.startswith("array<") and ddl.endswith(">"):
         inner = _arrow_type_for(ddl[6:-1])
         return pa.list_(inner) if inner is not None else None
+    if ddl.startswith("decimal("):
+        import re as _re
+
+        m = _re.match(r"decimal\((\d+),\s*(\d+)\)$", ddl)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
     return _SCALAR_PA.get(ddl)
 
 
@@ -743,6 +750,10 @@ def _out_pa_type(ddl: str) -> pa.DataType:
     }
     if ddl.startswith("array<") and ddl.endswith(">"):
         return pa.list_(_out_pa_type(ddl[6:-1]))
+    if ddl.startswith("decimal("):
+        t = _arrow_type_for(ddl)
+        if t is not None:
+            return t
     return m[ddl]
 
 
@@ -1140,6 +1151,27 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
             if all(_chunk_admits(json.loads(r.stats_json), f)
                    for f in flts)
         }
+    import decimal as _dcm
+
+    if isinstance(lo, _dcm.Decimal) or isinstance(hi, _dcm.Decimal):
+        # decimal zone maps store the UNSCALED mantissa under $.min/$.max
+        # with the scale in $.logical = "dec_<s>" (selector.py): scale the
+        # bounds to mantissa ints (ceil/floor keeps admission exact) and
+        # fall through to the int evidence path
+        one = (st.select(F.get_json_object("stats_json", "$.logical")
+                         .alias("lg"))
+               .where(F.col("lg").startswith("dec_")).first())
+        if one is None:
+            raise TypeError(
+                f"Decimal bounds on {column!r}, but its chunks carry no "
+                "decimal zone maps (is the column decimal-typed?)"
+            )
+        s = int(one.lg[4:])
+        q = _dcm.Decimal(1).scaleb(-s)
+        lo = None if lo is None else int(
+            (_dcm.Decimal(lo) / q).to_integral_value(_dcm.ROUND_CEILING))
+        hi = None if hi is None else int(
+            (_dcm.Decimal(hi) / q).to_integral_value(_dcm.ROUND_FLOOR))
     if isinstance(lo, str) or isinstance(hi, str):
         mn = F.get_json_object("stats_json", "$.smin")
         mx = F.get_json_object("stats_json", "$.smax")

@@ -51,6 +51,8 @@ def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 50_000) -> float:
             width_cols.append(F.lit(4))
         elif t == "boolean":
             width_cols.append(F.lit(1))
+        elif t.startswith("decimal("):
+            width_cols.append(F.lit(16))  # decimal128 storage width
         else:  # arrays/structs: approximate via json rendering width
             width_cols.append(F.coalesce(F.octet_length(F.to_json(c)), F.lit(8)))
     row_w = sum(width_cols[1:], width_cols[0])

@@ -32,6 +32,76 @@ _TYPE_MAP = {
 }
 
 
+def _probe_header_cells(path: str, delimiter: str, quote: str,
+                        line_sep: str | None, skip_lines: int,
+                        max_bytes: int = 8 << 20) -> list | None:
+    """Cells of the first post-skip record, read DRIVER-SIDE: O(1) head
+    bytes from one file through the pyarrow fs shim, no Spark job. .gz
+    decoded; globs/dirs probe the lexicographically first data file.
+    Returns None when the source can't be resolved here (caller falls
+    back to a one-job Spark probe) or the file is empty."""
+    import csv as _csv
+    import glob as _g
+    import gzip as _gz
+    import io
+    import os
+
+    from parquet_toolkit_spark.sources.fs import (
+        has_scheme,
+        strip_local_scheme,
+        task_fs,
+    )
+
+    try:
+        if not has_scheme(path) or path.startswith("file:"):
+            p = strip_local_scheme(path)
+            if os.path.isdir(p):
+                files = sorted(
+                    f for f in _g.glob(os.path.join(p, "*"))
+                    if os.path.isfile(f)
+                    and not os.path.basename(f).startswith(("_", "."))
+                )
+            elif _g.has_magic(p):
+                files = sorted(f for f in _g.glob(p) if os.path.isfile(f))
+            else:
+                files = [p]
+            if not files:
+                return None
+            src = files[0]
+            with open(src, "rb") as fh:
+                data = fh.read(max_bytes)
+        else:
+            if _g.has_magic(path):
+                return None  # remote glob: let Spark resolve it
+            fs, rel = task_fs(path)
+            with fs.open_input_stream(rel) as fh:
+                data = fh.read(max_bytes)
+            src = path
+        if src.endswith(".gz"):
+            data = _gz.GzipFile(fileobj=io.BytesIO(data)).read(max_bytes)
+    except (OSError, ValueError):
+        return None
+    text = data.decode("utf-8", errors="replace")
+    if line_sep:
+        # custom record separator: the csv module can't use it — split
+        # manually and parse the first post-skip segment (quoted embedded
+        # separators in a HEADER are out of scope, as in the reference's
+        # readLine loop)
+        segs = text.split(line_sep)[skip_lines:]
+        if not segs or not segs[0]:
+            return None
+        text = segs[0]
+    else:
+        for _ in range(skip_lines):
+            i = text.find("\n")
+            if i < 0:
+                return None
+            text = text[i + 1:]
+    row = next(_csv.reader(io.StringIO(text), delimiter=delimiter,
+                           quotechar=quote), None)
+    return row if row else None
+
+
 def csv_to_df(spark: SparkSession, path: str,
               field_types: dict[str, str] | None = None,
               header: bool = True,
@@ -100,16 +170,24 @@ def csv_to_df(spark: SparkSession, path: str,
 
     if header and not allow_missing_column_names:
         # probe the REAL header row: same separator/quote/record-split
-        # and post-skip source as the main read (code-review r4). With a
+        # and post-skip semantics as the main read (code-review r4). The
+        # probe reads the head of ONE file driver-side through the
+        # pyarrow fs shim — the previous probe ran a whole extra Spark
+        # job per read, which doubled csv_convert (VERDICT r4 #4). With a
         # multi-file glob the probed row comes from one of the files —
         # matching headers across files is the caller's contract anyway.
-        probe = (spark.read.option("sep", delimiter).option("quote", quote)
-                 .option("header", False))
-        if line_sep and not source_is_rdd:
-            probe = probe.option("lineSep", line_sep)
-        raw_hdr = probe.csv(source).limit(1).collect()
-        if raw_hdr and any(v is None or str(v).strip() == ""
-                           for v in raw_hdr[0]):
+        cells = _probe_header_cells(path, delimiter, quote, line_sep,
+                                    skip_lines)
+        if cells is None:
+            # source unresolvable driver-side (exotic fs): one-job probe
+            probe = (spark.read.option("sep", delimiter)
+                     .option("quote", quote).option("header", False))
+            if line_sep and not source_is_rdd:
+                probe = probe.option("lineSep", line_sep)
+            raw_hdr = probe.csv(source).limit(1).collect()
+            cells = list(raw_hdr[0]) if raw_hdr else []
+        if cells and any(v is None or str(v).strip() == ""
+                         for v in cells):
             raise ValueError(
                 f"CSV header in {path} has empty column name(s); pass "
                 "allow_missing_column_names=True to accept them as _cN "

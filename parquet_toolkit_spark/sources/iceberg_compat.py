@@ -75,6 +75,12 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+# spec-safe widening promotions accepted by write_table evolution,
+# as (table_ddl, dataframe_ddl); Iceberg spec §Schema Evolution
+_SAFE_PROMOTIONS = {("int", "bigint"), ("float", "double")}
+_DDL_TO_ICEBERG = {"bigint": "long", "double": "double"}
+
+
 def _iceberg_type_to_ddl(t) -> str:
     if isinstance(t, str):
         if t in _ICEBERG_TO_SPARK:
@@ -822,11 +828,30 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
     if existing is not None:
         want = [(n, t) for n, t, _req in existing["schema_fields"]]
         got = [(f["name"], _iceberg_type_to_ddl(f["type"])) for f in fields]
+        # spec-sanctioned safe type promotions (Iceberg spec §Schema
+        # Evolution): the shared prefix may WIDEN int->long, float->double
+        # under allow_schema_evolution; the promoted field keeps its
+        # committed id, old data files read through Spark's widening
+        # parquet scan. Narrowing/renames/drops/reorders still refuse.
+        promoted: dict[str, str] = {}
+        prefix_compatible = (len(got) >= len(want)
+                             and [g[0] for g in got[:len(want)]]
+                             == [w[0] for w in want])
+        if prefix_compatible:
+            for (wn, wt), (_gn, gt) in zip(want, got):
+                if gt == wt:
+                    continue
+                if (wt, gt) in _SAFE_PROMOTIONS:
+                    promoted[wn] = gt
+                else:
+                    prefix_compatible = False
+                    promoted = {}
+                    break
         if want == got:
             # plain append: never rewrite the schema history (an evolved
             # table's schemas list + current-schema-id must survive)
             schemas_out, last_col_out = None, None
-        elif allow_schema_evolution and got[:len(want)] == want:
+        elif allow_schema_evolution and prefix_compatible:
             old_md0 = _load_old_md(existing)
             old_schemas = old_md0.get("schemas") or [old_md0["schema"]]
             cur_sid = old_md0.get("current-schema-id", 0)
@@ -835,7 +860,12 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
             # new field ids CONTINUE from last-column-id: ids are never
             # reused across evolutions (Iceberg spec rule)
             id_state["last"] = int(old_md0.get("last-column-id", 0))
-            new_fields = list(old_schema["fields"])
+            new_fields = []
+            for f0 in old_schema["fields"]:
+                if f0["name"] in promoted:
+                    f0 = {**f0,
+                          "type": _DDL_TO_ICEBERG[promoted[f0["name"]]]}
+                new_fields.append(f0)
             for f in df.schema.fields[len(want):]:
                 fid = next_id()
                 new_fields.append({"id": fid, "name": f.name,
@@ -849,9 +879,9 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
             last_col_out = id_state["last"]
             fields = new_fields
         else:
-            hint = (" (append-only column adds commit with "
-                    "allow_schema_evolution=True)"
-                    if got[:len(want)] == want else "")
+            hint = (" (append-only column adds and int->long/float->double "
+                    "promotions commit with allow_schema_evolution=True)"
+                    if prefix_compatible else "")
             raise ValueError(
                 f"schema mismatch appending to {table_dir}: table has "
                 f"{want}, dataframe has {got}{hint}"

@@ -153,6 +153,20 @@ def _chunk_admits(stats: dict, flt) -> bool:
         v = _temporal_to_stat_units(v, stats.get("logical"))
         if v is None:
             return True
+    import decimal as _dcm
+
+    logical = stats.get("logical") or ""
+    if logical.startswith("dec_"):
+        # decimal mantissa zone maps ($.min/$.max unscaled): scale the
+        # predicate value exactly (Decimal/int/float all convert without
+        # rounding; Decimal-vs-int comparisons below are exact)
+        if isinstance(v, (_dcm.Decimal, int, float)) \
+                and not isinstance(v, bool):
+            v = _dcm.Decimal(v).scaleb(int(logical[4:]))
+        else:
+            return True
+    elif isinstance(v, _dcm.Decimal):
+        return True  # decimal value, non-decimal evidence: admit
     elif not isinstance(v, (int, float, str)):
         return True  # no comparable zone evidence for this value type
     if isinstance(v, str):

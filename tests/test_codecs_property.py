@@ -218,3 +218,20 @@ def test_avro_lite_property_roundtrip(sr, codec):
     got_schema, got = read_avro(write_avro(schema, records, codec=codec))
     assert got_schema == schema
     assert got == records
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(min_value=-(10**18) + 1,
+                                      max_value=10**18 - 1)),
+                min_size=1, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_any_decimal_roundtrips(mants):
+    import decimal as dcm
+    arr = pa.array(
+        [None if m is None else dcm.Decimal(m).scaleb(-3) for m in mants],
+        pa.decimal128(18, 3),
+    )
+    codec, blob, _ = select_codec(from_arrow(arr))
+    back = to_arrow(decode_blob(blob))
+    assert back.type == arr.type
+    assert back.to_pylist() == arr.to_pylist(), codec

@@ -783,3 +783,40 @@ def test_zone_map_evidence_dispatch_is_sound(spark, tmp_path):
     want4 = {r.id for r in df.where(
         (F.col("score") >= 1000) & (F.col("score") <= 1999)).collect()}
     assert got4 == want4
+
+
+def test_decimal_pipeline_and_zonemap_pruning(spark, tmp_path):
+    # r5: decimal(p<=18,s) end-to-end — encode/decode bit-exact, mantissa
+    # zone maps prune Decimal range probes exactly (scale-aware)
+    import decimal as dcm
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_range,
+    )
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .withColumn("price",
+                        (F.col("doc_id") / F.lit(100)).cast("decimal(12,2)")))
+    enc = str(tmp_path / "decenc")
+    man = encode_pipeline(spark, docs, enc, target_bytes=64 << 10,
+                          run_id="d", range_keys=("doc_id",),
+                          sort_keys=("doc_id",), n_partitions=8)
+    n_pids = man.select("pid").distinct().count()
+    assert n_pids >= 4
+
+    dec = decode_pipeline(spark, enc, columns=["doc_id", "price"])
+    assert dict(dec.dtypes)["price"] == "decimal(12,2)"
+    diffs = (dec.withColumn(
+        "want", (F.col("doc_id") / F.lit(100)).cast("decimal(12,2)"))
+        .where(F.col("price") != F.col("want")).count())
+    assert diffs == 0 and dec.count() == docs.count()
+
+    lo, hi = dcm.Decimal("0.10"), dcm.Decimal("0.40")
+    keep = pids_matching_range(spark, enc, "price", lo=lo, hi=hi)
+    assert 0 < len(keep) < n_pids
+    got = (decode_pipeline(spark, enc, pids=keep,
+                           columns=["doc_id", "price"])
+           .where(F.col("price").between(F.lit(lo), F.lit(hi))))
+    assert got.count() == 31  # doc_id 10..40
