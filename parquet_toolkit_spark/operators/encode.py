@@ -43,6 +43,11 @@ MANIFEST_COLS = [
     "pid", "column", "codec", "nrows", "bytes_in", "bytes_out",
     "checksum", "stats_json", "run_id", "status",
 ]
+MANIFEST_DDL = (
+    "pid INT, column STRING, codec STRING, nrows BIGINT, bytes_in BIGINT, "
+    "bytes_out BIGINT, checksum STRING, stats_json STRING, run_id STRING, "
+    "status STRING"
+)
 
 # driver-process memo: staging dir -> column codec hints (plan_hints)
 _HINTS_MEMO: dict[tuple, dict] = {}
@@ -146,6 +151,54 @@ def _encode_pdf(pdf: pd.DataFrame, pid: int, schema_map: dict[str, str],
     }
     return pd.DataFrame(
         _encode_columns(cols, pid, run_id, exclude_codecs=exclude_codecs))
+
+
+_ARROW_DDL = {
+    pa.int64(): "bigint", pa.int32(): "int", pa.int16(): "smallint",
+    pa.int8(): "tinyint", pa.float64(): "double", pa.float32(): "float",
+    pa.bool_(): "boolean", pa.date32(): "date",
+    pa.string(): "string", pa.large_string(): "string",
+    pa.binary(): "binary", pa.large_binary(): "binary",
+}
+
+
+def _ddl_of_arrow(t: pa.DataType) -> str | None:
+    """Arrow type -> the Spark simpleString DDL _schema_map would give.
+    None for types the codec layer doesn't carry (caller falls back to a
+    Spark schema read)."""
+    if t in _ARROW_DDL:
+        return _ARROW_DDL[t]
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz else "timestamp_ntz"
+    if pa.types.is_decimal128(t):
+        return f"decimal({t.precision},{t.scale})"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        inner = _ddl_of_arrow(t.value_type)
+        return f"array<{inner}>" if inner is not None else None
+    return None
+
+
+def _schema_map_from_footer(path: str,
+                            exclude: tuple[str, ...] = ("pid",)
+                            ) -> dict[str, str] | None:
+    """schema_map from one parquet footer via the pyarrow fs shim —
+    no Spark job. None when any column type has no exact DDL mapping."""
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources.fs import task_fs
+
+    fs, rel = task_fs(path)
+    schema = pq.read_schema(rel, filesystem=fs)
+    out: dict[str, str] = {}
+    for f in schema:
+        if f.name in exclude:
+            continue
+        ddl = _ddl_of_arrow(f.type)
+        if ddl is None:
+            return None
+        out[f.name] = ddl
+    return out
 
 
 def _schema_map(df: DataFrame, exclude: tuple[str, ...] = ("pid",)) -> dict[str, str]:
@@ -299,12 +352,16 @@ def _striped_task_df(spark: SparkSession, rows: list[tuple], ddl: str,
     sized by concurrent tasks, not available cores — on a real cluster
     set executor cores/task.cpus instead."""
     width = max(1, min(width, len(rows)))
-    rdd = (
-        spark.sparkContext
-        .parallelize([(i % width, r) for i, r in enumerate(rows)], width)
-        .partitionBy(width, lambda k: k)
-        .values()
-    )
+    # one stripe-list per parallelize slice: numSlices == len(list) puts
+    # exactly one stripe in each partition, flatMap unpacks it in place —
+    # exact placement with ZERO shuffle (the previous partitionBy route
+    # paid a python-RDD shuffle: two extra python worker stages of pure
+    # fixed overhead per job, parallelism-independent, taxing the N-vs-4N
+    # scaling ratio)
+    stripes: list[list] = [[] for _ in range(width)]
+    for i, r in enumerate(rows):
+        stripes[i % width].append(r)
+    rdd = spark.sparkContext.parallelize(stripes, width).flatMap(lambda s: s)
     return spark.createDataFrame(rdd, ddl)
 
 
@@ -374,9 +431,15 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
         return read_manifest(spark, out_dir)
     # schema from ONE staged file footer — whole-directory partition
     # discovery (spark.read.parquet(staging_dir)) costs seconds of serial
-    # driver time and adds nothing: layout_stage wrote a uniform schema
+    # driver time and adds nothing: layout_stage wrote a uniform schema.
+    # The footer is read DRIVER-SIDE with pyarrow: even a single-file
+    # spark.read.parquet launches a schema-inference job (~0.2-0.4 s),
+    # pure fixed overhead in every encode run — it is parallelism-
+    # independent, so it directly taxes the N-vs-4N scaling ratio.
     any_file = next(iter(pid_files.values()))[0]
-    schema_map = _schema_map(spark.read.parquet(any_file))
+    schema_map = _schema_map_from_footer(any_file)
+    if schema_map is None:  # exotic arrow type: fall back to Spark
+        schema_map = _schema_map(spark.read.parquet(any_file))
 
     committed: set[int] = set()
     if resume:
@@ -532,11 +595,13 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
 
 
 def _commit_manifest(dfs, out_dir: str, man_df: DataFrame) -> None:
-    """Swap-commit the manifest — ONE job: manifest rows -> repartition(1)
-    -> manifest_new, then rename-swap into place. repartition (unlike
-    coalesce) inserts a shuffle boundary, so the single-reducer write
-    can't propagate upstream and serialize producer tasks; the shuffled
-    payload is just tiny manifest rows. Crash-safe at every boundary
+    """Swap-commit the manifest — ONE job: manifest rows -> manifest_new
+    parts written by the producing tasks themselves (no repartition/
+    coalesce: the extra shuffle stage + single-reducer wave was pure
+    fixed overhead per run, and at a 10^6-pid store one reducer writing
+    every manifest row is a bottleneck — read_manifest reads the part
+    directory either way), then rename-swap into place. Crash-safe at
+    every boundary
     (the reference's temp-suffix protocol, SimpleMergeThread.java:118-122):
     read_manifest falls back to manifest_old inside the swap window, and
     this function FIRST rolls an interrupted swap forward (manifest_old
@@ -555,7 +620,7 @@ def _commit_manifest(dfs, out_dir: str, man_df: DataFrame) -> None:
             # crash between the two renames: manifest_old IS the last
             # committed manifest — restore it before anything else
             dfs.rename(man_old, man_dir)
-    man_df.repartition(1).write.mode("overwrite").parquet(tmp_man)
+    man_df.write.mode("overwrite").parquet(tmp_man)
     if dfs.exists(man_dir):
         dfs.rename(man_dir, man_old)
     dfs.rename(tmp_man, man_dir)
@@ -629,9 +694,18 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     `manifest_old` only exists inside the commit swap's crash window
     (rename(manifest→old) happened, rename(new→manifest) did not) — it is
     the last fully-committed manifest, so reading it is always safe."""
+    # explicit schema: the manifest layout is ours, so the schema-
+    # inference footer job (~0.1-0.3 s of per-call fixed overhead) buys
+    # nothing. A directory check replaces the exception round trip.
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    dfs = DriverFS(spark)
     for name in ("manifest", "manifest_old"):
+        d = os.path.join(out_dir, name)
         try:
-            return spark.read.parquet(os.path.join(out_dir, name))
+            if not dfs.exists(d):
+                continue
+            return spark.read.schema(MANIFEST_DDL).parquet(d)
         except Exception:
             continue
     return None

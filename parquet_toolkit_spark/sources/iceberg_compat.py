@@ -1478,7 +1478,45 @@ def _bound_bytes(val, ddl_type: str) -> bytes | None:
     if ddl_type == "string":
         raw = val.encode() if isinstance(val, str) else bytes(val)
         return raw if len(raw) <= 128 else None
+    if ddl_type.startswith("decimal("):
+        # spec: unscaled value, two's-complement BIG-endian, minimal bytes
+        import decimal as _dcm
+
+        s = _decimal_scale(ddl_type)
+        if s is None:
+            return None
+        if isinstance(val, bytes):
+            return val  # already spec-encoded (foreign manifest carry)
+        if isinstance(val, _dcm.Decimal):
+            q = val.scaleb(s)
+            if q != q.to_integral_value():
+                return None  # scale mismatch: absent bound stays sound
+            unscaled = int(q)
+        elif isinstance(val, int):
+            unscaled = val  # int64-backed decimal stats expose the mantissa
+        else:
+            return None
+        return unscaled.to_bytes(unscaled.bit_length() // 8 + 1, "big",
+                                 signed=True)
     return None
+
+
+def _phys_decimal_stat(raw) -> int | None:
+    """Physical parquet stat -> unscaled decimal mantissa int."""
+    if isinstance(raw, bool):
+        return None
+    if isinstance(raw, int):
+        return raw
+    if isinstance(raw, bytes):
+        return int.from_bytes(raw, "big", signed=True)
+    return None
+
+
+def _decimal_scale(ddl_type: str) -> int | None:
+    import re as _re
+
+    m = _re.match(r"decimal\((\d+),\s*(\d+)\)$", ddl_type)
+    return int(m.group(2)) if m else None
 
 
 def _bound_value(raw: bytes, ddl_type: str):
@@ -1491,6 +1529,14 @@ def _bound_value(raw: bytes, ddl_type: str):
         return raw != b"\x00"
     if ddl_type == "string":
         return raw.decode()
+    if ddl_type.startswith("decimal("):
+        import decimal as _dcm
+
+        s = _decimal_scale(ddl_type)
+        if s is None:
+            return None
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _dcm.Decimal(unscaled).scaleb(-s)
     return None
 
 
@@ -1549,10 +1595,25 @@ def _bounds_from_pq_md(md, name_to_fid: dict, ddl_types: dict
             st = col.statistics
             if st is None or not st.has_min_max or name not in name_to_fid:
                 continue
-            if name not in lo or st.min < lo[name]:
-                lo[name] = st.min
-            if name not in hi or st.max > hi[name]:
-                hi[name] = st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't logically cast some stats (decimal raises
+                # ArrowNotImplementedError): fall back to the PHYSICAL
+                # values — for decimals that is the unscaled mantissa
+                # (int32/int64) or its big-endian bytes (FLBA), exactly
+                # what the spec bound encoding stores. Other uncastable
+                # types skip (absent bounds always admit).
+                if not ddl_types.get(name, "").startswith("decimal("):
+                    continue
+                mn = _phys_decimal_stat(st.min_raw)
+                mx = _phys_decimal_stat(st.max_raw)
+                if mn is None or mx is None:
+                    continue
+            if name not in lo or mn < lo[name]:
+                lo[name] = mn
+            if name not in hi or mx > hi[name]:
+                hi[name] = mx
     lowers, uppers = [], []
     for name, v in lo.items():
         b = _bound_bytes(v, ddl_types.get(name, ""))

@@ -2564,3 +2564,46 @@ def test_iceberg_type_promotion_evolution(spark, tmp_path):
                                 "id int, x double, v string, n int")
     with pytest.raises(ValueError, match="schema mismatch"):
         ic.write_table(spark, bad, tdir, allow_schema_evolution=True)
+
+
+def test_iceberg_decimal_bounds_and_range_pruning(spark, tmp_path):
+    """r5: decimal columns get spec-encoded manifest bounds (unscaled
+    two's-complement big-endian) and Decimal range_filter pruning."""
+    import decimal as dcm
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    D = dcm.Decimal
+    tdir = str(tmp_path / "decb")
+    rows = [(i, D(i * 7 % 1000).scaleb(-2)) for i in range(200)]
+    df = (spark.createDataFrame(rows, "id long, amt decimal(12,2)")
+          .repartitionByRange(4, "amt").sortWithinPartitions("amt"))
+    ic.write_table(spark, df, tdir)
+
+    # encode/decode of the bound bytes is spec round-trip exact
+    b = ic._bound_bytes(D("-123.45"), "decimal(12,2)")
+    assert ic._bound_value(b, "decimal(12,2)") == D("-123.45")
+    assert ic._bound_bytes(D("1.27"), "decimal(12,2)") == b"\x7f"
+
+    # the written manifest carries decimal bounds for amt
+    info = ic.read_table_metadata(tdir)
+    fid = info["schema_name_to_id"]["amt"]
+    mlist = ic.read_manifest_list(
+        info["snapshots"][-1]["manifest_list"], spark)
+    entries = ic.read_manifest(mlist[0]["manifest_path"], spark)
+    with_bounds = [e for e in entries
+                   if any(bb["key"] == fid
+                          for bb in (e["data_file"].get("lower_bounds")
+                                     or []))]
+    assert with_bounds
+
+    # Decimal range_filter prunes files yet keeps every matching row
+    lo, hi = D("1.00"), D("2.00")
+    sf_all = ic.snapshot_files(tdir)
+    sf = ic.snapshot_files(tdir, range_filter={"amt": (lo, hi)})
+    assert len(sf["data"]) < len(sf_all["data"])
+    got = {(r.id, r.amt) for r in
+           ic.read_data(spark, tdir, range_filter={"amt": (lo, hi)})
+           .where(F.col("amt").between(F.lit(lo), F.lit(hi))).collect()}
+    want = {(i, a) for i, a in rows if lo <= a <= hi}
+    assert got == want and got
