@@ -22,7 +22,10 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-KINDS = ("int", "float", "bool", "bin", "flist")  # flist: list<numeric>
+KINDS = ("int", "float", "bool", "bin", "flist", "nested")
+# flist: list<numeric>; nested: struct/map/list<non-numeric> carried as
+# one Arrow IPC stream section (bit-exact, zstd floor) — typed codecs
+# stay for leaf types, nested shapes never refuse
 
 _PA_INT = {
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
@@ -50,6 +53,8 @@ class ColumnChunk:
 
     def total_bytes(self) -> int:
         """Uncompressed logical payload size (for ratio reporting)."""
+        if self.kind == "nested":
+            return int(self.meta.get("nbytes", len(self.data)))
         if self.kind == "bin":
             return len(self.data) + 4 * self.nrows
         if self.values is None:
@@ -133,7 +138,7 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
         child = t.value_type
         if not (pa.types.is_floating(child) or pa.types.is_integer(child)):
-            raise TypeError(f"unsupported list child type for codec layer: {t}")
+            return _nested_chunk(arr, nrows, meta)  # list<string/struct/...>
         vals = arr.drop_null() if mask is not None else arr
         if pa.types.is_fixed_size_list(t):
             vals = vals.cast(pa.list_(child))
@@ -169,11 +174,31 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
         dat = dat[off[0] : off[-1]]
         off = off - off[0]
         return ColumnChunk("bin", nrows, data=dat, offsets=off, mask=mask, meta=meta)
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return _nested_chunk(arr, nrows, meta)
     raise TypeError(f"unsupported arrow type for codec layer: {t}")
+
+
+def _nested_chunk(arr: pa.Array, nrows: int, meta: dict) -> ColumnChunk:
+    """struct/map/list<non-numeric> fallback: the WHOLE array (nulls
+    included — no mask) serialized as one Arrow IPC stream. Bit-exact
+    round trip for any nestable shape; the container's per-section zstd
+    floor provides the compression. Leaf-typed codecs remain the fast
+    path for flat columns."""
+    tbl = pa.table({"v": arr})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    meta["nbytes"] = int(arr.nbytes)
+    return ColumnChunk("nested", nrows,
+                       data=sink.getvalue().to_pybytes(), meta=meta)
 
 
 def to_arrow(chunk: ColumnChunk) -> pa.Array:
     """ColumnChunk -> Arrow array of the original type (round-trip exact)."""
+    if chunk.kind == "nested":
+        tbl = pa.ipc.open_stream(pa.py_buffer(chunk.data)).read_all()
+        return tbl.column("v").combine_chunks()
     mask = chunk.mask
     if chunk.kind == "flist":
         child = pa.type_for_alias(chunk.meta["list_child"])

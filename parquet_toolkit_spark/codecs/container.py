@@ -58,6 +58,8 @@ def encode_blob(chunk: ColumnChunk, codec: str, zstd: bool = True) -> bytes:
     elif chunk.kind == "flist":
         off = chunk.offsets if chunk.offsets is not None else np.zeros(1, np.int64)
         sections, cmeta = enc(chunk.values, off)
+    elif chunk.kind == "nested":
+        sections, cmeta = enc(chunk.data)
     else:
         sections, cmeta = enc(chunk.values)
 
@@ -122,6 +124,9 @@ def decode_blob(blob) -> ColumnChunk:
         data, offsets = dec(sections, header["cmeta"], nvalid)
         return ColumnChunk(kind, nrows, data=data, offsets=offsets,
                            mask=mask, meta=header["meta"])
+    if kind == "nested":
+        data = dec(sections, header["cmeta"], nvalid)
+        return ColumnChunk(kind, nrows, data=data, meta=header["meta"])
     if kind == "flist":
         values, offsets = dec(sections, header["cmeta"], nvalid)
         n_child = header.get("n_child", 0)

@@ -602,6 +602,21 @@ FLIST_CODECS = {
     "flist_plain": (enc_flist_plain, dec_flist_plain),
 }
 
+
+def enc_nested_ipc(data: bytes) -> tuple[dict, dict]:
+    """Nested (struct/map/list<non-numeric>) chunks arrive as ONE Arrow
+    IPC stream (chunk.py _nested_chunk); the codec is the identity — the
+    container's per-section zstd floor supplies the compression."""
+    return {"ipc": data}, {}
+
+
+def dec_nested_ipc(sections: dict, cmeta: dict, nvalid: int) -> bytes:
+    return bytes(sections["ipc"])
+
+
+NESTED_CODECS = {"nested_ipc": (enc_nested_ipc, dec_nested_ipc)}
+
 ALL_CODECS = {
-    **INT_CODECS, **FLOAT_CODECS, **BOOL_CODECS, **BIN_CODECS, **FLIST_CODECS,
+    **INT_CODECS, **FLOAT_CODECS, **BOOL_CODECS, **BIN_CODECS,
+    **FLIST_CODECS, **NESTED_CODECS,
 }

@@ -36,6 +36,8 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
         "nvalid": chunk.nvalid,
         "bytes": chunk.total_bytes(),
     }
+    if chunk.kind == "nested":
+        return stats  # one IPC section; no leaf stats to profile
     if chunk.kind == "flist":
         stats["nvals"] = 0 if chunk.values is None else int(len(chunk.values))
         stats["avg_len"] = stats["nvals"] / max(1, stats["nvalid"])
@@ -165,6 +167,8 @@ def candidate_codecs(chunk: ColumnChunk, stats: dict,
     is the whole point of the streaming fast profile; code-review r4)."""
     exclude = exclude or frozenset()
     k = chunk.kind
+    if k == "nested":
+        return ["nested_ipc"]
     if k == "bool":
         return ["bool_bitmap"]
     if k == "flist":
@@ -319,7 +323,8 @@ def select_codec(chunk: ColumnChunk, stats: dict | None = None,
     if exclude:
         floor = {"bin": "bin_plain", "int": "int_plain",
                  "flist": "flist_plain", "float": "float_plain",
-                 "bool": "bool_bitmap"}.get(chunk.kind)
+                 "bool": "bool_bitmap",
+                 "nested": "nested_ipc"}.get(chunk.kind)
         keep = [c for c in (candidates
                             or candidate_codecs(chunk, stats, exclude))
                 if c not in exclude]
@@ -336,7 +341,8 @@ def select_codec(chunk: ColumnChunk, stats: dict | None = None,
         # (hint sources — plan_hints samples, compact_store member codecs
         # — may not have seen this exact chunk)
         floor = {"bin": "bin_plain", "int": "int_plain",
-                 "flist": "flist_plain", "float": "float_plain"}.get(chunk.kind)
+                 "flist": "flist_plain", "float": "float_plain",
+                 "nested": "nested_ipc"}.get(chunk.kind)
         if floor and floor not in candidates:
             candidates = candidates + [floor]
     best_name, best_blob = None, None
@@ -369,7 +375,8 @@ def plan_hints(cols: dict, keep_best: int = 1) -> dict[str, list[str]]:
         sizes.sort()
         chosen = [c for _, c in sizes[:keep_best]]
         floor = {"bin": "bin_plain", "int": "int_plain",
-                 "flist": "flist_plain"}.get(chunk.kind)
+                 "flist": "flist_plain",
+                 "nested": "nested_ipc"}.get(chunk.kind)
         if floor and floor not in chosen:
             chosen.append(floor)
         hints[name] = chosen

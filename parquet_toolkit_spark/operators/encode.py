@@ -176,6 +176,19 @@ def _ddl_of_arrow(t: pa.DataType) -> str | None:
             or pa.types.is_fixed_size_list(t)):
         inner = _ddl_of_arrow(t.value_type)
         return f"array<{inner}>" if inner is not None else None
+    if pa.types.is_struct(t):
+        parts = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            inner = _ddl_of_arrow(f.type)
+            if inner is None:
+                return None
+            parts.append(f"{f.name}:{inner}")
+        return f"struct<{','.join(parts)}>"
+    if pa.types.is_map(t):
+        k = _ddl_of_arrow(t.key_type)
+        v = _ddl_of_arrow(t.item_type)
+        return f"map<{k},{v}>" if k is not None and v is not None else None
     return None
 
 
@@ -811,9 +824,11 @@ def fsck_store(spark: SparkSession, enc_dir: str,
                          "expected_sha", "actual_sha")
 
 
-def _out_pa_type(ddl: str) -> pa.DataType:
+def _out_pa_type(ddl: str) -> pa.DataType | None:
     """Spark DDL simpleString -> the arrow type decode emits for it (the
-    session timezone is pinned to UTC in runtime.py)."""
+    session timezone is pinned to UTC in runtime.py). None for nested
+    shapes (struct/map/array<non-numeric>): those ride the codec layer's
+    IPC path and keep their decoded arrow type verbatim — no cast."""
     m = {
         "string": pa.string(), "binary": pa.binary(), "bigint": pa.int64(),
         "int": pa.int32(), "smallint": pa.int16(), "tinyint": pa.int8(),
@@ -823,11 +838,12 @@ def _out_pa_type(ddl: str) -> pa.DataType:
         "timestamp_ntz": pa.timestamp("us"),
     }
     if ddl.startswith("array<") and ddl.endswith(">"):
-        return pa.list_(_out_pa_type(ddl[6:-1]))
+        inner = _out_pa_type(ddl[6:-1])
+        return pa.list_(inner) if inner is not None else None
     if ddl.startswith("decimal("):
-        t = _arrow_type_for(ddl)
-        if t is not None:
-            return t
+        return _arrow_type_for(ddl)
+    if ddl.startswith(("struct<", "map<")):
+        return None
     return m[ddl]
 
 
@@ -1115,7 +1131,9 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     out_fields = [("pid", "int")] if keep_pid else []
     out_fields += list(schema_map.items())
     out_schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
-    out_pa = pa.schema([(c, _out_pa_type(t)) for c, t in out_fields])
+    # arrow target per column; None = nested (struct/map/...): the IPC
+    # round trip preserved the exact arrow type, emit it verbatim
+    out_pa_types = {c: _out_pa_type(t) for c, t in out_fields}
 
     tasks = _striped_task_df(
         spark, pid_files, "pid INT, file STRING",
@@ -1135,8 +1153,10 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
                     if c == "pid":
                         arrays.append(pa.array([task["pid"]] * nrows, pa.int32()))
                         continue
-                    arrays.append(cols[c].cast(_out_pa_type(t)))
-                table = pa.Table.from_arrays(arrays, schema=out_pa)
+                    pt = out_pa_types[c]
+                    arrays.append(cols[c] if pt is None else cols[c].cast(pt))
+                table = pa.Table.from_arrays(
+                    arrays, names=[c for c, _ in out_fields])
                 for ob in table.to_batches(max_chunksize=32768):
                     yield ob
 

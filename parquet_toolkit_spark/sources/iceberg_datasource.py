@@ -56,7 +56,8 @@ def _check_readable_types(schema_fields) -> None:
     bad = []
     for n, t, _r in schema_fields:
         try:
-            _out_pa_type(t)
+            if _out_pa_type(t) is None:  # nested: decode_pipeline-only
+                bad.append(f"{n}:{t}")
         except KeyError:
             bad.append(f"{n}:{t}")
     if bad:

@@ -455,3 +455,28 @@ def test_decimal_roundtrip_and_refusal():
 
     with pytest.raises(TypeError, match="precision"):
         from_arrow(pa.array([D("1")], pa.decimal128(19, 0)))
+
+
+def test_nested_struct_map_list_roundtrip():
+    # r5: struct/map/list<non-numeric> ride the nested IPC fallback —
+    # any nestable shape round-trips bit-exact, zstd floor compresses
+    st = pa.array([{"a": 1, "b": "x"}, None, {"a": None, "b": "y"}],
+                  pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    ls = pa.array([["a", "bb"], None, [], ["c", None]],
+                  pa.list_(pa.string()))
+    mp = pa.array([[("k1", 1)], None, []], pa.map_(pa.string(), pa.int64()))
+    deep = pa.array([[{"t": ["x", None]}], None],
+                    pa.list_(pa.struct([("t", pa.list_(pa.string()))])))
+    for arr in (st, ls, mp, deep):
+        chunk = from_arrow(arr)
+        assert chunk.kind == "nested"
+        codec, blob, _ = select_codec(chunk)
+        back = to_arrow(decode_blob(blob))
+        assert codec == "nested_ipc"
+        assert back.equals(arr) and back.type == arr.type
+
+    big = pa.array([{"a": i % 10, "b": "hello" * 5} for i in range(20000)],
+                   pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    codec, blob, _ = select_codec(from_arrow(big))
+    assert len(blob) < 0.15 * from_arrow(big).total_bytes()
+    assert to_arrow(decode_blob(blob)).equals(big)

@@ -820,3 +820,33 @@ def test_decimal_pipeline_and_zonemap_pruning(spark, tmp_path):
                            columns=["doc_id", "price"])
            .where(F.col("price").between(F.lit(lo), F.lit(hi))))
     assert got.count() == 31  # doc_id 10..40
+
+
+def test_nested_struct_map_pipeline(spark, tmp_path):
+    # r5: struct/map/array<string> columns ride the nested IPC fallback —
+    # bit-exact through layout -> encode -> decode, zstd-floor compressed
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .withColumn("info", F.struct(
+                F.col("lang").alias("lg"),
+                F.length("text").alias("n")))
+            .withColumn("tags", F.split(F.col("source"), "r"))
+            .withColumn("kv", F.create_map(F.lit("lang"), F.col("lang"))))
+    enc = str(tmp_path / "nested_enc")
+    man = encode_pipeline(spark, docs, enc, target_bytes=128 << 10,
+                          run_id="n", range_keys=("doc_id",),
+                          sort_keys=("doc_id",), n_partitions=4)
+    codecs_used = {r.codec for r in man.where(
+        F.col("column").isin("info", "tags", "kv")).collect()}
+    assert codecs_used == {"nested_ipc"}
+
+    dec = decode_pipeline(spark, enc)
+    dt = dict(dec.dtypes)
+    assert dt["info"].startswith("struct<") and dt["kv"].startswith("map<")
+    assert dt["tags"] == "array<string>"
+    a = docs.select("doc_id", "info", "tags", "kv")
+    b = dec.select("doc_id", "info", "tags", "kv")
+    # exact equality both directions (map column: compare via sorted json)
+    ja = a.select("doc_id", F.to_json(F.struct("info", "tags", "kv")).alias("j"))
+    jb = b.select("doc_id", F.to_json(F.struct("info", "tags", "kv")).alias("j"))
+    assert ja.exceptAll(jb).count() == 0 and jb.exceptAll(ja).count() == 0
+    assert dec.count() == docs.count()
