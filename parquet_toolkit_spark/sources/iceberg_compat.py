@@ -665,20 +665,44 @@ _SPARK_TO_ICEBERG = {
 
 
 def _spark_field_to_iceberg(f, next_id):
-    t = f.dataType.simpleString()
-    if t.startswith("array<"):
-        inner = t[6:-1]
-        if inner not in _SPARK_TO_ICEBERG:
-            raise ValueError(f"unsupported element type {inner!r}")
-        typ = {"type": "list", "element-id": next_id(),
-               "element": _SPARK_TO_ICEBERG[inner], "element-required": False}
-    elif t.startswith("decimal("):
-        typ = t
-    elif t in _SPARK_TO_ICEBERG:
-        typ = _SPARK_TO_ICEBERG[t]
-    else:
-        raise ValueError(f"unsupported spark type {t!r} for iceberg write")
-    return typ
+    return _spark_type_to_iceberg(f.dataType, next_id)
+
+
+def _spark_type_to_iceberg(dt, next_id):
+    """Spark DataType -> Iceberg schema type, recursively: struct/map/
+    list nest arbitrarily, ids assigned depth-first via next_id (spec
+    rule — the caller's counter tracks last-column-id across all nested
+    ids). r5: previously only flat list<primitive> was supported."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id()
+            fields.append({"id": fid, "name": f.name,
+                           "type": _spark_type_to_iceberg(f.dataType,
+                                                          next_id),
+                           "required": False})
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id()
+        return {"type": "list", "element-id": eid,
+                "element": _spark_type_to_iceberg(dt.elementType, next_id),
+                "element-required": False}
+    if isinstance(dt, T.MapType):
+        kid = next_id()
+        key = _spark_type_to_iceberg(dt.keyType, next_id)
+        vid = next_id()
+        return {"type": "map", "key-id": kid, "key": key,
+                "value-id": vid,
+                "value": _spark_type_to_iceberg(dt.valueType, next_id),
+                "value-required": False}
+    t = dt.simpleString()
+    if t.startswith("decimal("):
+        return t
+    if t in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[t]
+    raise ValueError(f"unsupported spark type {t!r} for iceberg write")
 
 
 def _opt(t):

@@ -2607,3 +2607,29 @@ def test_iceberg_decimal_bounds_and_range_pruning(spark, tmp_path):
            .where(F.col("amt").between(F.lit(lo), F.lit(hi))).collect()}
     want = {(i, a) for i, a in rows if lo <= a <= hi}
     assert got == want and got
+
+
+def test_iceberg_struct_column_write_read(spark, tmp_path):
+    """Nested (struct/array) columns through the Iceberg layer: spec
+    depth-first field ids, exact read-back, bounds simply absent for
+    nested fields (always-admit, sound)."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "nested_ice")
+    df = spark.createDataFrame(
+        [(1, ("a", 10), ["x", "y"]), (2, ("b", 20), [])],
+        "id long, info struct<tag:string,n:long>, tags array<string>")
+    ic.write_table(spark, df, tdir)
+    md = ic.read_table_metadata(tdir)
+    types = dict((n, t) for n, t, _r in md["schema_fields"])
+    assert types["info"] == "struct<tag:string,n:bigint>"
+    assert types["tags"] == "array<string>"
+    got = {(r.id, tuple(r.info), tuple(r.tags))
+           for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(1, ("a", 10), ("x", "y")), (2, ("b", 20), ())}
+
+    # append still works and ids stay stable
+    ic.write_table(spark, spark.createDataFrame(
+        [(3, ("c", 30), ["z"])],
+        "id long, info struct<tag:string,n:long>, tags array<string>"), tdir)
+    assert ic.read_data(spark, tdir).count() == 3
