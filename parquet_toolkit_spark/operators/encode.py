@@ -1319,7 +1319,9 @@ def pids_matching_value(spark: SparkSession, enc_dir: str, column: str,
     Driver cost is O(pids) bloom probes (4KB each, numpy)."""
     import json as _json
 
-    from parquet_toolkit_spark.codecs.bloom import bloom_might_contain
+    from pyspark.sql.datasource import EqualTo
+
+    from parquet_toolkit_spark.sources.ptsc_datasource import _chunk_admits
 
     man = read_manifest(spark, enc_dir)
     if man is None:
@@ -1329,12 +1331,15 @@ def pids_matching_value(spark: SparkSession, enc_dir: str, column: str,
                   & (F.col("status") == "committed"))
         .select("pid", "stats_json").collect()
     )
+    # shared admission (_chunk_admits): bloom probe + zone-map point
+    # range, with the logical-unit handling (temporal units, decimal
+    # mantissa scaling) applied consistently — a raw bloom probe with a
+    # Decimal value would hash the unscaled value and could UNSOUNDLY
+    # prune (r5)
+    flt = EqualTo((column,), value)
     keep: set[int] = set()
     for r in rows:
-        st = _json.loads(r.stats_json)
-        b = st.get("bloom")
-        if b is None or bloom_might_contain(b, value, st.get("bloom_kind",
-                                                             "bin")):
+        if _chunk_admits(_json.loads(r.stats_json), flt):
             keep.add(r.pid)
     return keep
 

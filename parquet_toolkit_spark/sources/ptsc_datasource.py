@@ -162,7 +162,15 @@ def _chunk_admits(stats: dict, flt) -> bool:
         # rounding; Decimal-vs-int comparisons below are exact)
         if isinstance(v, (_dcm.Decimal, int, float)) \
                 and not isinstance(v, bool):
-            v = _dcm.Decimal(v).scaleb(int(logical[4:]))
+            q = _dcm.Decimal(v).scaleb(int(logical[4:]))
+            if q == q.to_integral_value():
+                v = int(q)  # exact mantissa: zone maps AND bloom probe
+            elif isinstance(flt, EqualTo):
+                # unrepresentable at this scale: no column value can
+                # equal it — definitely absent
+                return False
+            else:
+                v = q  # fractional range bound: exact Decimal-vs-int
         else:
             return True
     elif isinstance(v, _dcm.Decimal):

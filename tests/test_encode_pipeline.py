@@ -456,7 +456,15 @@ def test_bloom_point_lookup_pruning(spark, tmp_path):
                             columns=["commit"])
             .where(F.col("commit") == "nope").count() == 0) \
         if pids_matching_value(spark, enc, "commit", "nope") else True
-    assert pids_matching_value(spark, enc, "body", "anything") == all_pids
+    # r5: point lookups share _chunk_admits, so zone-map evidence prunes
+    # too — on a bloom-less column the result must still be SOUND: every
+    # pid actually holding the value is kept (here the value is absent,
+    # so any subset — including empty — is correct); a PRESENT value on
+    # the bloom-less column is never pruned away
+    present = truth.where(F.col("seq") == 0).first()
+    body_val = (decode_pipeline(spark, enc, pids={present.pid},
+                                columns=["body"]).first().body)
+    assert present.pid in pids_matching_value(spark, enc, "body", body_val)
 
 
 def test_typed_table_encode_uses_alp_and_dict(spark, sf_dir, tmp_path):
@@ -850,3 +858,40 @@ def test_nested_struct_map_pipeline(spark, tmp_path):
     jb = b.select("doc_id", F.to_json(F.struct("info", "tags", "kv")).alias("j"))
     assert ja.exceptAll(jb).count() == 0 and jb.exceptAll(ja).count() == 0
     assert dec.count() == docs.count()
+
+
+def test_decode_where_decimal_predicates(spark, tmp_path):
+    # r5: Decimal equality/range predicates prune via scaled mantissa
+    # evidence (zone maps + bloom) and stay EXACT after the residual
+    import decimal as dcm
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_where,
+        pids_matching_value,
+    )
+
+    D = dcm.Decimal
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .withColumn("price",
+                        (F.col("doc_id") / F.lit(100)).cast("decimal(12,2)")))
+    enc = str(tmp_path / "dwenc")
+    encode_pipeline(spark, docs, enc, target_bytes=64 << 10, run_id="w",
+                    range_keys=("doc_id",), sort_keys=("doc_id",),
+                    n_partitions=8, bloom_columns=("price",))
+
+    got = decode_where(spark, enc, {"price": D("1.23")},
+                       columns=["doc_id", "price"]).collect()
+    assert [(r.doc_id, r.price) for r in got] == [(123, D("1.23"))]
+
+    rng = decode_where(spark, enc, {"price": (D("0.50"), D("0.60"))},
+                       columns=["doc_id"]).count()
+    assert rng == 11
+
+    # unrepresentable-at-scale equality: provably empty, zero IO
+    assert decode_where(spark, enc, {"price": D("1.005")},
+                        columns=["doc_id"]).count() == 0
+
+    # bloom point lookup with a Decimal value probes the scaled mantissa
+    n_pids = 8
+    keep = pids_matching_value(spark, enc, "price", D("1.23"))
+    assert 0 < len(keep) < n_pids
