@@ -93,6 +93,17 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--delimiter", default=",")
     cv.add_argument("--no-header", action="store_true")
 
+    jv = sub.add_parser("jsonl2parquet",
+                        help="typed JSONL (.jsonl/.jsonl.gz) -> parquet "
+                             "with record-level quarantine of corrupt "
+                             "lines")
+    jv.add_argument("--input", required=True)
+    jv.add_argument("--output", required=True)
+    jv.add_argument("--schema", required=True,
+                    help='DDL, e.g. "doc_id long, text string"')
+    jv.add_argument("--codec", default="zstd")
+    jv.add_argument("--quarantine", default=None)
+
     e = sub.add_parser("encode", help="layout + columnar-encode a table "
                                       "into a blob store")
     e.add_argument("--input", required=True)
@@ -239,6 +250,11 @@ def main(argv: list[str] | None = None) -> dict:
                            compression=args.codec, delimiter=args.delimiter,
                            header=not args.no_header)
         res = {"rows": rows}
+    elif v == "jsonl2parquet":
+        from parquet_toolkit_spark.sources.jsonl_ingest import convert_jsonl
+        res = convert_jsonl(spark, args.input, args.output,
+                            schema=args.schema, compression=args.codec,
+                            quarantine=args.quarantine)
     elif v == "encode":
         from parquet_toolkit_spark.operators.encode import encode_pipeline
         kw = {}

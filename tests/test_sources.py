@@ -2633,3 +2633,51 @@ def test_iceberg_struct_column_write_read(spark, tmp_path):
         [(3, ("c", 30), ["z"])],
         "id long, info struct<tag:string,n:long>, tags array<string>"), tdir)
     assert ic.read_data(spark, tdir).count() == 3
+
+
+def test_jsonl_ingest_quarantine_and_oracle(spark, tmp_path):
+    """r5: JSONL ingest (LLM-corpus interchange format) — typed read with
+    explicit schema, corrupt lines quarantined verbatim, values checked
+    against DuckDB's JSON reader on the clean rows."""
+    import gzip
+    import json
+
+    import duckdb
+
+    from parquet_toolkit_spark.sources.jsonl_ingest import (
+        convert_jsonl,
+        jsonl_to_df,
+    )
+
+    src = tmp_path / "shard.jsonl.gz"
+    lines = [json.dumps({"doc_id": i, "text": f"t{i}", "lang": "en"})
+             for i in range(50)]
+    lines.insert(10, "{broken json")
+    lines.insert(30, '{"doc_id": "also broken"')
+    with gzip.open(src, "wt") as fh:
+        fh.write("\n".join(lines))
+
+    out = str(tmp_path / "out.parquet")
+    rep = convert_jsonl(spark, str(src), out,
+                        schema="doc_id long, text string, lang string")
+    assert rep["rows"] == 50 and rep["bad"] == 2
+    qlines = {r.value for r in spark.read.text(rep["quarantine"]).collect()}
+    assert qlines == {"{broken json", '{"doc_id": "also broken"'}
+
+    # clean rows match DuckDB's JSON reader exactly
+    got = {(r.doc_id, r.text, r.lang)
+           for r in spark.read.parquet(out).collect()}
+    plain = tmp_path / "clean.jsonl"
+    plain.write_text("\n".join(l for l in lines if l.startswith('{"doc_id": ') and "broken" not in l))
+    want = set(duckdb.connect().execute(
+        f"SELECT doc_id, text, lang FROM read_json('{plain}', "
+        "columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR'})"
+    ).fetchall())
+    assert got == want and len(got) == 50
+
+    # schema-less read refuses (full inference = hidden second scan);
+    # sampled inference is the explicit opt-in
+    with pytest.raises(ValueError, match="schema"):
+        jsonl_to_df(spark, str(src))
+    inf = jsonl_to_df(spark, str(src), infer=True, sampling_ratio=1.0)
+    assert inf.where(F.col("doc_id") == 7).count() == 1
