@@ -100,6 +100,51 @@ def fingerprint_sha256(col: Column) -> Column:
     return F.sha2(col.cast("binary"), 256)
 
 
+# PII scrubbing (pipeline hygiene pass): deterministic regex redaction of
+# the machine-recognizable identifier classes. Pure JVM regexp_replace
+# chains — codegen'd, zero python. These are pattern redactors, not an
+# NER system: names/addresses need a model and are out of scope.
+_PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld (conservative: requires a dot in the domain)
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # IPv4 with 0-255 octets (word-bounded so version strings don't match)
+    "ipv4": (r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}"
+             r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b"),
+    # international-ish phone: optional +CC, separators, 7+ digits total
+    "phone": (r"(?<![\w.])\+?[0-9][0-9()\-\s.]{5,18}[0-9]"
+              r"(?![\w.])"),
+    # 13-19 digit card numbers with optional space/dash groups
+    "card": r"\b(?:\d[ \-]?){13,19}\b",
+}
+
+
+def scrub_pii(col: Column,
+              kinds: tuple[str, ...] = ("email", "ipv4", "card", "phone"),
+              token: str = "[{kind}]") -> Column:
+    """Redact identifier patterns, replacing each match with the kind's
+    token (default "[email]", "[ipv4]", ...). Order matters: email runs
+    before phone so the digits of user123@x.com aren't half-eaten, and
+    card before phone so a 16-digit card isn't consumed as a phone."""
+    out = col
+    for kind in kinds:
+        pat = _PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, token.format(kind=kind))
+    return out
+
+
+def pii_counts(col: Column,
+               kinds: tuple[str, ...] = ("email", "ipv4", "card", "phone")
+               ) -> dict[str, Column]:
+    """{kind: match count} — the audit companion to scrub_pii (gate docs
+    by count, sample high-PII sources for review)."""
+    return {
+        # idx=0 = whole match (the patterns use non-capturing groups only)
+        kind: F.size(F.regexp_extract_all(
+            col, F.lit(_PII_PATTERNS[kind]), F.lit(0)))
+        for kind in kinds
+    }
+
+
 _BASE = np.uint64(1099511628211)
 
 

@@ -736,3 +736,68 @@ def test_pack_greedy_guards(spark):
         pack_greedy(df, ("g",), "i", "n", 0)
     with _pytest.raises(ValueError, match="not in dataframe"):
         pack_greedy(df, ("g",), "nope", "n", 10)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    # r5: benchmark decontamination — docs sharing >= min_hits distinct
+    # word n-grams with the eval set are dropped; python oracle recomputes
+    # the overlap exactly on the same normalization
+    from parquet_toolkit_spark.functions.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "clean document about spark pipelines and parquet files ok"),
+            (2, "prefix words then The Quick Brown Fox jumps over the lazy "
+                "dog tonight and more"),            # contaminated (case-norm)
+            (3, "quick brown fox jumps over the lazy dog but ends here"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+
+    rep = {r.doc_id: r.n_hits
+           for r in contamination_report(docs, bench, n=8).collect()}
+
+    def grams(s, n=8):
+        import re
+        w = re.sub(r"\s+", " ",
+                   re.sub(r"[.,;:!?'\"()]", "", s.lower())).strip().split(" ")
+        return {" ".join(w[i:i + n]) for i in range(max(0, len(w) - n + 1))}
+
+    bg = grams(bench_text)
+    for r in docs.collect():
+        want = len(grams(r.text) & bg)
+        assert rep.get(r.doc_id, 0) == want, (r.doc_id, rep, want)
+    assert rep.get(2, 0) >= 1 and 1 not in rep and 4 not in rep
+
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {1, 3, 4} if rep.get(3, 0) == 0 else {1, 4}
+
+
+def test_scrub_pii_and_counts(spark):
+    from parquet_toolkit_spark.functions.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server 192.168.1.254 ok, version 1.2.3.4000 not an ip"),
+        (3, "card 4111 1111 1111 1111 expires soon"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r.id: r.s for r in df.select(
+        "id", scrub_pii(F.col("t")).alias("s")).collect()}
+    assert "[email]" in out[1] and "@" not in out[1]
+    assert "[phone]" in out[1]
+    assert "[ipv4]" in out[2] and "192.168.1.254" not in out[2]
+    assert "[card]" in out[3] and "4111" not in out[3]
+    assert out[4] == "nothing sensitive here"
+
+    cnts = df.select("id", *[c.alias(k) for k, c in
+                             pii_counts(F.col("t")).items()]).collect()
+    by = {r.id: r for r in cnts}
+    assert by[1].email == 1 and by[1].phone == 1
+    assert by[2].ipv4 == 1 and by[4].email == 0
