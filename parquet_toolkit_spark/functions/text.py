@@ -67,6 +67,27 @@ def token_count(col: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer shape (contraction pieces, letter runs with
+# optional leading space, digit runs, punctuation runs, whitespace runs)
+# — the standard BPE REGEX split; each piece then splits into >=1 BPE
+# tokens, so the count is a deterministic LOWER-BOUND estimate of real
+# tokenizer output, useful for packing/budgeting without shipping a
+# merges table. Pure JVM regexp, zero python.
+_BPE_PIECE = (r"'(?:s|t|re|ve|m|ll|d)"
+              r"| ?[A-Za-z]+"
+              r"| ?[0-9]+"
+              r"| ?[^\sA-Za-z0-9]+"
+              r"|\s+")
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """# of BPE pre-tokenizer pieces (GPT-2 split shape): the standard
+    fast token-budget estimate for packing and cost accounting. Exact
+    BPE counts need the merges table; this is the regex half, fully
+    codegen'd."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_PIECE), F.lit(0)))
+
+
 # punctuation counted one literal char at a time — locale/regex-free
 _PUNCT = list(".,;:!?'\"()[]{}")
 

@@ -801,3 +801,22 @@ def test_scrub_pii_and_counts(spark):
     by = {r.id: r for r in cnts}
     assert by[1].email == 1 and by[1].phone == 1
     assert by[2].ipv4 == 1 and by[4].email == 0
+
+
+def test_bpe_token_estimate(spark):
+    import re
+
+    from parquet_toolkit_spark.functions.text import (
+        _BPE_PIECE,
+        bpe_token_estimate,
+    )
+
+    rows = [(1, "Hello world, it's 2026!"), (2, ""), (3, "  spaces  "),
+            (4, "don't stop—ever; 3.14 ok"), (5, "多语言 text 123")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.n for r in df.select(
+        "id", bpe_token_estimate(F.col("t")).alias("n")).collect()}
+    for i, t in rows:
+        want = len(re.findall(_BPE_PIECE, t))
+        assert got[i] == want, (i, t, got[i], want)
+    assert got[1] >= 6 and got[2] == 0
