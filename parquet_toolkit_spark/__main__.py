@@ -158,6 +158,24 @@ def build_parser() -> argparse.ArgumentParser:
                      help="actually delete (default: dry run)")
     ico.add_argument("--older-than-hours", type=float, default=72.0,
                      help="age guard for deletion (default 72h)")
+
+    dc = sub.add_parser("decontaminate",
+                        help="drop docs sharing >= min-hits word n-grams "
+                             "with a benchmark parquet (train-set hygiene)")
+    dc.add_argument("--docs", required=True, help="parquet path")
+    dc.add_argument("--benchmark", required=True, help="parquet path")
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--min-hits", type=int, default=1)
+
+    sc = sub.add_parser("scrub-pii",
+                        help="redact email/ipv4/card/phone patterns in a "
+                             "text column (regex redactor, not NER)")
+    sc.add_argument("--input", required=True, help="parquet path")
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--text-col", default="text")
     return p
 
 
@@ -319,6 +337,27 @@ def main(argv: list[str] | None = None) -> dict:
                "deleted": res["deleted"],
                "skipped_recent": res["skipped_recent"],
                "orphans": res["orphans"][:20]}
+    elif v == "decontaminate":
+        from parquet_toolkit_spark.functions.decontaminate import (
+            decontaminate,
+        )
+        docs = spark.read.parquet(args.docs)
+        bench = spark.read.parquet(args.benchmark)
+        kept = decontaminate(docs, bench, n=args.ngram,
+                             min_hits=args.min_hits,
+                             text_col=args.text_col, id_col=args.id_col)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_kept = spark.read.parquet(args.output).count()
+        res = {"kept": n_kept, "dropped": docs.count() - n_kept}
+    elif v == "scrub-pii":
+        from pyspark.sql import functions as SF
+
+        from parquet_toolkit_spark.functions.text import scrub_pii
+        df = spark.read.parquet(args.input)
+        out = df.withColumn(args.text_col,
+                            scrub_pii(SF.col(args.text_col)))
+        out.write.mode("overwrite").parquet(args.output)
+        res = {"rows": spark.read.parquet(args.output).count()}
     else:  # pragma: no cover — argparse enforces the choices
         raise SystemExit(2)
     print(json.dumps({"verb": v, **res}, default=str))

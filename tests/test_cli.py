@@ -126,3 +126,28 @@ def test_cli_iceberg_compact_and_expire(spark, tmp_path):
     res2 = main(["iceberg-expire", "--table", tdir, "--keep-last", "1"])
     assert res2["removed_snapshots"] == 3
     assert ic.read_data(spark, tdir).count() == 300
+
+
+def test_cli_decontaminate_and_scrub(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "totally clean text about spark and parquet stores today"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (3, "email me at bob@example.com for details")],
+        "doc_id long, text string").write.parquet(docs)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta iota",)],
+        "text string").write.parquet(bench)
+
+    out = str(tmp_path / "kept")
+    res = main(["decontaminate", "--docs", docs, "--benchmark", bench,
+                "--output", out])
+    assert res == {"kept": 2, "dropped": 1}
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    scrubbed = str(tmp_path / "scrubbed")
+    res2 = main(["scrub-pii", "--input", docs, "--output", scrubbed])
+    assert res2 == {"rows": 3}
+    t3 = {r.doc_id: r.text for r in spark.read.parquet(scrubbed).collect()}
+    assert "[email]" in t3[3] and "bob@example.com" not in t3[3]
