@@ -895,3 +895,33 @@ def test_decode_where_decimal_predicates(spark, tmp_path):
     n_pids = 8
     keep = pids_matching_value(spark, enc, "price", D("1.23"))
     assert 0 < len(keep) < n_pids
+
+
+def test_compact_store_decimal_and_nested(spark, tmp_path):
+    # r5: store compaction re-encodes decimal + nested chunks exactly
+    # (member-codec hints include int_*/nested_ipc; floors always compete)
+    import decimal as dcm
+
+    from parquet_toolkit_spark.operators.encode import compact_store
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .withColumn("price",
+                        (F.col("doc_id") / F.lit(100)).cast("decimal(12,2)"))
+            .withColumn("info", F.struct(F.col("lang").alias("lg"),
+                                         F.length("text").alias("n"))))
+    enc = str(tmp_path / "frag")
+    encode_pipeline(spark, docs, enc, target_bytes=48 << 10, run_id="f",
+                    range_keys=("doc_id",), sort_keys=("doc_id",),
+                    n_partitions=12)
+    man2 = compact_store(spark, enc, target_bytes=1 << 20, run_id="c")
+    assert man2.select("pid").distinct().count() < 12
+
+    dec = decode_pipeline(spark, enc, columns=["doc_id", "price", "info"])
+    assert dec.count() == docs.count()
+    bad = (dec.withColumn(
+        "want", (F.col("doc_id") / F.lit(100)).cast("decimal(12,2)"))
+        .where((F.col("price") != F.col("want"))
+               | (F.col("info.n") <= 0)).count())
+    assert bad == 0
+    one = dec.where(F.col("doc_id") == 10).first()
+    assert one.price == dcm.Decimal("0.10") and one.info.lg is not None
