@@ -78,6 +78,10 @@ def value_hashes(chunk) -> np.ndarray | None:
         v = chunk.values
         if v is None:
             return None
+        if chunk.meta.get("dec_words") == 2:
+            # two-word decimal mantissas: the stream interleaves lo/hi
+            # halves, and probe values exceed int64 — no bloom
+            return None
         return _splitmix64(v.astype(np.int64).view(np.uint64))
     if chunk.kind == "bin":
         if chunk.offsets is None:

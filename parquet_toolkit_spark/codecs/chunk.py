@@ -61,7 +61,8 @@ class ColumnChunk:
             return 0
         if self.kind == "flist":
             return self.values.dtype.itemsize * len(self.values) + 4 * self.nrows
-        return self.values.dtype.itemsize * self.nrows
+        words = 2 if self.meta.get("dec_words") == 2 else 1
+        return self.values.dtype.itemsize * words * self.nrows
 
 
 def _mask_from_arrow(arr: pa.Array) -> np.ndarray | None:
@@ -94,16 +95,19 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
         meta["date_bits"] = 32 if pa.types.is_date32(t) else 64
         return ColumnChunk("int", nrows, values=v, mask=mask, meta=meta)
     if pa.types.is_decimal(t):
-        # decimal128(p<=18, s): the unscaled int64 mantissa rides the full
-        # int codec family (FOR/delta/dict/bit-pack — the ALP scaled-int
+        # decimal128(p<=38, s): the unscaled mantissa rides the full int
+        # codec family (FOR/delta/dict/bit-pack — the ALP scaled-int
         # substrate, impl.py); scale/precision live in meta and decode
-        # rebuilds the exact decimal bytes. 10^18 < 2^63, so p<=18 always
-        # fits; wider decimals refuse LOUDLY rather than round.
-        if not pa.types.is_decimal128(t) or t.precision > 18:
+        # rebuilds the exact decimal bytes. p<=18 (10^18 < 2^63) travels
+        # as one int64 word; wider decimals (r6) as a two-word stream
+        # [lo_0..lo_n, hi_0..hi_n] — the hi half is sign-extension runs
+        # for most real data, which the int codecs flatten. Beyond
+        # decimal128 (p>38) refuse LOUDLY rather than round.
+        if not pa.types.is_decimal128(t) or t.precision > 38:
             raise TypeError(
                 f"unsupported decimal type for codec layer: {t} — only "
-                "decimal128 with precision <= 18 (int64 mantissa) is "
-                "supported; re-cast wider columns or exclude them"
+                "decimal128 with precision <= 38 is supported; re-cast "
+                "wider columns or exclude them"
             )
         vals = arr.drop_null() if mask is not None else arr
         raw = np.frombuffer(
@@ -111,15 +115,17 @@ def from_arrow(arr: pa.Array | pa.ChunkedArray) -> ColumnChunk:
             count=2 * (vals.offset + len(vals)),
         ).reshape(-1, 2)[vals.offset:vals.offset + len(vals)]
         lo, hi = raw[:, 0].copy(), raw[:, 1]
-        # 16-byte two's complement, little-endian word order: for values
-        # inside int64 the high word is pure sign extension of the low
-        if len(lo) and not bool(np.array_equal(hi, lo >> 63)):
-            raise TypeError(
-                f"decimal column {t} holds values outside int64 range"
-            )
         meta["dec_precision"] = t.precision
         meta["dec_scale"] = t.scale
-        return ColumnChunk("int", nrows, values=lo, mask=mask, meta=meta)
+        # 16-byte two's complement, little-endian word order: for values
+        # inside int64 the high word is pure sign extension of the low
+        if len(lo) == 0 or bool(np.array_equal(hi, lo >> 63)):
+            return ColumnChunk("int", nrows, values=lo, mask=mask,
+                               meta=meta)
+        meta["dec_words"] = 2
+        return ColumnChunk("int", nrows,
+                           values=np.concatenate([lo, hi.copy()]),
+                           mask=mask, meta=meta)
     if t in _PA_INT or pa.types.is_integer(t):
         vals = arr.cast(pa.int64())
         v = np.asarray(vals.drop_null() if mask is not None else vals, dtype=np.int64)
@@ -217,13 +223,19 @@ def to_arrow(chunk: ColumnChunk) -> pa.Array:
     if chunk.kind == "int" and chunk.meta.get("dec_precision") is not None:
         # before the alias lookup: "decimal128(p, s)" has no pa alias
         m = np.asarray(chunk.values, dtype=np.int64)
-        raw = np.empty((len(m), 2), dtype=np.int64)
-        raw[:, 0] = m
-        raw[:, 1] = m >> 63  # sign extension into the high word
+        if chunk.meta.get("dec_words") == 2:
+            n = len(m) // 2
+            raw = np.empty((n, 2), dtype=np.int64)
+            raw[:, 0] = m[:n]
+            raw[:, 1] = m[n:]
+        else:
+            raw = np.empty((len(m), 2), dtype=np.int64)
+            raw[:, 0] = m
+            raw[:, 1] = m >> 63  # sign extension into the high word
         valid = pa.Array.from_buffers(
             pa.decimal128(chunk.meta["dec_precision"],
                           chunk.meta["dec_scale"]),
-            len(m), [None, pa.py_buffer(raw.tobytes())],
+            raw.shape[0], [None, pa.py_buffer(raw.tobytes())],
         )
         return _respread(valid, chunk.nrows, mask)
     t = pa.type_for_alias(_normalize_alias(chunk.meta.get("arrow_type", "")))

@@ -133,7 +133,10 @@ def decode_blob(blob) -> ColumnChunk:
         cmask = unpack_mask(sections["_cmask"], n_child) if n_child else None
         return ColumnChunk(kind, nrows, values=values, offsets=offsets,
                            mask=mask, meta=header["meta"], child_mask=cmask)
-    values = dec(sections, header["cmeta"], nvalid)
+    # two-word decimal mantissas (r6): the int value stream holds
+    # [lo..., hi...] — 2 words per valid row
+    words = 2 if header["meta"].get("dec_words") == 2 else 1
+    values = dec(sections, header["cmeta"], nvalid * words)
     if kind == "bool":
         values = values.astype(np.bool_)
     if kind == "float":

@@ -28,6 +28,15 @@ _SAMPLE = 65536
 _ZONE_MAX_LEN = 128  # string zone maps stored only for short-key columns
 
 
+def _i128_extreme(lo: np.ndarray, hi: np.ndarray, want_max: bool) -> int:
+    """Exact extreme of int128 values given as (lo uint word, hi signed
+    word) int64 arrays: lexicographic on (hi signed, lo unsigned)."""
+    h = int(hi.max() if want_max else hi.min())
+    sel = lo[hi == h].view(np.uint64)
+    l_w = int(sel.max() if want_max else sel.min())
+    return (h << 64) | l_w
+
+
 def profile_chunk(chunk: ColumnChunk) -> dict:
     """Vectorized stats for the manifest + selector."""
     stats: dict = {
@@ -48,8 +57,18 @@ def profile_chunk(chunk: ColumnChunk) -> dict:
             stats.update(distinct=0, nruns=0)
             return stats
         if chunk.kind == "int":
-            stats["min"] = int(v.min())
-            stats["max"] = int(v.max())
+            if chunk.meta.get("dec_words") == 2:
+                # two-word decimal mantissa stream [lo..., hi...]: the
+                # zone map must bound the logical int128 values, not the
+                # raw words — lexicographic (hi signed, lo unsigned)
+                # extremes, exact python ints in the JSON stats
+                n = len(v) // 2
+                lo, hi = v[:n], v[n:]
+                stats["min"] = _i128_extreme(lo, hi, want_max=False)
+                stats["max"] = _i128_extreme(lo, hi, want_max=True)
+            else:
+                stats["min"] = int(v.min())
+                stats["max"] = int(v.max())
             # logical unit marker: int zone maps of timestamps are in the
             # source unit and dates are day numbers — a temporal filter
             # value must only be compared after conversion to the SAME

@@ -67,10 +67,15 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id",
                   bench_text_col: str | None = None) -> DataFrame:
     """docs minus documents sharing >= min_hits distinct n-grams with the
-    benchmark set (left_anti on the contamination report — the corpus
-    keeps its partitioning; only ids shuffle)."""
+    benchmark set (shuffled left_anti on the contamination report).
+
+    The contaminated-id set is NOT broadcast-hinted: its cardinality
+    scales with corpus contamination (1% of 10B docs is ~100M ids),
+    which as a forced broadcast would be a driver/executor OOM. AQE
+    converts the anti-join to a broadcast at runtime when the hit set
+    turns out small; otherwise both sides shuffle on id_col only."""
     hits = contamination_report(
         docs, benchmark, n=n, text_col=text_col, id_col=id_col,
         bench_text_col=bench_text_col,
     ).where(F.col("n_hits") >= min_hits).select(id_col)
-    return docs.join(F.broadcast(hits), id_col, "left_anti")
+    return docs.join(hits, id_col, "left_anti")

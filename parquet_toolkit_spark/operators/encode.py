@@ -1249,9 +1249,12 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
 
     if isinstance(lo, _dcm.Decimal) or isinstance(hi, _dcm.Decimal):
         # decimal zone maps store the UNSCALED mantissa under $.min/$.max
-        # with the scale in $.logical = "dec_<s>" (selector.py): scale the
-        # bounds to mantissa ints (ceil/floor keeps admission exact) and
-        # fall through to the int evidence path
+        # with the scale in $.logical = "dec_<s>" (selector.py). p>18
+        # mantissas exceed int64 (r6 two-word decimals), so the Catalyst
+        # cast("long") evidence path below can't carry them — evaluate
+        # driver-side through the shared _chunk_admits, whose python-int
+        # comparisons are exact at any width (same O(n_pids) cost as the
+        # collect below)
         one = (st.select(F.get_json_object("stats_json", "$.logical")
                          .alias("lg"))
                .where(F.col("lg").startswith("dec_")).first())
@@ -1260,12 +1263,25 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
                 f"Decimal bounds on {column!r}, but its chunks carry no "
                 "decimal zone maps (is the column decimal-typed?)"
             )
-        s = int(one.lg[4:])
-        q = _dcm.Decimal(1).scaleb(-s)
-        lo = None if lo is None else int(
-            (_dcm.Decimal(lo) / q).to_integral_value(_dcm.ROUND_CEILING))
-        hi = None if hi is None else int(
-            (_dcm.Decimal(hi) / q).to_integral_value(_dcm.ROUND_FLOOR))
+        from pyspark.sql.datasource import (
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        from parquet_toolkit_spark.sources.ptsc_datasource import (
+            _chunk_admits,
+        )
+
+        flts = []
+        if lo is not None:
+            flts.append(GreaterThanOrEqual((column,), _dcm.Decimal(lo)))
+        if hi is not None:
+            flts.append(LessThanOrEqual((column,), _dcm.Decimal(hi)))
+        return {
+            r.pid for r in st.select("pid", "stats_json").collect()
+            if all(_chunk_admits(json.loads(r.stats_json), f)
+                   for f in flts)
+        }
     if isinstance(lo, str) or isinstance(hi, str):
         mn = F.get_json_object("stats_json", "$.smin")
         mx = F.get_json_object("stats_json", "$.smax")

@@ -79,7 +79,8 @@ def _probe_header_cells(path: str, delimiter: str, quote: str,
             src = path
         if src.endswith(".gz"):
             data = _gz.GzipFile(fileobj=io.BytesIO(data)).read(max_bytes)
-    except (OSError, ValueError):
+    except (OSError, ValueError, EOFError):
+        # EOFError: gzip truncation is not an OSError subclass
         return None
     text = data.decode("utf-8", errors="replace")
     if line_sep:

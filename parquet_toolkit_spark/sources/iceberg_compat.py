@@ -193,6 +193,14 @@ def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> di
             f["name"]: f.get("id", i + 1)
             for i, f in enumerate(schema["fields"])
         },
+        # rename evolution (r6): {current name -> older names the SAME
+        # field id carried in prior schemas, newest-first}. Data files
+        # written before a rename store the column under one of these —
+        # field ids are never reused (spec), so the chain is exact.
+        "field_aliases": _field_aliases(schemas, schema),
+        # raw spec-shaped schemas list: time travel recomputes aliases
+        # relative to the PINNED schema, not the current one
+        "_raw_schemas": schemas,
         "partition_specs": md.get("partition-specs",
                                   [{"spec-id": 0, "fields": md.get("partition-spec", [])}]),
         "current_snapshot_id": md.get("current-snapshot-id"),
@@ -206,6 +214,45 @@ def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> di
         ],
         "properties": md.get("properties", {}),
     }
+
+
+def _field_aliases(schemas: list, current: dict) -> dict[str, list[str]]:
+    """{current field name -> former names of the same field id}, newest
+    schema first. Empty for never-renamed tables (single schema or
+    name-stable evolution) — the common case costs one dict scan."""
+    if len(schemas) < 2:
+        return {}
+    cur_by_id = {f.get("id", i + 1): f["name"]
+                 for i, f in enumerate(current["fields"])}
+    out: dict[str, list[str]] = {}
+    for s in sorted(schemas, key=lambda s: -s.get("schema-id", 0)):
+        if s is current:
+            continue
+        for i, f in enumerate(s["fields"]):
+            cn = cur_by_id.get(f.get("id", i + 1))
+            if cn is not None and f["name"] != cn:
+                a = out.setdefault(cn, [])
+                if f["name"] not in a:
+                    a.append(f["name"])
+    return out
+
+
+def _check_alias_ambiguity(md: dict) -> None:
+    """A former name of one live field that is ALSO the current name of
+    another live field makes by-name column resolution ambiguous (rename
+    a->b then add a new column named a). Our writer refuses to create
+    this shape; a foreign-written table that has it must refuse loudly
+    rather than read one field's bytes as another's."""
+    live = {n for n, _t, _r in md["schema_fields"]}
+    for cur, olds in md.get("field_aliases", {}).items():
+        hit = [o for o in olds if o in live]
+        if hit:
+            raise NotImplementedError(
+                f"column {cur!r} was previously named {hit} and a live "
+                "column now reuses that name — by-name resolution is "
+                "ambiguous without parquet field-id metadata; rewrite "
+                "the table to read it here"
+            )
 
 
 # ------------------------------------------------------- manifest layer
@@ -431,8 +478,23 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
     only ever name one data file."""
     from pyspark.sql import functions as F
 
+    # rename evolution (r6): pre-rename data files store a renamed column
+    # under its former name. Spark fills absent declared columns with
+    # null per file, so reading the current schema EXTENDED with the
+    # alias columns and coalescing (current, older...) resolves each
+    # field from whichever name its file carries — exact because a file
+    # holds a field under exactly one name and ambiguity refuses below.
+    aliases = md.get("field_aliases") or {}
+    read_ddl = md["schema_ddl"]
+    if aliases:
+        _check_alias_ambiguity(md)
+        types = {n: t for n, t, _r in md["schema_fields"]}
+        extra = [f"{a} {types[c]}"
+                 for c, al in aliases.items() if c in types for a in al]
+        if extra:
+            read_ddl = ", ".join([read_ddl] + extra)
     df = (
-        spark.read.schema(md["schema_ddl"]).parquet(*sf["data"])
+        spark.read.schema(read_ddl).parquet(*sf["data"])
         .withColumn(
             "_fp",
             F.regexp_replace(F.col("_metadata.file_path"),
@@ -440,6 +502,9 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
         )
         .withColumn("_pos", F.col("_metadata.row_index"))
     )
+    for c, al in aliases.items():
+        if c in df.columns:
+            df = df.withColumn(c, F.coalesce(c, *al)).drop(*al)
     if sf.get("partition_values"):
         # spec-partitioned data files don't carry their partition columns
         # (the values live in the manifest) — re-inject them via one
@@ -600,15 +665,22 @@ def read_data(spark: SparkSession, table_dir: str,
     exact results with pruned IO."""
     md = read_table_metadata(table_dir, spark)
     if snapshot_id is not None:
-        # time travel reads the snapshot's pinned schema (evolution-aware)
+        # time travel reads the snapshot's pinned schema (evolution-aware):
+        # pre-rename snapshots keep reading with the names they were
+        # written under, and their alias chains re-key to those names
         snap = next((s for s in md["snapshots"]
                      if s["snapshot_id"] == snapshot_id), None)
         sid = snap.get("schema_id") if snap else None
         if sid is not None and sid in md["schemas_by_id"]:
             sf_fields = md["schemas_by_id"][sid]
+            raw = md.get("_raw_schemas", [])
+            pinned = next((s for s in raw
+                           if s.get("schema-id", 0) == sid), None)
             md = {**md, "schema_fields": sf_fields,
                   "schema_ddl": ", ".join(f"{n} {t}"
-                                          for n, t, _r in sf_fields)}
+                                          for n, t, _r in sf_fields),
+                  "field_aliases": (_field_aliases(raw, pinned)
+                                    if pinned is not None else {})}
     sf = snapshot_files(table_dir, snapshot_id, spark,
                         partition_filter=partition_filter,
                         range_filter=range_filter)
@@ -890,7 +962,17 @@ def write_table(spark: SparkSession, df: DataFrame, table_dir: str,
                     f0 = {**f0,
                           "type": _DDL_TO_ICEBERG[promoted[f0["name"]]]}
                 new_fields.append(f0)
+            former = {a for al in existing.get("field_aliases", {}).values()
+                      for a in al}
             for f in df.schema.fields[len(want):]:
+                if f.name in former:
+                    # a new column under a FORMER name of a live field
+                    # would make by-name file resolution ambiguous (the
+                    # rename alias chain reads old files by that name)
+                    raise ValueError(
+                        f"cannot add column {f.name!r}: it is a former "
+                        "name of a live column (renamed); pick a name "
+                        "never used by another field")
                 fid = next_id()
                 new_fields.append({"id": fid, "name": f.name,
                                    "type": _spark_field_to_iceberg(f, next_id),
@@ -1427,6 +1509,87 @@ def _land_partitioned_parts(df: DataFrame, table_dir: str, data_dir: str,
         i += 1
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def rename_columns(table_dir: str, renames: dict[str, str],
+                   spark: SparkSession | None = None) -> dict:
+    """Field-id-preserving column renames (Iceberg spec §Schema Evolution,
+    https://iceberg.apache.org/spec/#schema-evolution): commit a NEW
+    schema holding the same field ids under the new names as a
+    METADATA-ONLY version — no snapshot, no data rewrite, O(1) IO at any
+    table size. Snapshots pin their schema-id, so time travel keeps
+    reading pre-rename snapshots with the names they were written under;
+    current reads resolve pre-rename data files through the field-id
+    alias chain (read paths coalesce current/former names).
+
+    Refuses: unknown columns, name collisions (incl. reusing a former
+    name of another live field — by-name file resolution would turn
+    ambiguous), and renaming a partition-spec SOURCE column (partition
+    records in existing manifests key by spec-field name; re-keying them
+    is a rewrite, not a rename). Drops/reorders/type-narrowing remain
+    refused by write_table.
+    """
+    import json
+    import os
+    import re
+    import time
+
+    from parquet_toolkit_spark.sources.fs import strip_local_scheme
+
+    table_dir = strip_local_scheme(table_dir).rstrip("/")
+    existing = read_table_metadata(table_dir, spark)
+    _require_writable(existing)
+    old_md = _load_old_md(existing)
+    schemas = old_md.get("schemas") or [old_md["schema"]]
+    cur_sid = old_md.get("current-schema-id", 0)
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_sid)
+    names = [f["name"] for f in cur["fields"]]
+    unknown = sorted(set(renames) - set(names))
+    if unknown:
+        raise ValueError(f"cannot rename unknown column(s) {unknown}; "
+                         f"table has {names}")
+    bad = sorted(o for o, n in renames.items() if not n or o == n)
+    if bad:
+        raise ValueError(f"empty or identity rename for {bad}")
+    new_names = [renames.get(n, n) for n in names]
+    if len(set(new_names)) != len(new_names):
+        raise ValueError(
+            f"rename collision: new column names {new_names} not unique")
+    # reusing a FORMER name of any live field re-creates the by-name
+    # ambiguity the alias chain relies on never existing
+    former = {a for al in existing.get("field_aliases", {}).values()
+              for a in al}
+    reused = sorted(set(renames.values()) & former)
+    if reused:
+        raise ValueError(
+            f"new name(s) {reused} were former names of other live "
+            "columns; choose names never used by another field")
+    spec_sources = {f["source"] for f in _default_spec_fields(existing)}
+    spec_hit = sorted(set(renames) & spec_sources)
+    if spec_hit:
+        raise ValueError(
+            f"column(s) {spec_hit} are partition-spec sources; existing "
+            "manifest partition records key by that name — renaming them "
+            "requires a table rewrite, refusing")
+
+    new_fields = [{**f, "name": renames.get(f["name"], f["name"])}
+                  for f in cur["fields"]]
+    new_sid = max(s.get("schema-id", 0) for s in schemas) + 1
+    md = dict(old_md)
+    md["schemas"] = schemas + [{**cur, "schema-id": new_sid,
+                                "fields": new_fields}]
+    md.pop("schema", None)  # normalized v1 layouts carry schemas instead
+    md["current-schema-id"] = new_sid
+    md["last-updated-ms"] = int(time.time() * 1000)
+    m = re.search(r"v(\d+)\.metadata\.json$", existing["metadata_file"])
+    version = int(m.group(1)) + 1 if m else 2
+    meta_dir = os.path.join(table_dir, "metadata")
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(md_path, "w") as fh:
+        fh.write(json.dumps(md))
+    _swap_version_hint(meta_dir, version)
+    return {"version": version, "schema_id": new_sid,
+            "renamed": dict(renames)}
 
 
 def _load_old_md(existing: dict | None) -> dict:

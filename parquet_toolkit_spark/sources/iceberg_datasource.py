@@ -47,18 +47,18 @@ from pyspark.sql.datasource import (
 )
 
 def _check_readable_types(schema_fields) -> None:
-    """Refuse at PLANNING time any column type read() can't materialize
-    (e.g. decimal): a schema this source advertises must be one it can
-    deliver — a per-task KeyError is not an error message (code-review
-    r4)."""
-    from parquet_toolkit_spark.operators.encode import _out_pa_type
+    """Refuse at PLANNING time any column type read() can't materialize:
+    a schema this source advertises must be one it can deliver — a
+    per-task KeyError is not an error message (code-review r4). Since r6
+    nested struct/map/array AND decimal(p<=38) parse through ddl_to_arrow,
+    so only out-of-grammar types (interval, variant, ...) refuse."""
+    from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
 
     bad = []
     for n, t, _r in schema_fields:
         try:
-            if _out_pa_type(t) is None:  # nested: decode_pipeline-only
-                bad.append(f"{n}:{t}")
-        except KeyError:
+            ddl_to_arrow(t)
+        except ValueError:
             bad.append(f"{n}:{t}")
     if bad:
         raise NotImplementedError(
@@ -139,8 +139,20 @@ class IcebergFsReader(DataSourceReader):
             bundle_by_size,
         )
 
+        # rename evolution (r6): pre-rename data files carry a column
+        # under its former name; read() falls back through the alias
+        # chain per file (ambiguous reuse refuses at planning)
+        aliases = _snapshot_aliases(md, self.snapshot)
+        if aliases:
+            from parquet_toolkit_spark.sources.iceberg_compat import (
+                _check_alias_ambiguity,
+            )
+
+            _check_alias_ambiguity(
+                {"schema_fields": schema_fields, "field_aliases": aliases})
         shared = {
             "schema": [(n, t) for n, t, _r in schema_fields],
+            "aliases": aliases,
             "pos_deletes": sf["position_deletes"],
             "eq_deletes": eq_deletes,
         }
@@ -154,11 +166,11 @@ class IcebergFsReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from parquet_toolkit_spark.operators.encode import _out_pa_type
+        from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
         from parquet_toolkit_spark.sources.iceberg_compat import _norm_fp
 
         spec = partition.value
-        fields = [(n, _out_pa_type(t)) for n, t in spec["schema"]]
+        fields = [(n, ddl_to_arrow(t)) for n, t in spec["schema"]]
         out_schema = pa.schema(fields)
 
         # snapshot-level delete descriptors ride in EVERY partition; the
@@ -186,9 +198,18 @@ class IcebergFsReader(DataSourceReader):
             # evolution null-fill), then apply equality deletes on the
             # assembled values so delete keys on injected columns work
             cols = {}
+            aliases = spec.get("aliases") or {}
             for name, typ in fields:
-                if name in t.schema.names:
-                    cols[name] = t.column(name).combine_chunks().cast(typ)
+                src = name if name in t.schema.names else next(
+                    (a for a in aliases.get(name, ())
+                     if a in t.schema.names), None)
+                if src is not None:
+                    a = t.column(src).combine_chunks()
+                    # nested parquet reads differ in child-field naming
+                    # ("item"/"m" vs Spark's "element"/"entries"); pa type
+                    # equality ignores those names but Spark's schema check
+                    # does not — compare the full str form and cast
+                    cols[name] = a if str(a.type) == str(typ) else a.cast(typ)
                 elif name in f["pvals"]:
                     cols[name] = pa.array([f["pvals"][name]] * nrows,
                                           type=typ)
@@ -262,6 +283,25 @@ def _snapshot_schema_fields(md: dict, snapshot_id: int | None) -> list:
         if sid is not None and sid in md.get("schemas_by_id", {}):
             return md["schemas_by_id"][sid]
     return md["schema_fields"]
+
+
+def _snapshot_aliases(md: dict, snapshot_id: int | None) -> dict:
+    """Field-rename alias chain for the schema this read is pinned to:
+    current-schema aliases normally, recomputed against the snapshot's
+    pinned schema for time travel."""
+    if snapshot_id is None:
+        return md.get("field_aliases") or {}
+    from parquet_toolkit_spark.sources.iceberg_compat import _field_aliases
+
+    snap = next((s for s in md["snapshots"]
+                 if s["snapshot_id"] == snapshot_id), None)
+    sid = snap.get("schema_id") if snap else None
+    raw = md.get("_raw_schemas", [])
+    pinned = (next((s for s in raw if s.get("schema-id", 0) == sid), None)
+              if sid is not None else None)
+    if pinned is None:
+        return md.get("field_aliases") or {}
+    return _field_aliases(raw, pinned)
 
 
 class IcebergFsDataSource(DataSource):

@@ -159,15 +159,26 @@ def _chunk_admits(stats: dict, flt) -> bool:
     if logical.startswith("dec_"):
         # decimal mantissa zone maps ($.min/$.max unscaled): scale the
         # predicate value exactly (Decimal/int/float all convert without
-        # rounding; Decimal-vs-int comparisons below are exact)
+        # rounding; Decimal-vs-int comparisons below are exact). scaleb
+        # under the DEFAULT context rounds to 28 significant digits —
+        # silent corruption for p>28 mantissas (r6) — so scale under an
+        # explicit wide context
         if isinstance(v, (_dcm.Decimal, int, float)) \
                 and not isinstance(v, bool):
-            q = _dcm.Decimal(v).scaleb(int(logical[4:]))
+            q = _dcm.Decimal(v).scaleb(int(logical[4:]),
+                                       _dcm.Context(prec=80))
             if q == q.to_integral_value():
                 v = int(q)  # exact mantissa: zone maps AND bloom probe
             elif isinstance(flt, EqualTo):
-                # unrepresentable at this scale: no column value can
-                # equal it — definitely absent
+                if isinstance(v, float):
+                    # a double predicate non-integral at the chunk scale
+                    # can still match after Spark's decimal->double
+                    # promotion (0.1 == decimal 0.10): Decimal(v) expands
+                    # the binary value, so integrality proves nothing —
+                    # admit and let the residual predicate decide
+                    return True
+                # exact Decimal/int predicate unrepresentable at this
+                # scale: no column value can equal it — definitely absent
                 return False
             else:
                 v = q  # fractional range bound: exact Decimal-vs-int
@@ -252,16 +263,20 @@ class PtscReader(DataSourceReader):
             return
         import pyarrow as pa
 
-        from parquet_toolkit_spark.operators.encode import (
-            _decode_blob_file,
-            _out_pa_type,
-        )
+        from parquet_toolkit_spark.operators.encode import _decode_blob_file
+        from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
 
+        # ddl_to_arrow covers nested shapes too (r6): a struct/map/array
+        # column decodes from its IPC section with the ingest-time arrow
+        # type preserved, then casts to the exact type Spark's Arrow
+        # deserializer expects for the declared schema (no-op when the
+        # store was Spark-written)
         schema_map = _store_schema_map(self.path)
-        fields = [(c, _out_pa_type(ddl)) for c, ddl in schema_map.items()]
+        fields = [(c, ddl_to_arrow(ddl)) for c, ddl in schema_map.items()]
         for fpath in partition.value:
             cols = _decode_blob_file(fpath, set(schema_map))
-            arrays = [cols[c].cast(t) for c, t in fields]
+            arrays = [cols[c] if str(cols[c].type) == str(t)
+                      else cols[c].cast(t) for c, t in fields]
             table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
             yield from table.to_batches(max_chunksize=32768)
 

@@ -453,8 +453,33 @@ def test_decimal_roundtrip_and_refusal():
     s = seq.slice(123, 77)
     assert to_arrow(from_arrow(s)).to_pylist() == s.to_pylist()
 
+    # r6: p in (18, 38] rides the two-word mantissa stream [lo..., hi...]
+    wide = pa.array(
+        [D("12345678901234567890123456.7890123456"), None,
+         D("-99999999999999999999999999.9999999999"),
+         D("0.0000000001"), D("123.4"),
+         D("99999999999999999999999999.0000000001")],
+        pa.decimal128(38, 10),
+    )
+    wchunk = from_arrow(wide)
+    assert wchunk.kind == "int" and wchunk.meta["dec_words"] == 2
+    wcodec, wblob, wstats = select_codec(wchunk)
+    wback = to_arrow(decode_blob(wblob))
+    assert wback.equals(wide), wcodec
+    # zone maps bound the LOGICAL int128 mantissas exactly
+    ctx = dcm.Context(prec=80)
+    mants = [int(v.scaleb(10, ctx)) for v in wide.to_pylist() if v is not None]
+    assert wstats["min"] == min(mants) and wstats["max"] == max(mants)
+    assert wstats["logical"] == "dec_10"
+    # a p>18 column whose VALUES all fit int64 stays one-word
+    small = pa.array([D("1.0000000000"), D("-2.5000000000")],
+                     pa.decimal128(38, 10))
+    assert from_arrow(small).meta.get("dec_words") is None
+    assert to_arrow(from_arrow(small)).equals(small)
+
+    # beyond decimal128 refuses loudly
     with pytest.raises(TypeError, match="precision"):
-        from_arrow(pa.array([D("1")], pa.decimal128(19, 0)))
+        from_arrow(pa.array([D("1")], pa.decimal256(50, 0)))
 
 
 def test_nested_struct_map_list_roundtrip():

@@ -775,7 +775,7 @@ def test_decontaminate_ngram_overlap(spark):
     assert rep.get(2, 0) >= 1 and 1 not in rep and 4 not in rep
 
     kept = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
-    assert kept == {1, 3, 4} if rep.get(3, 0) == 0 else {1, 4}
+    assert kept == ({1, 3, 4} if rep.get(3, 0) == 0 else {1, 4})
 
 
 def test_scrub_pii_and_counts(spark):

@@ -2681,3 +2681,172 @@ def test_jsonl_ingest_quarantine_and_oracle(spark, tmp_path):
         jsonl_to_df(spark, str(src))
     inf = jsonl_to_df(spark, str(src), infer=True, sampling_ratio=1.0)
     assert inf.where(F.col("doc_id") == 7).count() == 1
+
+
+def test_iceberg_rename_evolution(spark, tmp_path):
+    """r6: field-id-preserving column renames (Iceberg spec §Schema
+    Evolution) — metadata-only commit; current reads resolve pre-rename
+    data files through the alias chain, time travel keeps old names,
+    appends with the new names work (the foreign-renamed-table case),
+    and ambiguous/unsafe renames refuse."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+    )
+
+    tdir = str(tmp_path / "ren_tbl")
+    r1 = ic.write_table(spark, spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5)], "a long, txt string"), tdir)
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5, 10)], "a long, txt string"), tdir)
+
+    res = ic.rename_columns(tdir, {"a": "b"})
+    assert res["schema_id"] == 1
+
+    # append under the NEW name — exactly what a table renamed by a
+    # foreign engine requires of our writer
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"x{i}") for i in range(10, 15)], "b long, txt string"), tdir)
+
+    cur = ic.read_data(spark, tdir)
+    assert cur.columns == ["b", "txt"]
+    assert sorted(r.b for r in cur.collect()) == list(range(15))
+
+    # time travel to the pre-rename snapshot reads the OLD name
+    old = ic.read_data(spark, tdir, snapshot_id=r1["snapshot_id"])
+    assert old.columns == ["a", "txt"] and old.count() == 5
+
+    # the Catalyst source sees the same, current and pinned
+    spark.dataSource.register(IcebergFsDataSource)
+    d = spark.read.format("iceberg_fs").load(tdir)
+    assert sorted(r.b for r in d.collect()) == list(range(15))
+    assert (spark.read.format("iceberg_fs")
+            .option("snapshot", str(r1["snapshot_id"])).load(tdir)
+            .columns == ["a", "txt"])
+    # filters on the renamed column prune by field-id-keyed bounds
+    assert sorted(r.b for r in d.where("b >= 12").collect()) == [12, 13, 14]
+
+    # refusals: unknown column, collision, reuse of a former name (both
+    # via rename and via evolution column-add)
+    with pytest.raises(ValueError, match="unknown"):
+        ic.rename_columns(tdir, {"zz": "q"})
+    with pytest.raises(ValueError, match="collision"):
+        ic.rename_columns(tdir, {"b": "txt"})
+    with pytest.raises(ValueError, match="former"):
+        ic.rename_columns(tdir, {"txt": "a"})
+    with pytest.raises(ValueError, match="former"):
+        ic.write_table(spark, spark.createDataFrame(
+            [(99, "t", 1.0)], "b long, txt string, a double"),
+            tdir, allow_schema_evolution=True)
+
+    # renaming a partition-spec source column refuses (manifest partition
+    # records key by spec-field name)
+    pdir = str(tmp_path / "ren_part")
+    ic.write_table(spark, spark.createDataFrame(
+        [(1, "en"), (2, "de")], "id long, lang string"),
+        pdir, partition_by=["lang"])
+    with pytest.raises(ValueError, match="partition-spec"):
+        ic.rename_columns(pdir, {"lang": "language"})
+
+
+def test_iceberg_nested_and_decimal38_through_datasources(spark, tmp_path):
+    """r6: map/array/struct and decimal(38,10) columns flow through the
+    Iceberg layer AND both Catalyst read paths (planning no longer
+    refuses nested; two-word mantissas decode bit-exact)."""
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+    )
+
+    tdir = str(tmp_path / "nested38")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.create_map(
+            F.lit("lang"),
+            F.concat(F.lit("l"), (F.col("id") % 3).cast("string")),
+        ).alias("meta"),
+        F.array(F.col("id").cast("string"), F.lit("c")).alias("tags"),
+        F.struct(F.col("id").alias("x"), F.lit("s").alias("y")).alias("info"),
+        (F.col("id").cast("decimal(20,0)")
+         * F.lit(10 ** 12).cast("decimal(20,0)"))
+        .cast("decimal(38,10)").alias("big"),
+    )
+    ic.write_table(spark, df, tdir)
+    want = df.orderBy("doc_id").collect()
+    assert ic.read_data(spark, tdir).orderBy("doc_id").collect() == want
+
+    spark.dataSource.register(IcebergFsDataSource)
+    got = (spark.read.format("iceberg_fs").load(tdir)
+           .orderBy("doc_id").collect())
+    assert got == want
+
+
+def test_ptsc_nested_and_decimal38(spark, tmp_path):
+    """r6: the same shapes through the blob store and the ptsc source,
+    including a decimal(38,10) point filter (zone-map admission must not
+    mis-prune two-word mantissas)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.operators.encode import encode_pipeline
+    from parquet_toolkit_spark.sources.ptsc_datasource import PtscDataSource
+
+    enc = str(tmp_path / "nested38_enc")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("meta"),
+        (F.col("id").cast("decimal(20,0)")
+         * F.lit(10 ** 12).cast("decimal(20,0)"))
+        .cast("decimal(38,10)").alias("big"),
+    )
+    encode_pipeline(spark, df, enc, target_bytes=1 << 20, run_id="t",
+                    range_keys=("source", "doc_id"),
+                    sort_keys=("source", "doc_id"))
+    spark.dataSource.register(PtscDataSource)
+    p = spark.read.format("ptsc").load(enc)
+    assert p.orderBy("doc_id").collect() == df.orderBy("doc_id").collect()
+    hit = p.where(
+        F.col("big") == F.lit(Decimal("7000000000000.0000000000"))).collect()
+    assert len(hit) == 1 and hit[0].doc_id == 7
+    assert p.where(
+        F.col("big") == F.lit(Decimal("7000000000000.0000000001"))
+    ).count() == 0
+
+
+def test_decimal38_range_pruning(spark, tmp_path):
+    """r6: pids_matching_range with Decimal bounds whose mantissas exceed
+    int64 — driver-side exact big-int admission, sound and tight."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_range,
+    )
+
+    enc = str(tmp_path / "dec38_enc")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(20,0)")
+         * F.lit(10 ** 15).cast("decimal(20,0)"))
+        .cast("decimal(38,6)").alias("v"),
+    )
+    encode_pipeline(spark, df, enc, target_bytes=4 << 10, run_id="t",
+                    range_keys=("k",), sort_keys=("k",))
+    lo = Decimal(100) * 10 ** 15
+    hi = Decimal(120) * 10 ** 15
+    pids = pids_matching_range(spark, enc, "v", lo=lo, hi=hi)
+    from parquet_toolkit_spark.operators.encode import read_manifest
+
+    all_pids = {r.pid for r in read_manifest(spark, enc)
+                .select("pid").distinct().collect()}
+    assert pids and pids < all_pids  # pruned something, kept the hits
+    got = (decode_pipeline(spark, enc, pids=sorted(pids))
+           .where((F.col("v") >= lo) & (F.col("v") <= hi)))
+    assert got.count() == 21
