@@ -462,6 +462,113 @@ def q_ptsc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic 2-shard .jsonl.gz corpus derived from documents,
+    with structurally-corrupt lines planted every 83rd position — read by
+    BOTH engines (Spark ingest, DuckDB read_json oracle)."""
+    import gzip
+
+    fdir = _fixture_path("jsonl_src", sf_dir)
+    done = os.path.join(fdir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(fdir, exist_ok=True)
+        docs = _t(spark, _resolve_sf_dir(sf_dir), "documents")
+        rows = (docs.select(F.to_json(F.struct("doc_id", "lang", "text"))
+                            .alias("j"), "doc_id")
+                .orderBy("doc_id").collect())
+        lines: list[str] = []
+        for i, r in enumerate(rows):
+            if i % 83 == 41:
+                lines.append('{"doc_id": %d, "text": "truncated' % i)
+            lines.append(r.j)
+        half = len(lines) // 2
+        for name, part in (("a", lines[:half]), ("b", lines[half:])):
+            with gzip.open(os.path.join(fdir, f"{name}.jsonl.gz"),
+                           "wt", encoding="utf-8") as fh:
+                fh.write("\n".join(part) + "\n")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return fdir
+
+
+def q_jsonl_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL->Parquet ingest with record-level quarantine (r5 capability,
+    driver-registered r6): typed PERMISSIVE read over gz shards, corrupt
+    lines land verbatim in _quarantine/, clean rows land columnar. The
+    oracle is DuckDB's own JSON reader over the SAME shards plus a raw
+    line scan for the corrupt count."""
+    from parquet_toolkit_spark.sources.jsonl_ingest import convert_jsonl
+
+    fdir = _jsonl_fixture(spark, sf_dir)
+    out = os.path.join(_TMP, "jsonl_out.parquet")
+    res = convert_jsonl(
+        spark, os.path.join(fdir, "*.jsonl.gz"), out,
+        schema="doc_id bigint, lang string, text string")
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "lang",
+                F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+        .withColumn("n_bad", F.lit(int(res["bad"])).cast("bigint"))
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r5 capability, driver-registered r6):
+    drop documents sharing >=1 distinct 8-word n-gram with a planted
+    benchmark set (every doc_id % 37 == 0 document). The corpus explodes
+    to xxhash64 gram keys, the small benchmark side broadcasts, the
+    anti-join strategy is AQE's choice (unbounded hit sets must not be
+    forced through a broadcast — VERDICT r5). Oracle recomputes the
+    overlap on the literal gram strings in SQL."""
+    from parquet_toolkit_spark.functions.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    kept = decontaminate(docs, bench, n=8)
+    return kept.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+
+
+def q_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested columns END-TO-END (r6): array/map/struct built from
+    documents ride the codec layer's nested IPC kind through
+    encode_pipeline, then read back through the ptsc Catalyst source —
+    leaf values extracted from each nested shape must equal the oracle's
+    recomputation from the base table."""
+    from parquet_toolkit_spark.operators.encode import encode_pipeline
+    from parquet_toolkit_spark.sources.ptsc_datasource import PtscDataSource
+
+    docs = _t(spark, sf_dir, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.array("source", "lang").alias("tags"),
+        F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("source"), F.col("source")).alias("meta"),
+        F.struct(F.col("lang"), F.col("n_chars")).alias("info"),
+        "text",
+    )
+    enc_dir = _fixture_path("nested_enc_store", sf_dir)
+    if not os.path.exists(os.path.join(enc_dir, "_DONE")):
+        encode_pipeline(spark, nested, enc_dir, target_bytes=4 << 20,
+                        run_id="nr", range_keys=("doc_id",),
+                        sort_keys=("doc_id",))
+        with open(os.path.join(enc_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PtscDataSource)
+    df = spark.read.format("ptsc").load(enc_dir)
+    return df.select(
+        "doc_id",
+        F.element_at("tags", 1).alias("tag0"),
+        F.size("tags").alias("n_tags"),
+        F.col("meta")["lang"].alias("m_lang"),
+        F.col("meta")["source"].alias("m_source"),
+        F.col("info.lang").alias("i_lang"),
+        F.col("info.n_chars").alias("i_n"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"),
+    )
+
+
 def q_encode_numeric_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-table encode across the full codec family: lineitem's ints,
     2-decimal doubles (float_alp — the ALP decimal-scaled path), low-card
@@ -1421,6 +1528,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skipped in r4 as entries 51/52 — sit near the front.
         "media_features": q_media_features,
         "sessionize_stream": q_sessionize_stream,
+        # r6 rotation (VERDICT r5 #1): the r5/r6 capabilities take driver
+        # slots; the three displaced always-green thin-SQL queries
+        # (events_hourly, text_stats, iceberg_write_read) move to
+        # extra_queries() and stay DuckDB-hash-checked by
+        # tests/test_oracle_parity.py. Rotation documented in SURVEY §2.
+        "jsonl_convert": q_jsonl_convert,
+        "decontaminate": q_decontaminate,
+        "nested_roundtrip": q_nested_roundtrip,
         "encode_roundtrip_sha": q_encode_roundtrip_sha,
         "encode_manifest_coverage": q_encode_manifest_coverage,
         "encode_pruned_decode": q_encode_pruned_decode,
@@ -1437,7 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "cap_per_group": q_cap_per_group,
         "iceberg_encode_roundtrip": q_iceberg_encode_roundtrip,
-        "iceberg_write_read": q_iceberg_write_read,
         "iceberg_mor_delete": q_iceberg_mor_delete,
         "iceberg_partition_prune": q_iceberg_partition_prune,
         "iceberg_bucket_prune": q_iceberg_bucket_prune,
@@ -1445,8 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
-        "events_hourly": q_events_hourly,
-        "text_stats": q_text_stats,
         "pack_greedy": q_pack_greedy,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -1472,13 +1584,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness runner checks at most 50 ``queries()`` entries
     (r4 evidence above), so the registry keeps the scale-path variants
     (``ngram_jaccard_minhash``, ``embedding_near_pairs_lsh``) and these two
-    exact small-scale twins live here instead. They remain hash-checked
-    against their DuckDB oracles (``extra_oracle_sql``) by
-    tests/test_oracle_parity.py on every pytest run.
+    exact small-scale twins live here instead; the r6 rotation (VERDICT r5
+    #1) parks three displaced thin-SQL queries here too so the new
+    capabilities (jsonl_convert, decontaminate, nested_roundtrip) get
+    driver slots. Everything here remains hash-checked against its DuckDB
+    oracle (``extra_oracle_sql``) by tests/test_oracle_parity.py on every
+    pytest run.
     """
     return {
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "events_hourly": q_events_hourly,
+        "text_stats": q_text_stats,
+        "iceberg_write_read": q_iceberg_write_read,
     }
 
 
@@ -1503,6 +1621,20 @@ def extra_oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
+        # r6 rotation: displaced from oracle_sql() to free driver slots
+        "events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "text_stats": (
+            f"SELECT doc_id, CAST({_TOKCNT} AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_q, "
+            "sha256(text) AS text_sha FROM documents"
+        ),
+        "iceberg_write_read":
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
     }
 
 
@@ -1563,8 +1695,17 @@ _PUNCT_SQL = " + ".join(
 )
 
 
+_GRAMS8_SQL = (
+    "list_distinct(list_transform(range(1, len(w) - 6), i -> "
+    + " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(8))
+    + "))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     s = _lang_scores_sql()
+    jsonl_glob = os.path.join(_fixture_path("jsonl_src", "sf0.01"),
+                              "*.jsonl.gz")
     quality = (
         "round(least(length(text)/500.0, 1.0)*40.0 "
         f"+ least(({_PUNCT_SQL})/greatest(length(text),1)*400.0, 30.0) "
@@ -1578,6 +1719,46 @@ def oracle_sql() -> dict[str, str]:
         "binary_append": _LI_ORACLE_PROJ,
         "binary_split": _LI_ORACLE_PROJ,
         "csv_convert": _CSV_ORACLE,
+        # r6: JSONL ingest — DuckDB's own JSON reader over the SAME gz
+        # shards (structurally-corrupt lines parse to all-null rows under
+        # ignore_errors; doc_id IS NOT NULL keeps the clean set) plus a
+        # raw line scan for the quarantine count
+        "jsonl_convert": (
+            "WITH clean AS (SELECT doc_id, lang, text FROM read_json("
+            f"'{jsonl_glob}', format='newline_delimited', "
+            "columns={doc_id:'BIGINT', lang:'VARCHAR', text:'VARCHAR'}, "
+            "ignore_errors=true) WHERE doc_id IS NOT NULL), "
+            f"bad AS (SELECT count(*) AS n_bad FROM read_csv('{jsonl_glob}', "
+            "columns={'l':'VARCHAR'}, sep='\x14', header=false, quote='') "
+            "WHERE NOT json_valid(l)) "
+            "SELECT c.doc_id, c.lang, sha256(c.text) AS text_sha, b.n_bad "
+            "FROM clean c, bad b"
+        ),
+        # r6: benchmark decontamination — recompute the 8-word-gram
+        # overlap on the literal gram strings (Spark joins on xxhash64 of
+        # the same grams)
+        "decontaminate": (
+            f"WITH nd AS (SELECT doc_id, text, "
+            f"regexp_split_to_array({_norm_sql()}, ' ') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [] "
+            f"ELSE {_GRAMS8_SQL} END AS sh FROM nd), "
+            "bg AS (SELECT DISTINCT unnest(sh) AS gram FROM g "
+            "WHERE doc_id % 37 = 0), "
+            "hits AS (SELECT DISTINCT dd.doc_id FROM "
+            "(SELECT doc_id, unnest(sh) AS gram FROM g) dd "
+            "JOIN bg USING (gram)) "
+            "SELECT doc_id, sha256(text) AS text_sha FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
+        ),
+        # r6: nested encode->ptsc roundtrip — leaf values extracted from
+        # array/map/struct must equal their recomputation from the base
+        # table
+        "nested_roundtrip": (
+            "SELECT doc_id, source AS tag0, CAST(2 AS INTEGER) AS n_tags, "
+            "lang AS m_lang, source AS m_source, lang AS i_lang, "
+            "n_chars AS i_n, sha256(text) AS text_sha FROM documents"
+        ),
         "encode_roundtrip_sha":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "encode_pruned_decode": (
@@ -1664,8 +1845,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "iceberg_encode_roundtrip":
             "SELECT doc_id, sha256(text) AS text_sha FROM documents",
-        "iceberg_write_read":
-            "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "iceberg_mor_delete": (
             "SELECT doc_id, sha256(text) AS text_sha FROM documents "
             "WHERE doc_id % 7 <> 3 "
@@ -1717,17 +1896,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
-        ),
-        "events_hourly": (
-            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, "
-            "event_type, COUNT(*) AS n, "
-            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value "
-            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
-        ),
-        "text_stats": (
-            f"SELECT doc_id, CAST({_TOKCNT} AS BIGINT) AS n_tokens, "
-            "CAST(length(text) AS BIGINT) AS n_chars_q, "
-            "sha256(text) AS text_sha FROM documents"
         ),
         "pack_greedy": (
             f"WITH t AS (SELECT doc_id, source, "

@@ -60,3 +60,32 @@ def test_text_stats_prunes_to_used_columns(spark):
     df = entrymod.queries()["text_stats"](spark, SF)
     tail = _plan(df).split("ReadSchema")[-1]
     assert "doc_id" in tail and "text" in tail and "source" not in tail
+
+
+def test_decontaminate_no_forced_broadcast_on_hits(spark):
+    """VERDICT r5 #2: the contaminated-id anti-join must NOT force a
+    broadcast — hit-set cardinality scales with corpus contamination
+    (unbounded), so the strategy belongs to AQE. The one intended
+    broadcast hint in the plan is the SMALL benchmark gram set inside
+    contamination_report. Verified on a majority-contaminated corpus
+    (worst case for a forced broadcast)."""
+    from parquet_toolkit_spark.functions.decontaminate import decontaminate
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while winter winds howl across the frozen plain")
+    docs = spark.createDataFrame(
+        [(i, base + f" tail {i}") for i in range(40)]
+        + [(100 + i, f"unique clean document number {i} "
+            "with nothing shared at all here") for i in range(10)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(base,)], "text string")
+    kept = decontaminate(docs, bench, n=8)
+
+    # majority contaminated: the 40 overlapping docs drop, 10 survive
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {100 + i for i in range(10)}
+
+    # logical plan carries exactly ONE broadcast hint (the bench grams);
+    # the left_anti on hits has none
+    logical = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.lower().count("strategy=broadcast") == 1, logical
