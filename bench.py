@@ -68,7 +68,26 @@ BENCH_QUERIES = [
     "iceberg_stream_sink", "hash_sample_split", "mixture_sample",
     "cap_per_group",
     "pack_greedy",
+    # r6: the rotated-in capabilities + pure-codegen scrub over documents
+    "jsonl_convert", "decontaminate", "nested_roundtrip", "scrub_pii",
 ]
+
+
+def _q_scrub_pii(spark, sf_dir):
+    """Bench-only row (VERDICT r5 #6): PII scrub over the documents
+    corpus — a pure codegen'd regexp_replace chain, zero python in the
+    plan (pytest-oracled in tests/test_functions.py)."""
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.functions.text import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("text_scrubbed"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+    )
 
 
 def _sf_from_dir(d: str) -> float:
@@ -169,7 +188,10 @@ def main() -> None:
     os.sync()
 
     # ---- query bench on the driver tables (same session as layout)
-    qs = entrymod.queries()
+    # extra_queries holds the r6-rotation displaced entries (still timed
+    # here for round-over-round continuity); scrub_pii is bench-only
+    qs = {**entrymod.queries(), **entrymod.extra_queries(),
+          "scrub_pii": _q_scrub_pii}
     # untimed warm pass: write the oracle-fixture tables (deterministic
     # plumbing both engines read — cached per sf-dir by _SUCCESS) and the
     # cached many-small merge input, so timed walls measure the OPERATOR,
@@ -181,7 +203,8 @@ def main() -> None:
                  "ngram_jaccard_minhash", "dedup_clusters",
                  "encode_pruned_decode", "fsck_store",
                  "bloom_point_lookup", "compact_store",
-                 "iceberg_bucket_prune", "ptsc_scan", "zorder_prune"):
+                 "iceberg_bucket_prune", "ptsc_scan", "zorder_prune",
+                 "jsonl_convert", "nested_roundtrip"):
         qs[name](spark, SF_DIR)
     qs["merge_compact"](spark, SF_DIR)
     # ptsc_scan's first execution spins up the python data source's

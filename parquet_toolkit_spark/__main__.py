@@ -170,6 +170,15 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--ngram", type=int, default=8)
     dc.add_argument("--min-hits", type=int, default=1)
 
+    ir = sub.add_parser("iceberg-rename",
+                        help="field-id-preserving column renames "
+                             "(metadata-only commit; time travel keeps "
+                             "old names)")
+    ir.add_argument("--table", required=True)
+    ir.add_argument("--rename", action="append", required=True,
+                    metavar="OLD=NEW",
+                    help="repeatable: --rename old=new")
+
     sc = sub.add_parser("scrub-pii",
                         help="redact email/ipv4/card/phone patterns in a "
                              "text column (regex redactor, not NER)")
@@ -337,6 +346,17 @@ def main(argv: list[str] | None = None) -> dict:
                "deleted": res["deleted"],
                "skipped_recent": res["skipped_recent"],
                "orphans": res["orphans"][:20]}
+    elif v == "iceberg-rename":
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            rename_columns,
+        )
+        renames = {}
+        for spec in args.rename:
+            old, sep, new = spec.partition("=")
+            if not sep or not old or not new:
+                raise SystemExit(f"--rename wants OLD=NEW, got {spec!r}")
+            renames[old] = new
+        res = rename_columns(args.table, renames, spark)
     elif v == "decontaminate":
         from parquet_toolkit_spark.functions.decontaminate import (
             decontaminate,

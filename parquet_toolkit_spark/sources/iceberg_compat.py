@@ -619,10 +619,34 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, md: dict,
             names.append(id_to_name[fid])
         by_keyset[tuple(sorted(names))].append(d)
 
+    aliases = md.get("field_aliases") or {}
+
+    def _key_src(path: str, k: str) -> str:
+        # a delete file written BEFORE a rename stores the key column
+        # under its former name — resolve per file through the alias
+        # chain (driver-side footer read; delete descriptors are already
+        # a driver-side walk)
+        if not aliases.get(k):
+            return k
+        import pyarrow.parquet as pq
+
+        from parquet_toolkit_spark.sources.fs import task_fs
+
+        fs, rel = task_fs(path)
+        names = set(pq.read_schema(rel, filesystem=fs).names)
+        if k in names:
+            return k
+        src = next((a for a in aliases[k] if a in names), None)
+        if src is None:
+            raise ValueError(
+                f"equality delete {path} holds none of {[k, *aliases[k]]}")
+        return src
+
     for keys, files in by_keyset.items():
         parts = [
             spark.read.parquet(f["path"])
-            .select(*[F.col(k).alias(f"_eq_{k}") for k in keys])
+            .select(*[F.col(_key_src(f["path"], k)).alias(f"_eq_{k}")
+                      for k in keys])
             .withColumn("_eq_seq", F.lit(int(f["seq"])))
             for f in files
         ]

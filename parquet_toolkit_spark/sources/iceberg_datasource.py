@@ -178,9 +178,12 @@ class IcebergFsReader(DataSourceReader):
         # mtime) so with worker reuse each delete file is read ~once per
         # worker, not once per bundle (code-review r4)
         pos_by_file = _pos_deletes_cached(tuple(spec["pos_deletes"]))
+        aliases = spec.get("aliases") or {}
         eq_sets = [
             (d["seq"], d["keys"],
-             _eq_delete_rows_cached(d["path"], tuple(d["keys"])))
+             _eq_delete_rows_cached(
+                 d["path"], tuple(d["keys"]),
+                 tuple(tuple(aliases.get(k, ())) for k in d["keys"])))
             for d in spec["eq_deletes"]
         ]
 
@@ -261,14 +264,28 @@ def _pos_deletes_cached(paths: tuple) -> dict:
     return hit
 
 
-def _eq_delete_rows_cached(path: str, keys: tuple) -> set:
+def _eq_delete_rows_cached(path: str, keys: tuple,
+                           aliases: tuple = ()) -> set:
+    """Key-tuple set of one equality-delete file. `aliases` carries, per
+    key, the former names the SAME field id had (rename evolution) — a
+    delete file written pre-rename stores the column under one of those."""
     import pyarrow.parquet as pq
 
-    key = ("eq", _cache_key(path, keys))
+    key = ("eq", _cache_key(path, (keys, aliases)))
     hit = _DELETE_CACHE.get(key)
     if hit is None:
-        t = pq.read_table(path, columns=list(keys))
-        hit = set(zip(*(t.column(k).to_pylist() for k in keys)))
+        names = set(pq.read_schema(path).names)
+        src = []
+        for i, k in enumerate(keys):
+            al = aliases[i] if i < len(aliases) else ()
+            s = k if k in names else next(
+                (a for a in al if a in names), None)
+            if s is None:
+                raise ValueError(
+                    f"equality delete {path} holds none of {[k, *al]}")
+            src.append(s)
+        t = pq.read_table(path, columns=src)
+        hit = set(zip(*(t.column(s).to_pylist() for s in src)))
         _DELETE_CACHE[key] = hit
     return hit
 

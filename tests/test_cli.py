@@ -151,3 +151,24 @@ def test_cli_decontaminate_and_scrub(spark, tmp_path):
     assert res2 == {"rows": 3}
     t3 = {r.doc_id: r.text for r in spark.read.parquet(scrubbed).collect()}
     assert "[email]" in t3[3] and "bob@example.com" not in t3[3]
+
+
+def test_cli_iceberg_rename(spark, tmp_path):
+    from parquet_toolkit_spark.sources.iceberg_compat import (
+        read_data,
+        write_table,
+    )
+
+    tdir = str(tmp_path / "ren")
+    write_table(spark, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, txt string"), tdir)
+    res = main(["iceberg-rename", "--table", tdir,
+                "--rename", "id=doc_id", "--rename", "txt=body"])
+    assert res["renamed"] == {"id": "doc_id", "txt": "body"}
+    got = read_data(spark, tdir)
+    assert got.columns == ["doc_id", "body"]
+    assert {(r.doc_id, r.body) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["iceberg-rename", "--table", tdir, "--rename", "nonsense"])

@@ -57,7 +57,9 @@ def test_exact_dedup_partial_aggregation(spark):
 
 
 def test_text_stats_prunes_to_used_columns(spark):
-    df = entrymod.queries()["text_stats"](spark, SF)
+    # text_stats moved to extra_queries() in the r6 registry rotation —
+    # the pruning guard still applies
+    df = entrymod.extra_queries()["text_stats"](spark, SF)
     tail = _plan(df).split("ReadSchema")[-1]
     assert "doc_id" in tail and "text" in tail and "source" not in tail
 

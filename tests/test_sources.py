@@ -2850,3 +2850,80 @@ def test_decimal38_range_pruning(spark, tmp_path):
     got = (decode_pipeline(spark, enc, pids=sorted(pids))
            .where((F.col("v") >= lo) & (F.col("v") <= hi)))
     assert got.count() == 21
+
+
+def test_jsonl_linesep_and_gz_matrix(spark, tmp_path):
+    """r6 (VERDICT r5 #7): JSONL variants — custom record separator
+    (RFC7464-style \\x1e), plain and gzipped shards — through both
+    jsonl_to_df and convert_jsonl, values checked against a python JSON
+    oracle (DuckDB can't do custom lineSep)."""
+    import gzip
+    import json
+
+    from parquet_toolkit_spark.sources.jsonl_ingest import (
+        convert_jsonl,
+        jsonl_to_df,
+    )
+
+    recs = [{"doc_id": i, "text": f"line one {i}\nline two"}
+            for i in range(30)]
+    sep = "\x1e"
+    body = sep.join(
+        [json.dumps(r) for r in recs[:11]]
+        + ['{"doc_id": 999, "text": "broken']
+        + [json.dumps(r) for r in recs[11:]]
+    )
+    plain = tmp_path / "rs.jsonl"
+    plain.write_text(body, encoding="utf-8")
+    gz = tmp_path / "rs.jsonl.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write(body)
+
+    for src in (str(plain), str(gz)):
+        df = jsonl_to_df(spark, src, schema="doc_id long, text string",
+                         line_sep=sep, keep_corrupt=True)
+        rows = df.collect()  # corrupt-only queries on raw JSON reads are
+        # disallowed by Spark — count from the materialized rows
+        clean = {(r.doc_id, r.text) for r in rows
+                 if r._corrupt_record is None}
+        assert clean == {(r["doc_id"], r["text"]) for r in recs}
+        assert sum(r._corrupt_record is not None for r in rows) == 1
+
+        out = str(tmp_path / f"out_{os.path.basename(src)}.parquet")
+        res = convert_jsonl(spark, src, out,
+                            schema="doc_id long, text string",
+                            line_sep=sep)
+        assert res["rows"] == 30 and res["bad"] == 1
+        qdir = res["quarantine"]
+        bad_lines = [r.value for r in spark.read.text(qdir).collect()]
+        assert bad_lines == ['{"doc_id": 999, "text": "broken']
+
+
+def test_iceberg_rename_after_deletes(spark, tmp_path):
+    """r6: equality-delete files written BEFORE a rename store key
+    columns under the old names — both read paths resolve them through
+    the alias chain (positional deletes are path-keyed, unaffected)."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+    )
+
+    tdir = str(tmp_path / "ren_del")
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"x{i}") for i in range(10)], "a long, txt string"), tdir)
+    ic.delete_where(spark, tdir, "a % 2 = 1")          # positional
+    ic.delete_where_equality(spark, tdir, ["a"],       # equality, keyed
+                             condition="a IN (2, 4)")  # by OLD name
+    ic.rename_columns(tdir, {"a": "b"})
+    # re-append a deleted key AFTER the delete commit: seq scoping keeps it
+    ic.write_table(spark, spark.createDataFrame(
+        [(2, "again")], "b long, txt string"), tdir)
+
+    want = {0, 6, 8, 2}  # evens minus eq-deleted {2,4}, plus re-appended 2
+    got = {r.b for r in ic.read_data(spark, tdir).collect()}
+    assert got == want, got
+
+    spark.dataSource.register(IcebergFsDataSource)
+    got2 = {r.b for r in
+            spark.read.format("iceberg_fs").load(tdir).collect()}
+    assert got2 == want, got2
