@@ -21,19 +21,26 @@ from parquet_toolkit_spark.functions.dedup import normalize_text
 
 def _ngram_hashes(col: Column, n: int) -> Column:
     """Distinct xxhash64 values of the normalized word n-grams of col.
-    Documents shorter than n words produce an empty array (never null)."""
-    words = F.split(normalize_text(col), " ")
-    k = F.size(words) - F.lit(n - 1)
-    # sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard short
-    # documents explicitly
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.xxhash64(F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)])),
-    )
-    return F.array_distinct(grams)
+    Documents shorter than n words produce an empty array (never null).
+
+    The normalize+split chain is LET-BOUND via a single-element
+    transform: a lambda variable is evaluated once per row, whereas an
+    expression referenced inside a lambda body is RE-EVALUATED per
+    element (and CollapseProject re-inlines any staging projection, so a
+    two-step select doesn't help). The original element_at form re-ran
+    the full text normalization 8x per gram — 50s -> 0.7s at sf0.1 for
+    identical output (r6)."""
+    def _body(w: Column) -> Column:
+        k = F.size(w) - F.lit(n - 1)
+        # sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard
+        # short documents explicitly
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, n)))))
+
+    return F.flatten(F.transform(
+        F.array(F.split(normalize_text(col), " ")), _body))
 
 
 def contamination_report(docs: DataFrame, benchmark: DataFrame,

@@ -62,14 +62,23 @@ def normalized_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _shingles(text_col: str, n: int) -> Column:
-    """Distinct word n-gram shingles (JVM-side: split + transform + concat)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    nw = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(nw - n, F.lit(0)))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
-    return F.when(nw >= n, F.array_distinct(gram)).otherwise(F.array())
+    """Distinct word n-gram shingles (JVM-side: split + transform + concat).
+
+    The split is LET-BOUND via a single-element transform (lambda
+    variables evaluate once per row; an expression referenced inside a
+    lambda body re-evaluates per element, and CollapseProject re-inlines
+    staging projections) — identical output, ~#grams-x fewer tokenizer
+    runs per row (r6, see decontaminate._ngram_hashes)."""
+    def _body(words: Column) -> Column:
+        nw = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(nw - n, F.lit(0)))
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+        )
+        return F.when(nw >= n, F.array_distinct(gram)).otherwise(F.array())
+
+    return F.flatten(F.transform(
+        F.array(F.split(F.trim(F.col(text_col)), r"\s+")), _body))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
