@@ -47,6 +47,25 @@ def test_any_int64_roundtrips(vals):
 
 @settings(**_SETTINGS)
 @given(st.lists(
+    st.one_of(st.none(), st.integers(min_value=-(10**38 - 1),
+                                     max_value=10**38 - 1)),
+    max_size=250,
+), st.integers(min_value=0, max_value=10))
+def test_any_decimal38_roundtrips(mants, scale):
+    # r6: two-word int128 mantissas (and the one-word fast path when all
+    # values fit int64) decode bit-exact through whichever codec the
+    # selector picks
+    import decimal as dcm
+    ctx = dcm.Context(prec=80)  # the default context ROUNDS scaleb at 28
+    vals = [None if m is None else dcm.Decimal(m).scaleb(-scale, ctx)
+            for m in mants]
+    arr = pa.array(vals, pa.decimal128(38, scale))
+    codec, blob, _ = select_codec(from_arrow(arr))
+    assert to_arrow(decode_blob(blob)).to_pylist() == vals, codec
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
     st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True,
                                    width=64)),
     max_size=200,
