@@ -666,10 +666,25 @@ def _norm_fp(p: str) -> str:
     return re.sub(_STRIP_FILE_SCHEME, "", p)
 
 
+def snapshot_id_as_of(md: dict, ts_ms: int) -> int:
+    """Snapshot id current AS OF `ts_ms` (epoch millis): the latest
+    snapshot committed at or before it — Iceberg's as-of-timestamp
+    resolution over the snapshot log."""
+    cands = [s for s in md["snapshots"]
+             if s.get("timestamp_ms") is not None
+             and s["timestamp_ms"] <= ts_ms]
+    if not cands:
+        raise ValueError(
+            f"no snapshot committed at or before {ts_ms} "
+            f"(earliest is {min((s.get('timestamp_ms') for s in md['snapshots']), default=None)})")
+    return max(cands, key=lambda s: s["timestamp_ms"])["snapshot_id"]
+
+
 def read_data(spark: SparkSession, table_dir: str,
               snapshot_id: int | None = None,
               partition_filter: dict | None = None,
-              range_filter: dict | None = None) -> DataFrame:
+              range_filter: dict | None = None,
+              as_of_ms: int | None = None) -> DataFrame:
     """Read an Iceberg table EXACTLY: declared schema + the manifest
     layer's live-file list (append, delete and replace snapshots all read
     the correct pruned set). Time travel via snapshot_id.
@@ -688,6 +703,10 @@ def read_data(spark: SparkSession, table_dir: str,
     (`read_data(..., range_filter={"id": (a, b)}).where(...)`) for
     exact results with pruned IO."""
     md = read_table_metadata(table_dir, spark)
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        snapshot_id = snapshot_id_as_of(md, as_of_ms)
     if snapshot_id is not None:
         # time travel reads the snapshot's pinned schema (evolution-aware):
         # pre-rename snapshots keep reading with the names they were

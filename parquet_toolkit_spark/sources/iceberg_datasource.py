@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -73,12 +74,20 @@ class IcebergFsReader(DataSourceReader):
         self.filters: list = []
 
     def pushFilters(self, filters):
+        def _ok(v):
+            return isinstance(v, (int, str)) and not isinstance(v, bool)
+
         for f in filters:
+            if len(f.attribute) != 1:
+                continue
             if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                              LessThan, LessThanOrEqual)) \
-                    and len(f.attribute) == 1 \
-                    and isinstance(f.value, (int, str)) \
-                    and not isinstance(f.value, bool):
+                              LessThan, LessThanOrEqual)) and _ok(f.value):
+                self.filters.append(f)
+            elif isinstance(f, In) and f.value \
+                    and all(_ok(v) for v in f.value) \
+                    and len({type(v) for v in f.value}) == 1:
+                # r6: IN prunes through the manifest bounds as the
+                # [min(members), max(members)] bracket — a sound superset
                 self.filters.append(f)
         return filters  # all residual: pruning is a superset optimization
 
@@ -92,6 +101,10 @@ class IcebergFsReader(DataSourceReader):
                 part_filter[col] = f.value
                 lo = f.value if lo is None else max(lo, f.value)
                 hi = f.value if hi is None else min(hi, f.value)
+            elif isinstance(f, In):
+                mlo, mhi = min(f.value), max(f.value)
+                lo = mlo if lo is None else max(lo, mlo)
+                hi = mhi if hi is None else min(hi, mhi)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 lo = f.value if lo is None else max(lo, f.value)
             else:
@@ -328,7 +341,21 @@ class IcebergFsDataSource(DataSource):
 
     def _snapshot(self) -> int | None:
         s = self.options.get("snapshot")
-        return int(s) if s is not None else None
+        if s is not None:
+            return int(s)
+        ts = self.options.get("as-of-timestamp")
+        if ts is not None:
+            # epoch millis, like Spark's own Iceberg option: resolve to
+            # the latest snapshot committed at or before it (driver-side
+            # metadata read, one small json)
+            from parquet_toolkit_spark.sources.iceberg_compat import (
+                read_table_metadata,
+                snapshot_id_as_of,
+            )
+
+            md = read_table_metadata(self.options["path"], None)
+            return snapshot_id_as_of(md, int(ts))
+        return None
 
     def schema(self) -> str:
         from parquet_toolkit_spark.sources.iceberg_compat import (

@@ -32,17 +32,23 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
 )
 
 _RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
-                  LessThanOrEqual, StringStartsWith)
+                  LessThanOrEqual, StringStartsWith,
+                  # r6: membership and null-presence evidence
+                  In, IsNull, IsNotNull, EqualNullSafe)
 
 MAX_PARTITIONS = 64
 
@@ -130,6 +136,25 @@ def _temporal_to_stat_units(v, logical: str | None):
 def _chunk_admits(stats: dict, flt) -> bool:
     """Can this (pid, column) chunk hold rows matching `flt`? Missing
     evidence always admits — pruning must stay sound."""
+    if isinstance(flt, IsNull):
+        # profiler stats always carry nrows/nvalid: a chunk with zero
+        # nulls definitely holds no IS NULL match
+        nr, nv = stats.get("nrows"), stats.get("nvalid")
+        return nr is None or nv is None or nv < nr
+    if isinstance(flt, IsNotNull):
+        nv = stats.get("nvalid")
+        return nv is None or nv > 0
+    if isinstance(flt, In):
+        # admit iff ANY member value could be present (zone maps + bloom
+        # per value — sound: the union of sound point admissions).
+        # In.value is the tuple of members; a null member admits (the
+        # zone/bloom evidence says nothing about nulls)
+        return any(v is None or _chunk_admits(stats, EqualTo(flt.attribute, v))
+                   for v in flt.value)
+    if isinstance(flt, EqualNullSafe):
+        if flt.value is None:
+            return _chunk_admits(stats, IsNull(flt.attribute))
+        return _chunk_admits(stats, EqualTo(flt.attribute, flt.value))
     if isinstance(flt, StringStartsWith):
         from parquet_toolkit_spark.operators.encode import _prefix_upper_bound
 

@@ -2927,3 +2927,99 @@ def test_iceberg_rename_after_deletes(spark, tmp_path):
     got2 = {r.b for r in
             spark.read.format("iceberg_fs").load(tdir).collect()}
     assert got2 == want, got2
+
+
+def test_ptsc_in_isnull_pushdown_pruning(spark, tmp_path):
+    """r6: In / IsNull / IsNotNull / EqualNullSafe prune pids at the
+    manifest layer (zone maps + null counts) and the residual keeps
+    answers exact. Pruning asserted reader-level (pure driver code)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        In,
+        IsNotNull,
+        IsNull,
+    )
+
+    from parquet_toolkit_spark.operators.encode import encode_pipeline
+    from parquet_toolkit_spark.sources.ptsc_datasource import (
+        PtscDataSource,
+        PtscReader,
+    )
+
+    enc = str(tmp_path / "in_enc")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        # v is null on the whole low half, valued on the high half
+        F.when(F.col("id") >= 200, F.col("id")).alias("v"),
+    )
+    encode_pipeline(spark, df, enc, target_bytes=2 << 10, run_id="t",
+                    range_keys=("k",), sort_keys=("k",))
+
+    def pruned(flt):
+        r = PtscReader(enc)
+        r.pushFilters([flt])
+        return len(r.partitions())
+
+    r0 = PtscReader(enc)
+    total = len(r0.partitions())
+    assert pruned(In(("k",), (5, 7))) < total
+    assert pruned(IsNull(("v",))) < total          # high-half pids drop
+    assert pruned(EqualNullSafe(("k",), 5)) < total
+    # IsNotNull on a never-null column prunes nothing but stays sound
+    assert pruned(IsNotNull(("k",))) == total
+
+    spark.dataSource.register(PtscDataSource)
+    p = spark.read.format("ptsc").load(enc)
+    assert {r.k for r in p.where(F.col("k").isin(5, 7)).collect()} == {5, 7}
+    assert p.where(F.col("v").isNull()).count() == 200
+    assert p.where(F.col("v").isNotNull()).count() == 200
+    assert p.where(F.col("k").eqNullSafe(F.lit(5))).count() == 1
+
+
+def test_iceberg_fs_in_filter_and_as_of_timestamp(spark, tmp_path):
+    """r6: IN prunes data files through the manifest-bounds bracket;
+    as-of-timestamp time travel resolves the latest snapshot at or
+    before the given epoch-ms (read_data kwarg + datasource option)."""
+    import json as _json
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+        IcebergFsReader,
+    )
+
+    tdir = str(tmp_path / "ts_tbl")
+    r1 = ic.write_table(spark, spark.createDataFrame(
+        [(i, "a") for i in range(100)], "k long, s string"), tdir)
+    r2 = ic.write_table(spark, spark.createDataFrame(
+        [(i, "b") for i in range(100, 200)], "k long, s string"), tdir)
+
+    md = ic.read_table_metadata(tdir)
+    ts1 = next(s["timestamp_ms"] for s in md["snapshots"]
+               if s["snapshot_id"] == r1["snapshot_id"])
+    ts2 = next(s["timestamp_ms"] for s in md["snapshots"]
+               if s["snapshot_id"] == r2["snapshot_id"])
+
+    assert ic.read_data(spark, tdir, as_of_ms=ts1).count() == 100
+    assert ic.read_data(spark, tdir, as_of_ms=ts2).count() == 200
+    with pytest.raises(ValueError, match="at or before"):
+        ic.read_data(spark, tdir, as_of_ms=ts1 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        ic.read_data(spark, tdir, snapshot_id=1, as_of_ms=ts1)
+
+    spark.dataSource.register(IcebergFsDataSource)
+    assert (spark.read.format("iceberg_fs")
+            .option("as-of-timestamp", str(ts1)).load(tdir).count()) == 100
+
+    # IN over the bounds bracket: both members in the first file's range
+    from pyspark.sql.datasource import In
+    rd = IcebergFsReader(tdir, None)
+    rd.pushFilters([In(("k",), (5, 9))])
+    files_pruned = sum(len(p.value["files"]) for p in rd.partitions())
+    rd2 = IcebergFsReader(tdir, None)
+    files_all = sum(len(p.value["files"]) for p in rd2.partitions())
+    assert files_pruned < files_all
+    got = {r.k for r in spark.read.format("iceberg_fs").load(tdir)
+           .where("k IN (5, 9)").collect()}
+    assert got == {5, 9}
