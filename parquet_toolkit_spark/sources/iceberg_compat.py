@@ -344,6 +344,7 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
     file_sizes: dict[str, int | None] = {}
     partition_values: dict[str, dict] = {}
     raw_to_resolved: dict[str, str] = {}
+    file_formats: dict[str, str] = {}  # only non-PARQUET entries
     for mf in read_manifest_list(mlist_path, spark):
         mpath = _resolve_path(mf["manifest_path"], table_dir, md["location"])
         for e in read_manifest(mpath, spark):
@@ -369,6 +370,9 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
                 data_seq[resolved] = seq
                 record_counts[resolved] = dfile.get("record_count")
                 file_sizes[resolved] = dfile.get("file_size_in_bytes")
+                fmt = (dfile.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    file_formats[resolved] = fmt
                 if pvals:
                     partition_values[resolved] = pvals
                 raw_to_resolved[strip_local_scheme(dfile["file_path"])] = \
@@ -390,7 +394,8 @@ def snapshot_files(table_dir: str, snapshot_id: int | None = None,
             "partition_values": partition_values,
             "raw_to_resolved": raw_to_resolved,
             "record_counts": record_counts,
-            "file_sizes": file_sizes}
+            "file_sizes": file_sizes,
+            "file_formats": file_formats}
 
 
 def _resolve_partition_filter(md: dict, partition_filter: dict
@@ -466,6 +471,132 @@ def snapshot_data_files(table_dir: str, snapshot_id: int | None = None,
 _STRIP_FILE_SCHEME = "^file:(//)?"
 
 
+def datafile_columns_arrow(path: str, fmt: str,
+                           wanted: dict) -> tuple[dict, int]:
+    """Task-local read of one Iceberg data file of ANY spec format
+    (PARQUET / ORC / AVRO, r6 interop) -> ({name: pa.Array cast to the
+    declared arrow type}, nrows). Only columns PRESENT in the file are
+    returned (callers keep their partition-injection / evolution
+    null-fill logic); `wanted` maps declared name -> (ddl, alias names)
+    so pre-rename files resolve through the field-id alias chain.
+
+    AVRO values follow the Iceberg-Avro encoding (spec Appendix A):
+    timestamps are epoch-micros longs, dates day ints — the arrow cast
+    from the decoded int reproduces the declared type exactly; decimals
+    are big-endian two's-complement unscaled bytes, converted
+    explicitly. Nested declared types refuse loudly for AVRO (out of
+    scope; parquet/orc nested flow through arrow natively)."""
+    import pyarrow as pa
+
+    from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
+    from parquet_toolkit_spark.sources.fs import task_fs
+
+    fmt = (fmt or "PARQUET").upper()
+    fs, rel = task_fs(path)
+    if fmt == "PARQUET":
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(rel, filesystem=fs)
+    elif fmt == "ORC":
+        from pyarrow import orc as pa_orc
+
+        with fs.open_input_file(rel) as fh:
+            table = pa_orc.ORCFile(fh).read()
+    elif fmt == "AVRO":
+        from parquet_toolkit_spark.sources.avro_lite import read_avro
+
+        with fs.open_input_stream(rel) as fh:
+            _schema, records = read_avro(fh.read())
+        out: dict = {}
+        nrows = len(records)
+        for name, (ddl, aliases) in wanted.items():
+            src = next((s for s in (name, *aliases)
+                        if records and s in records[0]), None)
+            if src is None and records:
+                continue
+            vals = [r.get(src) for r in records] if records else []
+            if ddl.startswith("decimal("):
+                import decimal as _dcm
+
+                typ = ddl_to_arrow(ddl)
+                scale = typ.scale
+                dec = [None if v is None else
+                       _dcm.Decimal(int.from_bytes(v, "big", signed=True))
+                       .scaleb(-scale, _dcm.Context(prec=80))
+                       for v in vals]
+                out[name] = pa.array(dec, type=typ)
+                continue
+            if ddl.startswith(("struct<", "map<", "array<")):
+                raise NotImplementedError(
+                    f"nested column {name!r} in an AVRO data file ({path})"
+                    " is not supported; rewrite the file as parquet")
+            typ = ddl_to_arrow(ddl)
+            if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+                base = pa.int64() if pa.types.is_timestamp(typ) \
+                    else pa.int32()
+                out[name] = pa.array(vals, type=base).cast(typ)
+            else:
+                out[name] = pa.array(vals, type=typ)
+        return out, nrows
+    else:
+        raise NotImplementedError(
+            f"Iceberg data file format {fmt!r} ({path}) is not supported")
+
+    out = {}
+    for name, (ddl, aliases) in wanted.items():
+        src = next((s for s in (name, *aliases)
+                    if s in table.schema.names), None)
+        if src is None:
+            continue
+        typ = ddl_to_arrow(ddl)
+        a = table.column(src).combine_chunks()
+        out[name] = a if str(a.type) == str(typ) else a.cast(typ)
+    return out, table.num_rows
+
+
+def _scan_nonparquet_rows(spark: SparkSession, md: dict, files: dict,
+                          read_ddl: str) -> DataFrame:
+    """AVRO/ORC data files -> rows of the declared schema + (_fp, _pos)
+    lineage, via one python task per file (these are foreign-interop
+    files; the parquet fast path stays JVM-side). _pos is the record
+    ordinal within the file — the positional-delete axis (spec)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ caller)
+
+    aliases = md.get("field_aliases") or {}
+    wanted = {n: (t, tuple(aliases.get(n, ())))
+              for n, t, _r in md["schema_fields"]}
+    plan = [(p, f) for p, f in files.items()]
+    out_ddl = read_ddl + ", _fp string, _pos bigint"
+
+    def scan(iterator):
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            _norm_fp,
+            datafile_columns_arrow,
+        )
+
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                path, fmt = row["p"], row["f"]
+                cols, nrows = datafile_columns_arrow(path, fmt, wanted)
+                data = {}
+                for name, (_t, _a) in wanted.items():
+                    if name in cols:
+                        data[name] = cols[name].to_pandas()
+                    else:
+                        data[name] = pd.Series([None] * nrows,
+                                               dtype="object")
+                df = pd.DataFrame(data)
+                df["_fp"] = _norm_fp(path)
+                df["_pos"] = range(nrows)
+                yield df
+
+    src = spark.createDataFrame(plan, "p string, f string") \
+        .repartition(max(1, min(len(plan), 64)))
+    return src.mapInPandas(scan, out_ddl)
+
+
 def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
     """Scan a snapshot's data files with positional deletes applied,
     keeping row lineage columns (_fp = normalized source file path,
@@ -493,18 +624,32 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
                  for c, al in aliases.items() if c in types for a in al]
         if extra:
             read_ddl = ", ".join([read_ddl] + extra)
-    df = (
-        spark.read.schema(read_ddl).parquet(*sf["data"])
-        .withColumn(
-            "_fp",
-            F.regexp_replace(F.col("_metadata.file_path"),
-                             _STRIP_FILE_SCHEME, ""),
+    # spec data-file format dispatch (r6): PARQUET files ride the JVM
+    # scan; AVRO/ORC interop files go through one python task per file
+    fmts = sf.get("file_formats") or {}
+    pq_files = [p for p in sf["data"] if p not in fmts]
+    other = {p: fmts[p] for p in sf["data"] if p in fmts}
+    parts = []
+    if pq_files:
+        df = (
+            spark.read.schema(read_ddl).parquet(*pq_files)
+            .withColumn(
+                "_fp",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 _STRIP_FILE_SCHEME, ""),
+            )
+            .withColumn("_pos", F.col("_metadata.row_index"))
         )
-        .withColumn("_pos", F.col("_metadata.row_index"))
-    )
-    for c, al in aliases.items():
-        if c in df.columns:
-            df = df.withColumn(c, F.coalesce(c, *al)).drop(*al)
+        for c, al in aliases.items():
+            if c in df.columns:
+                df = df.withColumn(c, F.coalesce(c, *al)).drop(*al)
+        parts.append(df)
+    if other:
+        parts.append(_scan_nonparquet_rows(spark, md, other,
+                                           md["schema_ddl"]))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if sf.get("partition_values"):
         # spec-partitioned data files don't carry their partition columns
         # (the values live in the manifest) — re-inject them via one

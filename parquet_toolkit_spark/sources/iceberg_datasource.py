@@ -137,6 +137,7 @@ class IcebergFsReader(DataSourceReader):
             eq_deletes.append({"path": d["path"], "seq": int(d["seq"]),
                                "keys": names})
         resolved_to_raw = {v: k for k, v in sf["raw_to_resolved"].items()}
+        fmts = sf.get("file_formats") or {}
         files = []
         for p in sf["data"]:
             files.append({
@@ -145,6 +146,7 @@ class IcebergFsReader(DataSourceReader):
                 "seq": int(sf["data_seq"].get(p, 0)),
                 "pvals": sf["partition_values"].get(p, {}),
                 "size": os.path.getsize(p) if os.path.exists(p) else 0,
+                "fmt": fmts.get(p, "PARQUET"),
             })
         if not files:
             return []
@@ -177,10 +179,12 @@ class IcebergFsReader(DataSourceReader):
             return  # empty partitions() list: Spark plans one None part
         import numpy as np
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
-        from parquet_toolkit_spark.sources.iceberg_compat import _norm_fp
+        from parquet_toolkit_spark.sources.iceberg_compat import (
+            _norm_fp,
+            datafile_columns_arrow,
+        )
 
         spec = partition.value
         fields = [(n, ddl_to_arrow(t)) for n, t in spec["schema"]]
@@ -200,9 +204,16 @@ class IcebergFsReader(DataSourceReader):
             for d in spec["eq_deletes"]
         ]
 
+        aliases = spec.get("aliases") or {}
+        wanted = {n: (t, tuple(aliases.get(n, ())))
+                  for n, t in spec["schema"]}
         for f in spec["files"]:
-            t = pq.read_table(f["path"])
-            nrows = t.num_rows
+            # any spec data-file format (r6): the shared helper reads
+            # PARQUET/ORC/AVRO, resolves rename aliases, and casts every
+            # present column to the exact arrow shape Spark's Arrow
+            # deserializer expects (child-field naming normalized)
+            present, nrows = datafile_columns_arrow(
+                f["path"], f.get("fmt", "PARQUET"), wanted)
             keep = np.ones(nrows, dtype=bool)
             dels = pos_by_file.get(_norm_fp(f["raw"])) \
                 or pos_by_file.get(_norm_fp(f["path"]))
@@ -214,18 +225,9 @@ class IcebergFsReader(DataSourceReader):
             # evolution null-fill), then apply equality deletes on the
             # assembled values so delete keys on injected columns work
             cols = {}
-            aliases = spec.get("aliases") or {}
             for name, typ in fields:
-                src = name if name in t.schema.names else next(
-                    (a for a in aliases.get(name, ())
-                     if a in t.schema.names), None)
-                if src is not None:
-                    a = t.column(src).combine_chunks()
-                    # nested parquet reads differ in child-field naming
-                    # ("item"/"m" vs Spark's "element"/"entries"); pa type
-                    # equality ignores those names but Spark's schema check
-                    # does not — compare the full str form and cast
-                    cols[name] = a if str(a.type) == str(typ) else a.cast(typ)
+                if name in present:
+                    cols[name] = present[name]
                 elif name in f["pvals"]:
                     cols[name] = pa.array([f["pvals"][name]] * nrows,
                                           type=typ)

@@ -532,10 +532,10 @@ def _ice_manifest_schemas():
     return mlist, mentry
 
 
-def _ice_entry(status, path, nrec, content=0):
+def _ice_entry(status, path, nrec, content=0, fmt="PARQUET"):
     return {"status": status, "snapshot_id": None,
             "data_file": {"content": content, "file_path": path,
-                          "file_format": "PARQUET", "partition": {},
+                          "file_format": fmt, "partition": {},
                           "record_count": nrec, "file_size_in_bytes": 1}}
 
 
@@ -3023,3 +3023,131 @@ def test_iceberg_fs_in_filter_and_as_of_timestamp(spark, tmp_path):
     got = {r.k for r in spark.read.format("iceberg_fs").load(tdir)
            .where("k IN (5, 9)").collect()}
     assert got == {5, 9}
+
+
+def test_iceberg_mixed_format_data_files(spark, tmp_path):
+    """r6 interop: a hand-built v2 table whose snapshot holds PARQUET,
+    AVRO, and ORC data files (all spec-sanctioned) reads exactly through
+    BOTH paths, with a positional delete applied to the AVRO file
+    (record-ordinal axis) and Iceberg-Avro typed values (epoch-micros
+    timestamp, day-int date, big-endian decimal bytes) decoded to the
+    declared schema."""
+    import datetime as dt
+    import decimal as dcm
+    import json
+
+    from pyarrow import orc as pa_orc
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.avro_lite import write_avro
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+    )
+
+    tdir = tmp_path / "mixed"
+    meta = tdir / "metadata"
+    meta.mkdir(parents=True)
+    (tdir / "data").mkdir()
+    ddl = "k bigint, s string, ts timestamp, d date, v decimal(12,2)"
+
+    ts0 = dt.datetime(2024, 5, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    d0 = dt.date(2024, 5, 1)
+
+    def py_rows(lo, hi):
+        return [(i, f"s{i}", ts0 + dt.timedelta(seconds=i),
+                 d0 + dt.timedelta(days=i),
+                 dcm.Decimal(i * 100 + 5).scaleb(-2, dcm.Context(prec=40)))
+                for i in range(lo, hi)]
+
+    # PARQUET file via Spark
+    fpq = str(tdir / "data" / "f.parquet")
+    spark.createDataFrame(py_rows(0, 5), ddl).coalesce(1).write.mode(
+        "overwrite").parquet(fpq + ".dir")
+    import glob as _g
+    import os as _os
+
+    _os.replace(_g.glob(fpq + ".dir/part-*.parquet")[0], fpq)
+
+    # ORC file via pyarrow (from the same Spark rows for type parity)
+    forc = str(tdir / "data" / "f.orc")
+    spark.createDataFrame(py_rows(5, 10), ddl).coalesce(1).write.mode(
+        "overwrite").orc(forc + ".dir")
+    _os.replace(_g.glob(forc + ".dir/*.orc")[0], forc)
+
+    # AVRO file with Iceberg-Avro physical values (spec Appendix A)
+    favro = str(tdir / "data" / "f.avro")
+    avro_schema = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "ts", "type": "long"},   # epoch micros
+            {"name": "d", "type": "int"},     # days since epoch
+            {"name": "v", "type": "bytes"},   # unscaled big-endian
+        ],
+    }
+
+    def us(t):
+        return int((t - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc))
+                   .total_seconds()) * 1_000_000 + t.microsecond
+
+    avro_recs = [
+        {"k": i, "s": f"s{i}", "ts": us(ts0 + dt.timedelta(seconds=i)),
+         "d": (d0 - dt.date(1970, 1, 1)).days + i,
+         "v": int(i * 100 + 5).to_bytes(8, "big", signed=True)}
+        for i in range(10, 15)
+    ]
+    with open(favro, "wb") as fh:
+        fh.write(write_avro(avro_schema, avro_recs))
+
+    # positional delete on the AVRO file: drop its record ordinals 1, 3
+    fdel = str(tdir / "data" / "del.parquet")
+    spark.createDataFrame([(favro, 1), (favro, 3)],
+                          "file_path string, pos long") \
+        .coalesce(1).write.mode("overwrite").parquet(fdel + ".dir")
+    _os.replace(_g.glob(fdel + ".dir/part-*.parquet")[0], fdel)
+
+    mlist_schema, mentry_schema = _ice_manifest_schemas()
+    (meta / "m1.avro").write_bytes(write_avro(mentry_schema, [
+        _ice_entry(1, fpq, 5),
+        _ice_entry(1, forc, 5, fmt="ORC"),
+        _ice_entry(1, favro, 5, fmt="AVRO"),
+        _ice_entry(1, fdel, 2, content=1),
+    ]))
+    (meta / "snap-9.avro").write_bytes(write_avro(mlist_schema, [
+        {"manifest_path": str(meta / "m1.avro"), "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9}]))
+    md = {
+        "format-version": 2, "table-uuid": "mx", "location": str(tdir),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "s", "type": "string", "required": False},
+            {"id": 3, "name": "ts", "type": "timestamptz",
+             "required": False},
+            {"id": 4, "name": "d", "type": "date", "required": False},
+            {"id": 5, "name": "v", "type": "decimal(12, 2)",
+             "required": False},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 9,
+        "snapshots": [{"snapshot-id": 9, "timestamp-ms": 1,
+                       "manifest-list": str(meta / "snap-9.avro"),
+                       "summary": {"operation": "append"}}],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(md))
+    (meta / "version-hint.text").write_text("1")
+
+    # expected: parquet 0-4, orc 5-9, avro 10-14 minus ordinals 1,3
+    want = {r[0]: r for r in py_rows(0, 15) if r[0] not in (11, 13)}
+
+    got = {r.k: (r.k, r.s,
+                 r.ts.replace(tzinfo=dt.timezone.utc), r.d, r.v)
+           for r in ic.read_data(spark, str(tdir)).collect()}
+    assert got == want, (sorted(got)[:3], sorted(want)[:3])
+
+    spark.dataSource.register(IcebergFsDataSource)
+    got2 = {r.k: (r.k, r.s, r.ts.replace(tzinfo=dt.timezone.utc),
+                  r.d, r.v)
+            for r in spark.read.format("iceberg_fs")
+            .load(str(tdir)).collect()}
+    assert got2 == want
