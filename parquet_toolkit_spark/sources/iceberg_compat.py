@@ -765,20 +765,24 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, md: dict,
         by_keyset[tuple(sorted(names))].append(d)
 
     aliases = md.get("field_aliases") or {}
+    _names_memo: dict[str, set] = {}
 
     def _key_src(path: str, k: str) -> str:
         # a delete file written BEFORE a rename stores the key column
         # under its former name — resolve per file through the alias
-        # chain (driver-side footer read; delete descriptors are already
-        # a driver-side walk)
+        # chain (driver-side footer read, one per FILE via the memo;
+        # delete descriptors are already a driver-side walk)
         if not aliases.get(k):
             return k
-        import pyarrow.parquet as pq
+        names = _names_memo.get(path)
+        if names is None:
+            import pyarrow.parquet as pq
 
-        from parquet_toolkit_spark.sources.fs import task_fs
+            from parquet_toolkit_spark.sources.fs import task_fs
 
-        fs, rel = task_fs(path)
-        names = set(pq.read_schema(rel, filesystem=fs).names)
+            fs, rel = task_fs(path)
+            names = set(pq.read_schema(rel, filesystem=fs).names)
+            _names_memo[path] = names
         if k in names:
             return k
         src = next((a for a in aliases[k] if a in names), None)
@@ -819,9 +823,11 @@ def snapshot_id_as_of(md: dict, ts_ms: int) -> int:
              if s.get("timestamp_ms") is not None
              and s["timestamp_ms"] <= ts_ms]
     if not cands:
+        stamped = [s["timestamp_ms"] for s in md["snapshots"]
+                   if s.get("timestamp_ms") is not None]
         raise ValueError(
             f"no snapshot committed at or before {ts_ms} "
-            f"(earliest is {min((s.get('timestamp_ms') for s in md['snapshots']), default=None)})")
+            f"(earliest is {min(stamped, default=None)})")
     return max(cands, key=lambda s: s["timestamp_ms"])["snapshot_id"]
 
 
@@ -869,6 +875,14 @@ def read_data(spark: SparkSession, table_dir: str,
                                           for n, t, _r in sf_fields),
                   "field_aliases": (_field_aliases(raw, pinned)
                                     if pinned is not None else {})}
+            if pinned is not None:
+                # equality-delete key resolution must use the PINNED
+                # names too — a delete on a later-renamed column would
+                # otherwise resolve to the current name while the scan
+                # carries the old one (code-review r6)
+                md["schema_id_to_name"] = {
+                    f.get("id", i + 1): f["name"]
+                    for i, f in enumerate(pinned["fields"])}
     sf = snapshot_files(table_dir, snapshot_id, spark,
                         partition_filter=partition_filter,
                         range_filter=range_filter)
@@ -1739,15 +1753,29 @@ def rename_columns(table_dir: str, renames: dict[str, str],
     bad = sorted(o for o, n in renames.items() if not n or o == n)
     if bad:
         raise ValueError(f"empty or identity rename for {bad}")
+    # a new name that equals ANY current name — even one vacated in this
+    # same commit (swap {x:y, y:x} / chain {x:y, y:z}) — would leave data
+    # files where that name means two different field ids, which the
+    # read-side alias chain cannot disambiguate; refuse at commit time
+    # (checked before plain uniqueness so the message names the cause)
+    taken = sorted(set(renames.values()) & set(names))
+    if taken:
+        raise ValueError(
+            f"new name(s) {taken} are current column names (swap/chain "
+            "renames are ambiguous on by-name file resolution); rename "
+            "in two commits via a fresh intermediate name")
     new_names = [renames.get(n, n) for n in names]
     if len(set(new_names)) != len(new_names):
         raise ValueError(
             f"rename collision: new column names {new_names} not unique")
-    # reusing a FORMER name of any live field re-creates the by-name
-    # ambiguity the alias chain relies on never existing
-    former = {a for al in existing.get("field_aliases", {}).values()
-              for a in al}
-    reused = sorted(set(renames.values()) & former)
+    # reusing a FORMER name of ANOTHER live field re-creates the same
+    # ambiguity; a field reverting to its OWN former name is fine (the
+    # name always meant the same field id)
+    fa = existing.get("field_aliases", {})
+    reused = sorted(
+        new for old, new in renames.items()
+        if any(new in al for cur, al in fa.items() if cur != old)
+    )
     if reused:
         raise ValueError(
             f"new name(s) {reused} were former names of other live "
@@ -2971,12 +2999,18 @@ def incremental_scan(spark: SparkSession, table_dir: str,
     if not added:
         return spark.createDataFrame([], md["schema_ddl"])
     cols = [f[0] for f in md["schema_fields"]]
+    full = snapshot_files(table_dir, to_id, spark)
+    added_set = set(added)
     sf = {"data": added, "position_deletes": [], "equality_deletes": [],
           "data_seq": {}, "raw_to_resolved": {},
           "partition_values": {
-              p: v for p, v in snapshot_files(
-                  table_dir, to_id, spark)["partition_values"].items()
-              if p in set(added)}}
+              p: v for p, v in full["partition_values"].items()
+              if p in added_set},
+          # AVRO/ORC interop files must keep their format through the
+          # incremental path too (code-review r6)
+          "file_formats": {
+              p: f for p, f in full.get("file_formats", {}).items()
+              if p in added_set}}
     return _scan_live_rows(spark, md, sf).select(*cols)
 
 
@@ -3017,10 +3051,16 @@ def _scan_added_after(spark: SparkSession, md: dict, table_dir: str,
     if not added:
         return spark.createDataFrame([], md["schema_ddl"])
     cols = [f[0] for f in md["schema_fields"]]
+    full = snapshot_files(table_dir, to_id, spark)
+    added_set = set(added)
     sf = {"data": added, "position_deletes": [], "equality_deletes": [],
           "data_seq": {}, "raw_to_resolved": {},
           "partition_values": {
-              p: v for p, v in snapshot_files(
-                  table_dir, to_id, spark)["partition_values"].items()
-              if p in set(added)}}
+              p: v for p, v in full["partition_values"].items()
+              if p in added_set},
+          # AVRO/ORC interop files must keep their format through the
+          # incremental path too (code-review r6)
+          "file_formats": {
+              p: f for p, f in full.get("file_formats", {}).items()
+              if p in added_set}}
     return _scan_live_rows(spark, md, sf).select(*cols)

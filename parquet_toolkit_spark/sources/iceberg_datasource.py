@@ -126,7 +126,7 @@ class IcebergFsReader(DataSourceReader):
                             range_filter=range_filter or None)
         schema_fields = _snapshot_schema_fields(md, self.snapshot)
         _check_readable_types(schema_fields)
-        id_to_name = md.get("schema_id_to_name", {})
+        id_to_name = _snapshot_id_to_name(md, self.snapshot)
         eq_deletes = []
         for d in sf["equality_deletes"]:
             names = [id_to_name.get(fid) for fid in d["equality_ids"]]
@@ -204,7 +204,6 @@ class IcebergFsReader(DataSourceReader):
             for d in spec["eq_deletes"]
         ]
 
-        aliases = spec.get("aliases") or {}
         wanted = {n: (t, tuple(aliases.get(n, ())))
                   for n, t in spec["schema"]}
         for f in spec["files"]:
@@ -317,23 +316,41 @@ def _snapshot_schema_fields(md: dict, snapshot_id: int | None) -> list:
     return md["schema_fields"]
 
 
+def _pinned_schema(md: dict, snapshot_id: int | None) -> dict | None:
+    """Raw spec-shaped schema a snapshot is pinned to, or None for the
+    current-schema read (and for snapshots without a resolvable pin)."""
+    if snapshot_id is None:
+        return None
+    snap = next((s for s in md["snapshots"]
+                 if s["snapshot_id"] == snapshot_id), None)
+    sid = snap.get("schema_id") if snap else None
+    if sid is None:
+        return None
+    return next((s for s in md.get("_raw_schemas", [])
+                 if s.get("schema-id", 0) == sid), None)
+
+
+def _snapshot_id_to_name(md: dict, snapshot_id: int | None) -> dict:
+    """field-id -> name under the schema this read is pinned to:
+    equality-delete keys must resolve to the SAME name generation the
+    scan carries (code-review r6)."""
+    pinned = _pinned_schema(md, snapshot_id)
+    if pinned is None:
+        return md.get("schema_id_to_name", {})
+    return {f.get("id", i + 1): f["name"]
+            for i, f in enumerate(pinned["fields"])}
+
+
 def _snapshot_aliases(md: dict, snapshot_id: int | None) -> dict:
     """Field-rename alias chain for the schema this read is pinned to:
     current-schema aliases normally, recomputed against the snapshot's
     pinned schema for time travel."""
-    if snapshot_id is None:
+    pinned = _pinned_schema(md, snapshot_id)
+    if pinned is None:
         return md.get("field_aliases") or {}
     from parquet_toolkit_spark.sources.iceberg_compat import _field_aliases
 
-    snap = next((s for s in md["snapshots"]
-                 if s["snapshot_id"] == snapshot_id), None)
-    sid = snap.get("schema_id") if snap else None
-    raw = md.get("_raw_schemas", [])
-    pinned = (next((s for s in raw if s.get("schema-id", 0) == sid), None)
-              if sid is not None else None)
-    if pinned is None:
-        return md.get("field_aliases") or {}
-    return _field_aliases(raw, pinned)
+    return _field_aliases(md.get("_raw_schemas", []), pinned)
 
 
 class IcebergFsDataSource(DataSource):

@@ -2730,8 +2730,8 @@ def test_iceberg_rename_evolution(spark, tmp_path):
     # via rename and via evolution column-add)
     with pytest.raises(ValueError, match="unknown"):
         ic.rename_columns(tdir, {"zz": "q"})
-    with pytest.raises(ValueError, match="collision"):
-        ic.rename_columns(tdir, {"b": "txt"})
+    with pytest.raises(ValueError, match="swap/chain"):
+        ic.rename_columns(tdir, {"b": "txt"})  # onto a live name
     with pytest.raises(ValueError, match="former"):
         ic.rename_columns(tdir, {"txt": "a"})
     with pytest.raises(ValueError, match="former"):
@@ -3151,3 +3151,58 @@ def test_iceberg_mixed_format_data_files(spark, tmp_path):
             for r in spark.read.format("iceberg_fs")
             .load(str(tdir)).collect()}
     assert got2 == want
+
+
+def test_iceberg_rename_swap_refused_and_revert_allowed(spark, tmp_path):
+    """r6 code-review: same-commit swap/chain renames would commit a
+    table the alias chain cannot disambiguate — refuse at commit time;
+    a field reverting to its OWN former name stays legal and readable."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+
+    tdir = str(tmp_path / "swap")
+    ic.write_table(spark, spark.createDataFrame(
+        [(1, "t")], "x long, y string"), tdir)
+    with pytest.raises(ValueError, match="swap/chain"):
+        ic.rename_columns(tdir, {"x": "y", "y": "x"})
+    with pytest.raises(ValueError, match="swap/chain"):
+        ic.rename_columns(tdir, {"x": "y"})  # chain onto a live name
+
+    # revert: x -> z, append under z, z -> x again; every era reads
+    ic.rename_columns(tdir, {"x": "z"})
+    ic.write_table(spark, spark.createDataFrame(
+        [(2, "u")], "z long, y string"), tdir)
+    ic.rename_columns(tdir, {"z": "x"})
+    got = {(r.x, r.y) for r in ic.read_data(spark, tdir).collect()}
+    assert got == {(1, "t"), (2, "u")}
+
+
+def test_iceberg_timetravel_eq_delete_across_rename(spark, tmp_path):
+    """r6 code-review: a pre-rename snapshot with equality deletes on a
+    later-renamed column must resolve the delete keys under the PINNED
+    names in both read paths."""
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+    )
+
+    tdir = str(tmp_path / "ttren")
+    ic.write_table(spark, spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "a long, txt string"), tdir)
+    rdel = ic.delete_where_equality(spark, tdir, ["a"],
+                                    condition="a IN (1, 4)")
+    ic.rename_columns(tdir, {"a": "b"})
+
+    # pinned at the delete snapshot: old name, deletes applied
+    old = ic.read_data(spark, tdir, snapshot_id=rdel["snapshot_id"])
+    assert old.columns == ["a", "txt"]
+    assert {r.a for r in old.collect()} == {0, 2, 3, 5}
+
+    spark.dataSource.register(IcebergFsDataSource)
+    got = (spark.read.format("iceberg_fs")
+           .option("snapshot", str(rdel["snapshot_id"])).load(tdir))
+    assert got.columns == ["a", "txt"]
+    assert {r.a for r in got.collect()} == {0, 2, 3, 5}
+
+    # current read: new name, same surviving rows
+    assert {r.b for r in ic.read_data(spark, tdir).collect()} \
+        == {0, 2, 3, 5}
