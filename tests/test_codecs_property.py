@@ -254,3 +254,34 @@ def test_any_decimal_roundtrips(mants):
     back = to_arrow(decode_blob(blob))
     assert back.type == arr.type
     assert back.to_pylist() == arr.to_pylist(), codec
+
+
+@settings(**_SETTINGS)
+@given(st.recursive(
+    st.sampled_from([
+        "string", "binary", "bigint", "int", "smallint", "tinyint",
+        "double", "float", "boolean", "date", "timestamp",
+        "timestamp_ntz", "decimal(38,10)", "decimal(7,2)",
+    ]),
+    lambda inner: st.one_of(
+        st.builds(lambda t: f"array<{t}>", inner),
+        st.builds(lambda k, v: f"map<{k},{v}>",
+                  st.sampled_from(["string", "bigint", "int"]), inner),
+        st.builds(
+            lambda ts: "struct<" + ",".join(
+                f"f{i}:{t}" for i, t in enumerate(ts)) + ">",
+            st.lists(inner, min_size=1, max_size=3)),
+    ),
+    max_leaves=6,
+))
+def test_ddl_parser_matches_spark_simplestring(ddl):
+    # r6: sources/ddl.py must invert simpleString exactly — parse, take
+    # the pyspark DataType's own simpleString, re-parse, and the arrow
+    # conversions must agree (the contract both data sources rely on)
+    from parquet_toolkit_spark.sources.ddl import ddl_to_arrow, parse_ddl
+
+    dt = parse_ddl(ddl)
+    rendered = dt.simpleString()
+    dt2 = parse_ddl(rendered)
+    assert dt == dt2, (ddl, rendered)
+    assert ddl_to_arrow(ddl) == ddl_to_arrow(rendered)
