@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
 
 def _check_readable_types(schema_fields) -> None:
@@ -89,6 +90,10 @@ class IcebergFsReader(DataSourceReader):
                 # r6: IN prunes through the manifest bounds as the
                 # [min(members), max(members)] bracket — a sound superset
                 self.filters.append(f)
+            elif isinstance(f, StringStartsWith) and f.value:
+                # r6: prefix prunes as the range [prefix, smallest string
+                # above every prefixed value] over the string bounds
+                self.filters.append(f)
         return filters  # all residual: pruning is a superset optimization
 
     def _pruning_args(self) -> tuple[dict, dict]:
@@ -105,6 +110,15 @@ class IcebergFsReader(DataSourceReader):
                 mlo, mhi = min(f.value), max(f.value)
                 lo = mlo if lo is None else max(lo, mlo)
                 hi = mhi if hi is None else min(hi, mhi)
+            elif isinstance(f, StringStartsWith):
+                from parquet_toolkit_spark.operators.encode import (
+                    _prefix_upper_bound,
+                )
+
+                lo = f.value if lo is None else max(lo, f.value)
+                ub = _prefix_upper_bound(f.value)
+                if ub is not None:  # inclusive hi: sound (slightly loose)
+                    hi = ub if hi is None else min(hi, ub)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 lo = f.value if lo is None else max(lo, f.value)
             else:

@@ -3206,3 +3206,33 @@ def test_iceberg_timetravel_eq_delete_across_rename(spark, tmp_path):
     # current read: new name, same surviving rows
     assert {r.b for r in ic.read_data(spark, tdir).collect()} \
         == {0, 2, 3, 5}
+
+
+def test_iceberg_fs_startswith_prunes_files(spark, tmp_path):
+    """r6: StringStartsWith prunes data files through the manifest's
+    string bounds as [prefix, prefix-upper-bound]."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from parquet_toolkit_spark.sources import iceberg_compat as ic
+    from parquet_toolkit_spark.sources.iceberg_datasource import (
+        IcebergFsDataSource,
+        IcebergFsReader,
+    )
+
+    tdir = str(tmp_path / "sw_tbl")
+    ic.write_table(spark, spark.createDataFrame(
+        [(f"alpha{i}", i) for i in range(20)], "name string, n long"), tdir)
+    ic.write_table(spark, spark.createDataFrame(
+        [(f"mike{i}", i) for i in range(20)], "name string, n long"), tdir)
+
+    rd = IcebergFsReader(tdir, None)
+    rd.pushFilters([StringStartsWith(("name",), "alpha")])
+    pruned = sum(len(p.value["files"]) for p in rd.partitions())
+    rd2 = IcebergFsReader(tdir, None)
+    total = sum(len(p.value["files"]) for p in rd2.partitions())
+    assert pruned < total
+
+    spark.dataSource.register(IcebergFsDataSource)
+    got = (spark.read.format("iceberg_fs").load(tdir)
+           .where("name LIKE 'alpha%'"))
+    assert got.count() == 20
