@@ -29,8 +29,11 @@ import glob
 import json
 import os
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
@@ -43,6 +46,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 _RANGE_FILTERS = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -306,6 +310,141 @@ class PtscReader(DataSourceReader):
             yield from table.to_batches(max_chunksize=32768)
 
 
+@dataclass
+class PtscCommitMessage(WriterCommitMessage):
+    rows: list = field(default_factory=list)  # manifest rows, blob dropped
+    pid_dir: str | None = None
+
+
+class PtscWriter(DataSourceArrowWriter):
+    """df.write.format("ptsc").save(dir) — each task codec-encodes its
+    Spark partition into one pid blob file (same layout, manifest row
+    shape, and write-temp-then-rename protocol as encode_pipeline); the
+    driver commit writes _schema.json and swap-commits the manifest.
+
+    The caller owns the partitioning: a plain write encodes whatever
+    partitions the plan produced — use encode_pipeline for the
+    range-partition + sort layout semantics. Append assigns fresh pids
+    above the store's committed maximum (ids never reused); overwrite
+    replaces the whole manifest and deletes the old pid directories
+    after the swap, like compact_store's delete-inputs protocol."""
+
+    def __init__(self, path: str, schema_map: dict[str, str],
+                 base_pid: int, old_pid_dirs: list[str],
+                 overwrite: bool):
+        self.path = path
+        self.schema_map = schema_map
+        self.base_pid = base_pid
+        self.old_pid_dirs = old_pid_dirs
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import pyarrow as pa
+
+        from pyspark import TaskContext
+
+        from parquet_toolkit_spark.operators.encode import (
+            _encode_columns,
+            _rows_to_batch,
+        )
+        from parquet_toolkit_spark.sources.fs import (
+            task_fs,
+            task_write_ipc_atomic,
+        )
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return PtscCommitMessage()
+        pid = self.base_pid + TaskContext.get().partitionId()
+        table = pa.Table.from_batches(batches)
+        cols = {n: table.column(n).combine_chunks()
+                for n in table.schema.names}
+        rows = _encode_columns(cols, pid, run_id="dsw")
+        blob_table = pa.Table.from_batches([_rows_to_batch(rows)]) \
+            .drop_columns(["pid"])
+        dest_dir = os.path.join(self.path, "blobs", f"pid={pid}")
+        wfs, dest_plain = task_fs(dest_dir)
+        wfs.create_dir(dest_plain, recursive=True)
+        tfs, tmp_plain = task_fs(os.path.join(self.path, "_tmp_write"))
+        tfs.create_dir(tmp_plain, recursive=True)
+        task_write_ipc_atomic(
+            blob_table,
+            os.path.join(self.path, "_tmp_write", f"pid-{pid}.arrow"),
+            os.path.join(dest_dir, "part-0.arrow"),
+        )
+        return PtscCommitMessage(
+            rows=[{k: v for k, v in r.items() if k != "blob"}
+                  for r in rows],
+            pid_dir=dest_dir,
+        )
+
+    def commit(self, messages):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r for m in messages if m is not None for r in m.rows]
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_schema.json"), "w") as fh:
+            json.dump(self.schema_map, fh)
+        if not self.overwrite:
+            rows = _committed_manifest_rows(self.path) + rows
+        man_schema = pa.schema([
+            ("pid", pa.int32()), ("column", pa.string()),
+            ("codec", pa.string()), ("nrows", pa.int64()),
+            ("bytes_in", pa.int64()), ("bytes_out", pa.int64()),
+            ("checksum", pa.string()), ("stats_json", pa.string()),
+            ("run_id", pa.string()), ("status", pa.string()),
+        ])
+        cols = {name: [r.get(name, "committed" if name == "status"
+                             else None) for r in rows]
+                for name in man_schema.names}
+        tbl = pa.Table.from_pydict(cols, schema=man_schema)
+        # same swap protocol as encode's _commit_manifest (roll an
+        # interrupted swap forward first; never delete the only copy)
+        man_dir = os.path.join(self.path, "manifest")
+        tmp_man = os.path.join(self.path, "manifest_new")
+        man_old = os.path.join(self.path, "manifest_old")
+        if os.path.exists(man_old):
+            if os.path.exists(man_dir):
+                shutil.rmtree(man_old)
+            else:
+                os.replace(man_old, man_dir)
+        shutil.rmtree(tmp_man, ignore_errors=True)
+        os.makedirs(tmp_man)
+        pq.write_table(tbl, os.path.join(tmp_man, "part-0.parquet"))
+        if os.path.exists(man_dir):
+            os.replace(man_dir, man_old)
+        os.replace(tmp_man, man_dir)
+        shutil.rmtree(man_old, ignore_errors=True)
+        if self.overwrite:
+            for d in self.old_pid_dirs:  # delete-inputs, post-commit
+                shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "_tmp_write"),
+                      ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        for m in messages or []:
+            if m is not None and m.pid_dir:
+                shutil.rmtree(m.pid_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "_tmp_write"),
+                      ignore_errors=True)
+
+
+def _committed_manifest_rows(path: str) -> list[dict]:
+    """Existing committed manifest rows as plain dicts ([] for a fresh
+    store)."""
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(path, "manifest", "*.parquet"))
+    if not files:
+        return []
+    return pq.read_table(files).to_pylist()
+
+
 class PtscDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -320,3 +459,35 @@ class PtscDataSource(DataSource):
 
     def reader(self, schema) -> PtscReader:
         return PtscReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> PtscWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("ptsc sink needs .save(<enc_dir>)")
+        schema_map = {f.name: f.dataType.simpleString()
+                      for f in schema.fields}
+        from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
+
+        for n, t in schema_map.items():
+            try:
+                ddl_to_arrow(t)  # refuse out-of-grammar types at PLAN time
+            except ValueError as ex:
+                raise ValueError(
+                    f"ptsc cannot encode column {n}:{t} ({ex})")
+        base_pid, old_dirs = 0, []
+        if os.path.exists(os.path.join(path, "_schema.json")):
+            existing = _store_schema_map(path)
+            if not overwrite and existing != schema_map:
+                raise ValueError(
+                    f"schema mismatch appending to ptsc store {path}: "
+                    f"store has {existing}, dataframe has {schema_map}")
+            rows = _committed_manifest_rows(path)
+            if rows:
+                # fresh pids above the committed maximum (never reused);
+                # overwrite also starts there so new blob dirs cannot
+                # collide with live ones mid-write
+                base_pid = max(r["pid"] for r in rows) + 1
+            if overwrite:
+                old_dirs = sorted(
+                    glob.glob(os.path.join(path, "blobs", "pid=*")))
+        return PtscWriter(path, schema_map, base_pid, old_dirs, overwrite)

@@ -3236,3 +3236,55 @@ def test_iceberg_fs_startswith_prunes_files(spark, tmp_path):
     got = (spark.read.format("iceberg_fs").load(tdir)
            .where("name LIKE 'alpha%'"))
     assert got.count() == 20
+
+
+def test_ptsc_write_path(spark, tmp_path):
+    """r6: df.write.format("ptsc") — per-task codec encode into the same
+    store layout encode_pipeline produces; append assigns fresh pids,
+    overwrite swaps the manifest and deletes old pid dirs, schema
+    mismatch on append refuses, and both read paths see the rows."""
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.operators.encode import decode_pipeline
+    from parquet_toolkit_spark.sources.ptsc_datasource import PtscDataSource
+
+    spark.dataSource.register(PtscDataSource)
+    enc = str(tmp_path / "w_enc")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        F.create_map(F.lit("a"), F.col("id").cast("string")).alias("m"),
+    ).repartition(4)
+    df.write.format("ptsc").mode("append").save(enc)
+
+    p = spark.read.format("ptsc").load(enc)
+    assert p.orderBy("k").collect() == df.orderBy("k").collect()
+    # the store is a REAL store: decode_pipeline reads it too
+    assert decode_pipeline(spark, enc).count() == 300
+
+    # append: fresh pids, rows accumulate
+    df2 = spark.range(300, 400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        F.create_map(F.lit("a"), F.col("id").cast("string")).alias("m"),
+    ).repartition(2)
+    df2.write.format("ptsc").mode("append").save(enc)
+    assert spark.read.format("ptsc").load(enc).count() == 400
+
+    # schema mismatch on append refuses loudly
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(3).select(F.col("id").alias("other")) \
+            .write.format("ptsc").mode("append").save(enc)
+
+    # overwrite replaces everything and reclaims old pid dirs
+    df3 = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        F.lit("z").alias("s"),
+        F.create_map(F.lit("a"), F.lit("1")).alias("m"),
+    ).repartition(2)
+    df3.write.format("ptsc").mode("overwrite").save(enc)
+    got = spark.read.format("ptsc").load(enc)
+    assert got.count() == 50
+    assert {r.s for r in got.collect()} == {"z"}
+    import glob as _g
+    assert len(_g.glob(str(tmp_path / "w_enc" / "blobs" / "pid=*"))) == 2
