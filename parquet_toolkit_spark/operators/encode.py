@@ -19,7 +19,6 @@ Two modes:
 
 from __future__ import annotations
 
-import datetime as _dt
 import hashlib
 import json
 import math
@@ -1079,8 +1078,13 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     from parquet_toolkit_spark.sources.fs import DriverFS
 
     dfs = DriverFS(spark)
+    # prefer the schema committed atomically with the manifest swap (the
+    # ptsc writer stages it inside manifest/; encode paths write only the
+    # root copy) — see _store_schema_map (ADVICE r6)
+    man_schema = os.path.join(enc_dir, "manifest", "_schema.json")
     schema_map: dict[str, str] = json.loads(
-        dfs.read_text(os.path.join(enc_dir, "_schema.json"))
+        dfs.read_text(man_schema) if dfs.exists(man_schema)
+        else dfs.read_text(os.path.join(enc_dir, "_schema.json"))
     )
     blobs_dir = os.path.join(enc_dir, "blobs")
 
@@ -1219,109 +1223,43 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
         raise FileNotFoundError(f"no manifest under {enc_dir}")
     st = man.where((F.col("column") == column)
                    & (F.col("status") == "committed"))
-    if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
-        # temporal bounds (datetime is a date subclass): unit-aware
-        # admission lives in the shared _chunk_admits — timestamp chunks
-        # store source-unit epoch ints, date chunks day numbers, and the
-        # stats' logical marker says which; evaluate driver-side over the
-        # one column's manifest rows (O(n_pids), same cost as the
-        # collect below)
-        from pyspark.sql.datasource import (
-            GreaterThanOrEqual,
-            LessThanOrEqual,
-        )
-
-        from parquet_toolkit_spark.sources.ptsc_datasource import (
-            _chunk_admits,
-        )
-
-        flts = []
-        if lo is not None:
-            flts.append(GreaterThanOrEqual((column,), lo))
-        if hi is not None:
-            flts.append(LessThanOrEqual((column,), hi))
-        return {
-            r.pid for r in st.select("pid", "stats_json").collect()
-            if all(_chunk_admits(json.loads(r.stats_json), f)
-                   for f in flts)
-        }
+    # EVERY bound type routes through the shared _chunk_admits admission
+    # (the same evidence dispatch the ptsc pushdown uses): int/float
+    # bounds against whichever of $.min/$.max / $.fmin/$.fmax the chunk
+    # carries, strings against $.smin/$.smax, temporal values unit-scaled
+    # by the stats' logical marker, and decimal-mantissa chunks scale ANY
+    # numeric bound exactly — the previous Catalyst numeric path compared
+    # a plain int/float bound against the UNSCALED mantissa and silently
+    # dropped matching pids (ADVICE r6). One collect over the column's
+    # manifest rows; admission is O(n_pids) driver-side python, exact at
+    # any decimal width.
     import decimal as _dcm
 
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from parquet_toolkit_spark.sources.ptsc_datasource import _chunk_admits
+
+    stats_rows = [(r.pid, json.loads(r.stats_json))
+                  for r in st.select("pid", "stats_json").collect()]
     if isinstance(lo, _dcm.Decimal) or isinstance(hi, _dcm.Decimal):
-        # decimal zone maps store the UNSCALED mantissa under $.min/$.max
-        # with the scale in $.logical = "dec_<s>" (selector.py). p>18
-        # mantissas exceed int64 (r6 two-word decimals), so the Catalyst
-        # cast("long") evidence path below can't carry them — evaluate
-        # driver-side through the shared _chunk_admits, whose python-int
-        # comparisons are exact at any width (same O(n_pids) cost as the
-        # collect below)
-        one = (st.select(F.get_json_object("stats_json", "$.logical")
-                         .alias("lg"))
-               .where(F.col("lg").startswith("dec_")).first())
-        if one is None:
+        # loud refusal kept from r6: Decimal bounds on a column with no
+        # decimal zone maps means the caller is pruning the wrong column
+        if not any((s.get("logical") or "").startswith("dec_")
+                   for _, s in stats_rows):
             raise TypeError(
                 f"Decimal bounds on {column!r}, but its chunks carry no "
                 "decimal zone maps (is the column decimal-typed?)"
             )
-        from pyspark.sql.datasource import (
-            GreaterThanOrEqual,
-            LessThanOrEqual,
-        )
-
-        from parquet_toolkit_spark.sources.ptsc_datasource import (
-            _chunk_admits,
-        )
-
-        flts = []
-        if lo is not None:
-            flts.append(GreaterThanOrEqual((column,), _dcm.Decimal(lo)))
-        if hi is not None:
-            flts.append(LessThanOrEqual((column,), _dcm.Decimal(hi)))
-        return {
-            r.pid for r in st.select("pid", "stats_json").collect()
-            if all(_chunk_admits(json.loads(r.stats_json), f)
-                   for f in flts)
-        }
-    if isinstance(lo, str) or isinstance(hi, str):
-        mn = F.get_json_object("stats_json", "$.smin")
-        mx = F.get_json_object("stats_json", "$.smax")
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (mx >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (mn <= F.lit(hi))
-        keep = st.where(cond | mn.isNull() | mx.isNull())
-        return {r.pid for r in keep.select("pid").distinct().collect()}
-
-    # numeric bounds: evaluate WHICHEVER evidence kind the chunk carries
-    # — int chunks store $.min/$.max, float chunks $.fmin/$.fmax. A
-    # value-type dispatch instead of an evidence dispatch silently
-    # admitted everything when the literal type didn't match the column
-    # (float bound on an int column; code-review r4). Float bounds
-    # tighten exactly against int evidence via ceil(lo)/floor(hi) —
-    # integer values satisfy v >= lo iff v >= ceil(lo). Chunks holding
-    # NaN/inf always admit (bounds exclude specials).
-    mn_i = F.get_json_object("stats_json", "$.min").cast("long")
-    mx_i = F.get_json_object("stats_json", "$.max").cast("long")
-    mn_f = F.get_json_object("stats_json", "$.fmin").cast("double")
-    mx_f = F.get_json_object("stats_json", "$.fmax").cast("double")
-    special = (F.get_json_object("stats_json", "$.has_special")
-               == F.lit("true"))
-    int_cond = F.lit(True)
-    flt_cond = F.lit(True)
+    flts = []
     if lo is not None:
-        int_cond = int_cond & (mx_i >= F.lit(math.ceil(lo)))
-        flt_cond = flt_cond & (mx_f >= F.lit(float(lo)))
+        flts.append(GreaterThanOrEqual((column,), lo))
     if hi is not None:
-        int_cond = int_cond & (mn_i <= F.lit(math.floor(hi)))
-        flt_cond = flt_cond & (mn_f <= F.lit(float(hi)))
-    int_ev = mn_i.isNotNull() & mx_i.isNotNull()
-    flt_ev = mn_f.isNotNull() & mx_f.isNotNull()
-    keep = st.where(
-        (~int_ev & ~flt_ev) | special
-        | (int_ev & int_cond) | (flt_ev & flt_cond)
-    )
-    return {r.pid for r in keep.select("pid").distinct().collect()}
+        flts.append(LessThanOrEqual((column,), hi))
+    return {pid for pid, s in stats_rows
+            if all(_chunk_admits(s, f) for f in flts)}
 
 
 def pids_matching_value(spark: SparkSession, enc_dir: str, column: str,

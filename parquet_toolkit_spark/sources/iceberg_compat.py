@@ -219,14 +219,21 @@ def read_table_metadata(table_dir: str, spark: SparkSession | None = None) -> di
 def _field_aliases(schemas: list, current: dict) -> dict[str, list[str]]:
     """{current field name -> former names of the same field id}, newest
     schema first. Empty for never-renamed tables (single schema or
-    name-stable evolution) — the common case costs one dict scan."""
+    name-stable evolution) — the common case costs one dict scan.
+
+    Only schemas at or BELOW `current`'s schema-id contribute (ADVICE
+    r6): files of a snapshot pinned to schema N can never carry names
+    introduced by schema N+1, and letting newer names into the chain made
+    time travel spuriously refuse (or duplicate) when a later schema
+    reused a vacated name."""
     if len(schemas) < 2:
         return {}
+    cur_sid = current.get("schema-id", 0)
     cur_by_id = {f.get("id", i + 1): f["name"]
                  for i, f in enumerate(current["fields"])}
     out: dict[str, list[str]] = {}
     for s in sorted(schemas, key=lambda s: -s.get("schema-id", 0)):
-        if s is current:
+        if s is current or s.get("schema-id", 0) > cur_sid:
             continue
         for i, f in enumerate(s["fields"]):
             cn = cur_by_id.get(f.get("id", i + 1))

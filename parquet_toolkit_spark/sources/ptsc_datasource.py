@@ -76,8 +76,16 @@ def bundle_by_size(items: list, size_of, max_partitions: int = MAX_PARTITIONS
 
 
 def _store_schema_map(path: str) -> dict[str, str]:
-    with open(os.path.join(path, "_schema.json")) as fh:
-        return json.load(fh)
+    # prefer the copy committed atomically WITH the manifest swap (the
+    # ptsc writer stages it inside manifest_new): after a crash between
+    # the swap and the root _schema.json refresh, this is the pair that
+    # matches the committed manifest (ADVICE r6)
+    for p in (os.path.join(path, "manifest", "_schema.json"),
+              os.path.join(path, "_schema.json")):
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+    raise FileNotFoundError(os.path.join(path, "_schema.json"))
 
 
 def _manifest_stats(path: str) -> list[dict]:
@@ -386,8 +394,6 @@ class PtscWriter(DataSourceArrowWriter):
 
         rows = [r for m in messages if m is not None for r in m.rows]
         os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, "_schema.json"), "w") as fh:
-            json.dump(self.schema_map, fh)
         if not self.overwrite:
             rows = _committed_manifest_rows(self.path) + rows
         man_schema = pa.schema([
@@ -414,10 +420,25 @@ class PtscWriter(DataSourceArrowWriter):
         shutil.rmtree(tmp_man, ignore_errors=True)
         os.makedirs(tmp_man)
         pq.write_table(tbl, os.path.join(tmp_man, "part-0.parquet"))
+        # the schema rides INSIDE the manifest swap (ADVICE r6): writing
+        # the root _schema.json before the swap paired a new schema with
+        # the old manifest across a crash window, so readers decoded old
+        # blobs under the wrong column map. Spark/pyarrow manifest readers
+        # ignore the underscore file.
+        schema_bytes = json.dumps(self.schema_map)
+        with open(os.path.join(tmp_man, "_schema.json"), "w") as fh:
+            fh.write(schema_bytes)
         if os.path.exists(man_dir):
             os.replace(man_dir, man_old)
         os.replace(tmp_man, man_dir)
         shutil.rmtree(man_old, ignore_errors=True)
+        # refresh the root copy (decode_pipeline/DuckDB-side compat) only
+        # AFTER the swap, atomically; a crash in between leaves the
+        # manifest-dir copy as the consistent source readers prefer
+        tmp_schema = os.path.join(self.path, "_schema.json.tmp")
+        with open(tmp_schema, "w") as fh:
+            fh.write(schema_bytes)
+        os.replace(tmp_schema, os.path.join(self.path, "_schema.json"))
         if self.overwrite:
             for d in self.old_pid_dirs:  # delete-inputs, post-commit
                 shutil.rmtree(d, ignore_errors=True)
@@ -436,13 +457,17 @@ class PtscWriter(DataSourceArrowWriter):
 
 def _committed_manifest_rows(path: str) -> list[dict]:
     """Existing committed manifest rows as plain dicts ([] for a fresh
-    store)."""
+    store). Falls back to the pre-swap copy like _manifest_stats does:
+    without it, a crash inside the swap window (manifest_old present,
+    manifest missing) made the next append plan base_pid=0 and drop every
+    previously committed row (ADVICE r6 medium)."""
     import pyarrow.parquet as pq
 
-    files = glob.glob(os.path.join(path, "manifest", "*.parquet"))
-    if not files:
-        return []
-    return pq.read_table(files).to_pylist()
+    for name in ("manifest", "manifest_old"):
+        files = glob.glob(os.path.join(path, name, "*.parquet"))
+        if files:
+            return pq.read_table(files).to_pylist()
+    return []
 
 
 class PtscDataSource(DataSource):
@@ -461,9 +486,26 @@ class PtscDataSource(DataSource):
         return PtscReader(self.options["path"])
 
     def writer(self, schema, overwrite: bool) -> PtscWriter:
+        from parquet_toolkit_spark.sources.fs import (
+            has_scheme,
+            strip_local_scheme,
+        )
+
         path = self.options.get("path")
         if not path:
             raise ValueError("ptsc sink needs .save(<enc_dir>)")
+        # plan-time refusal (ADVICE r6): the writer's driver-side
+        # planning/commit uses local filesystem calls, while task-side
+        # blob writes route through the pyarrow shim — handed a remote
+        # scheme, blobs would land remotely and the commit would create a
+        # literal local 's3a:/...' directory: a torn store with no error.
+        path = strip_local_scheme(path)
+        if has_scheme(path):
+            raise ValueError(
+                f"ptsc write path {path!r} has a non-local scheme: the "
+                "ptsc writer's driver-side commit is local-filesystem-"
+                "only; write to a local path and sync the committed "
+                "store, or use encode_pipeline (scheme-agnostic)")
         schema_map = {f.name: f.dataType.simpleString()
                       for f in schema.fields}
         from parquet_toolkit_spark.sources.ddl import ddl_to_arrow
@@ -475,7 +517,9 @@ class PtscDataSource(DataSource):
                 raise ValueError(
                     f"ptsc cannot encode column {n}:{t} ({ex})")
         base_pid, old_dirs = 0, []
-        if os.path.exists(os.path.join(path, "_schema.json")):
+        if os.path.exists(os.path.join(path, "_schema.json")) or \
+                os.path.exists(os.path.join(path, "manifest",
+                                            "_schema.json")):
             existing = _store_schema_map(path)
             if not overwrite and existing != schema_map:
                 raise ValueError(

@@ -3288,3 +3288,107 @@ def test_ptsc_write_path(spark, tmp_path):
     assert {r.s for r in got.collect()} == {"z"}
     import glob as _g
     assert len(_g.glob(str(tmp_path / "w_enc" / "blobs" / "pid=*"))) == 2
+
+
+def test_ptsc_writer_swap_window_append_and_remote_refusal(spark, tmp_path):
+    """ADVICE r6: (1) an append planned while a prior commit sits inside
+    the manifest swap window (manifest_old present, manifest missing)
+    must keep every committed row and continue pids after them; (2) a
+    non-local write path refuses loudly at PLAN time; (3) the schema is
+    committed atomically with the manifest swap (copy inside manifest/)."""
+    import glob as _g
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.sources.ptsc_datasource import PtscDataSource
+
+    spark.dataSource.register(PtscDataSource)
+    enc = str(tmp_path / "crash_enc")
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("s"))
+
+    mk(0, 100).repartition(2).write.format("ptsc").mode("append").save(enc)
+    # schema rides the swap: the manifest-dir copy exists and matches root
+    with open(_os.path.join(enc, "manifest", "_schema.json")) as fh:
+        man_schema = _json.load(fh)
+    with open(_os.path.join(enc, "_schema.json")) as fh:
+        assert man_schema == _json.load(fh)
+
+    # simulate a crash between the two swap renames
+    _os.rename(_os.path.join(enc, "manifest"),
+               _os.path.join(enc, "manifest_old"))
+    mk(100, 150).repartition(1).write.format("ptsc").mode("append").save(enc)
+    got = spark.read.format("ptsc").load(enc)
+    assert got.count() == 150
+    row = got.agg(F.min("k"), F.max("k")).first()
+    assert (row[0], row[1]) == (0, 149)
+    # pids continued after the committed ones: 2 original + 1 appended
+    assert len(_g.glob(_os.path.join(enc, "blobs", "pid=*"))) == 3
+
+    # non-local scheme refuses at plan time, before any task runs
+    with pytest.raises(Exception, match="non-local scheme"):
+        mk(0, 3).write.format("ptsc").mode("append").save("s3a://bkt/store")
+
+
+def test_field_aliases_pinned_ignores_newer_schemas():
+    """ADVICE r6: alias chains for a PINNED schema must not include names
+    from schemas newer than it — files of that snapshot can never carry
+    them, and a later schema reusing a vacated name spuriously tripped
+    the ambiguity refusal."""
+    from parquet_toolkit_spark.sources.iceberg_compat import _field_aliases
+
+    s0 = {"schema-id": 0, "fields": [
+        {"id": 1, "name": "a", "type": "long"},
+        {"id": 2, "name": "x", "type": "long"}]}
+    s1 = {"schema-id": 1, "fields": [           # rename a -> b
+        {"id": 1, "name": "b", "type": "long"},
+        {"id": 2, "name": "x", "type": "long"}]}
+    s2 = {"schema-id": 2, "fields": [           # rename x -> a (reuse!)
+        {"id": 1, "name": "b", "type": "long"},
+        {"id": 2, "name": "a", "type": "long"}]}
+    schemas = [s0, s1, s2]
+    # pinned at schema 0: nothing newer contributes — no spurious alias
+    assert _field_aliases(schemas, s0) == {}
+    # pinned at schema 1: only the rename at/below it
+    assert _field_aliases(schemas, s1) == {"b": ["a"]}
+    # current schema: both chains
+    assert _field_aliases(schemas, s2) == {"b": ["a"], "a": ["x"]}
+
+
+def test_decimal_range_pruning_plain_numeric_bounds(spark, tmp_path):
+    """ADVICE r6: plain int/float bounds on a decimal column must scale
+    to the mantissa axis — lo=200, hi=300 on decimal(10,2) previously
+    compared against the UNSCALED mantissa (25000 for 250.00) and
+    silently dropped matching pids."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from parquet_toolkit_spark.operators.encode import (
+        decode_pipeline,
+        encode_pipeline,
+        pids_matching_range,
+        read_manifest,
+    )
+
+    enc = str(tmp_path / "dec_plain_enc")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(10,2)")
+         + F.lit(Decimal("0.25")).cast("decimal(10,2)")).alias("v"),
+    )
+    encode_pipeline(spark, df, enc, target_bytes=4 << 10, run_id="t",
+                    range_keys=("k",), sort_keys=("k",))
+    all_pids = {r.pid for r in read_manifest(spark, enc)
+                .select("pid").distinct().collect()}
+    for lo, hi in ((200, 300), (200.0, 300.0)):
+        pids = pids_matching_range(spark, enc, "v", lo=lo, hi=hi)
+        assert pids and pids < all_pids  # pruned some, kept the hits
+        got = (decode_pipeline(spark, enc, pids=sorted(pids))
+               .where((F.col("v") >= lo) & (F.col("v") <= hi)))
+        # v = id + 0.25, so 200 <= v <= 300 keeps ids 200..299 (100 rows)
+        assert got.count() == 100
