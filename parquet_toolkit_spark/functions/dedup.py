@@ -83,12 +83,19 @@ def _shingles(text_col: str, n: int) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 16,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       shingle_df: DataFrame | None = None) -> DataFrame:
     """k minhash values per doc: explode shingles, k seeded xxhash64 mins.
 
     One shuffle (groupBy id); partial aggregation (min) combines map-side.
+    shingle_df injects a precomputed (id, sh: array) table so one shingle
+    pass can feed BOTH candidate generation and the exact-Jaccard verify
+    (guide §8: compute the proxy once) — values are identical either way.
     """
-    sh = df.select(F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("sh"))
+    src = (shingle_df if shingle_df is not None
+           else df.select(F.col(id_col),
+                          _shingles(text_col, shingle_n).alias("sh")))
+    sh = src.select(F.col(id_col), F.explode("sh").alias("sh"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(k)
     ]
@@ -97,11 +104,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_band_hashes(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 16, bands: int = 4,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        shingle_df: DataFrame | None = None) -> DataFrame:
     """(id, b, h): one LSH band hash row per doc per band — the
     deterministic intermediate both the Spark join and a SQL oracle can
     consume (hash functions aren't portable SQL; the banded TABLE is)."""
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n,
+                              shingle_df=shingle_df)
     r = k // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
@@ -185,10 +194,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     `band_df` injects precomputed band hashes (fixture-oracle path)."""
+    # one shingle pass, persisted, feeds banding (when not injected) AND
+    # both sides of the verify join — recomputing the tokenize+gram chain
+    # per consumer doubled/tripled the dominant CPU (guide §8: compute
+    # the proxy once). persist (not localCheckpoint) keeps lineage, so a
+    # lost executor recomputes instead of failing the job.
+    shing = df.select(F.col(id_col),
+                      _shingles(text_col, shingle_n).alias("sh")).persist()
     stacked = (band_df if band_df is not None
-               else minhash_band_hashes(df, text_col, id_col, k, bands, shingle_n))
+               else minhash_band_hashes(df, text_col, id_col, k, bands,
+                                        shingle_n, shingle_df=shing))
     cand = _capped_band_pairs(stacked, id_col, cap=band_cap)
-    shing = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
     cand = (
         cand.join(shing.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(shing.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -221,7 +237,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     prefixes make a block quadratic; keep for oracles/small data."""
     shing = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
     if blocking == "minhash":
-        sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+        # same proxy-sharing as minhash_lsh_pairs: one persisted shingle
+        # pass feeds the signatures AND the verify joins (3 passes -> 1)
+        shing = shing.persist()
+        sigs = minhash_signatures(df, text_col, id_col, k, shingle_n,
+                                  shingle_df=shing)
         r = k // bands
         stacked = sigs.select(
             F.col(id_col),

@@ -31,7 +31,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_toolkit_spark.operators.layout import estimate_bytes_per_row
+from parquet_toolkit_spark.operators.layout import sampled_width_and_rows
 
 ENCODED_SCHEMA = (
     "pid INT, column STRING, codec STRING, nrows BIGINT, bytes_in BIGINT, "
@@ -245,8 +245,9 @@ def plan_layout(df: DataFrame, target_bytes: int,
     """
     n_rows: int | None = None
     if n_partitions is None:
-        bpr = estimate_bytes_per_row(df)
-        n_rows = df.count()
+        # one fused job for small tables (sampled width + exact count),
+        # two only past the sample size — see sampled_width_and_rows
+        bpr, n_rows = sampled_width_and_rows(df)
         n_partitions = max(1, math.ceil(bpr * n_rows / target_bytes))
     if cluster_keys:
         from parquet_toolkit_spark.operators.zorder import (
@@ -455,12 +456,7 @@ def encode_partitions(spark: SparkSession, staging_dir: str, out_dir: str,
 
     committed: set[int] = set()
     if resume:
-        man = read_manifest(spark, out_dir)
-        if man is not None:
-            committed = {
-                r.pid for r in man.where(F.col("status") == "committed")
-                .select("pid").distinct().collect()
-            }
+        committed = _committed_pid_set(dfs, out_dir) or set()
     pending = sorted(set(pid_files) - committed)
     if fail_after is not None:
         pending = pending[:fail_after]
@@ -680,7 +676,8 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
         if not pids:
             return  # nothing actually landed; the manifest is unchanged
         new_man = (
-            spark.read.option("basePath", blobs_dir)
+            spark.read.schema(ENCODED_SCHEMA)
+            .option("basePath", blobs_dir)
             .parquet(*[os.path.join(blobs_dir, f"pid={p}") for p in pids])
             .select(*man_cols)
             .withColumn("status", F.lit("committed"))
@@ -692,12 +689,58 @@ def _write_encoded(spark: SparkSession, encoded: DataFrame, out_dir: str,
                 new_man.select(*MANIFEST_COLS))
         man = new_man
     else:
+        # explicit schema: the blob layout is ours, so the footer
+        # schema-inference job (~0.1-0.2 s fixed overhead per commit)
+        # buys nothing
         man = (
-            spark.read.parquet(blobs_dir)
+            spark.read.schema(ENCODED_SCHEMA).parquet(blobs_dir)
             .select(*man_cols)
             .withColumn("status", F.lit("committed"))
         )
     _commit_manifest(dfs, out_dir, man)
+
+
+def _manifest_arrow(dfs, out_dir: str, columns: list[str] | None = None):
+    """Committed-manifest read as a pyarrow Table — manifest/ falling back
+    to manifest_old/ exactly like read_manifest, but DRIVER-SIDE through
+    the pyarrow fs shim: control-plane consumers that immediately
+    .collect() O(pids) rows (decode pid sets, zone-map pruning, compaction
+    binning) paid a full Spark job (~0.1-0.2 s fixed overhead) per call
+    for what is a column-pruned read of a small parquet directory. Any
+    scheme the shim resolves works. Returns None when no manifest exists
+    (callers keep their existing refusal/fallback behavior)."""
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources.fs import task_fs
+
+    for name in ("manifest", "manifest_old"):
+        d = os.path.join(out_dir, name)
+        try:
+            if not dfs.exists(d):
+                continue
+            files = [f for f, _sz in dfs.list_files(d)
+                     if f.endswith(".parquet")]
+            if not files:
+                continue
+            tabs = []
+            for f in files:
+                fs, plain = task_fs(f)
+                tabs.append(pq.read_table(plain, filesystem=fs,
+                                          columns=columns))
+            return pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        except Exception:
+            continue
+    return None
+
+
+def _committed_pid_set(dfs, out_dir: str) -> set[int] | None:
+    """Committed pid set from the manifest, driver-side (no Spark job)."""
+    mt = _manifest_arrow(dfs, out_dir, ["pid", "status"])
+    if mt is None:
+        return None
+    return {p for p, s in zip(mt.column("pid").to_pylist(),
+                              mt.column("status").to_pylist())
+            if s == "committed"}
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -741,10 +784,7 @@ def fsck_store(spark: SparkSession, enc_dir: str,
     man = read_manifest(spark, enc_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest under {enc_dir}")
-    committed = {
-        r.pid for r in man.where(F.col("status") == "committed")
-        .select("pid").distinct().collect()
-    }
+    committed = _committed_pid_set(dfs, enc_dir)
     blobs_dir = os.path.join(enc_dir, "blobs")
     pid_files: list[tuple[int, str]] = []
     for d in dfs.list_dirs(blobs_dir) if dfs.exists(blobs_dir) else []:
@@ -918,16 +958,26 @@ def compact_store(spark: SparkSession, enc_dir: str,
     man = read_manifest(spark, enc_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest under {enc_dir}")
-    committed = man.where(F.col("status") == "committed")
-    sizes = {
-        r.pid: r.total for r in
-        committed.groupBy("pid").agg(F.sum("bytes_out").alias("total")).collect()
-    }
+    # one driver-side arrow read replaces three O(pids) collect jobs
+    # (sizes, bloom columns, codec hints below)
+    mt = _manifest_arrow(dfs, enc_dir,
+                         ["pid", "column", "codec", "status", "bytes_out",
+                          "stats_json"])
+    mrows = [
+        (p, c, cd, bo, sj) for p, c, cd, s, bo, sj in zip(
+            mt.column("pid").to_pylist(), mt.column("column").to_pylist(),
+            mt.column("codec").to_pylist(), mt.column("status").to_pylist(),
+            mt.column("bytes_out").to_pylist(),
+            mt.column("stats_json").to_pylist())
+        if s == "committed"
+    ]
+    sizes: dict[int, int] = {}
+    for p, _c, _cd, bo, _sj in mrows:
+        sizes[p] = sizes.get(p, 0) + (bo or 0)
     if bloom_columns is None:
         bloom_columns = tuple(sorted(
-            r.column for r in committed
-            .where(F.col("stats_json").contains('"bloom"'))
-            .select("column").distinct().collect()
+            {c for _p, c, _cd, _bo, sj in mrows
+             if sj is not None and '"bloom"' in sj}
         ))
 
     # greedy adjacent binning: only bins with >=2 members are rewritten
@@ -984,15 +1034,14 @@ def compact_store(spark: SparkSession, enc_dir: str,
     # column); the members already ran that gate on the same data, so
     # their codec set (plus the plain floor select_codec always honors)
     # is the candidate list — selection stays size-optimal among them
-    hint_rows = (
-        committed.where(F.col("pid").isin([int(p) for p in merged_pids]))
-        .select("column", "codec").distinct().collect()
-    )
+    merged_set = set(merged_pids)
     hints: dict[str, list[str]] = {}
-    for r in hint_rows:
-        hints.setdefault(r.column, [])
-        if r.codec not in hints[r.column]:
-            hints[r.column].append(r.codec)
+    for p, c, cd, _bo, _sj in mrows:
+        if p not in merged_set:
+            continue
+        hints.setdefault(c, [])
+        if cd not in hints[c]:
+            hints[c].append(cd)
     task_rows = []
     bin_bytes = {}
     for i, g in enumerate(groups):
@@ -1092,17 +1141,14 @@ def decode_pipeline(spark: SparkSession, enc_dir: str,
     # orphan blob files with no manifest row (F5 parity: the manifest is
     # the source of truth, like the reference's alreadyMerged set). A store
     # with _schema.json but NO manifest is a broken commit — refuse rather
-    # than resurrect orphan/partial blobs (ADVICE r2)
-    man = read_manifest(spark, enc_dir)
-    if man is None:
+    # than resurrect orphan/partial blobs (ADVICE r2). Driver-side arrow
+    # read: no Spark job for the O(pids) pid set.
+    committed = _committed_pid_set(dfs, enc_dir)
+    if committed is None:
         raise FileNotFoundError(
             f"no manifest under {enc_dir}: encode commit incomplete; "
             "re-run encode_partitions(resume=True) to rebuild it"
         )
-    committed: set[int] = {
-        r.pid for r in man.where(F.col("status") == "committed")
-        .select("pid").distinct().collect()
-    }
 
     pid_files: list[tuple[int, str]] = []
     for d in dfs.list_dirs(blobs_dir):
@@ -1218,11 +1264,12 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
     column's chunks are disjoint ranges, so point/range reads touch O(1)
     partitions instead of all of them (the columnar zone-map /
     parquet row-group-stats idea applied to the blob store)."""
-    man = read_manifest(spark, enc_dir)
-    if man is None:
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    mt = _manifest_arrow(DriverFS(spark), enc_dir,
+                         ["pid", "column", "status", "stats_json"])
+    if mt is None:
         raise FileNotFoundError(f"no manifest under {enc_dir}")
-    st = man.where((F.col("column") == column)
-                   & (F.col("status") == "committed"))
     # EVERY bound type routes through the shared _chunk_admits admission
     # (the same evidence dispatch the ptsc pushdown uses): int/float
     # bounds against whichever of $.min/$.max / $.fmin/$.fmax the chunk
@@ -1242,8 +1289,13 @@ def pids_matching_range(spark: SparkSession, enc_dir: str, column: str,
 
     from parquet_toolkit_spark.sources.ptsc_datasource import _chunk_admits
 
-    stats_rows = [(r.pid, json.loads(r.stats_json))
-                  for r in st.select("pid", "stats_json").collect()]
+    stats_rows = [
+        (p, json.loads(sj)) for p, c, s, sj in zip(
+            mt.column("pid").to_pylist(), mt.column("column").to_pylist(),
+            mt.column("status").to_pylist(),
+            mt.column("stats_json").to_pylist())
+        if c == column and s == "committed"
+    ]
     if isinstance(lo, _dcm.Decimal) or isinstance(hi, _dcm.Decimal):
         # loud refusal kept from r6: Decimal bounds on a column with no
         # decimal zone maps means the caller is pruning the wrong column
@@ -1275,16 +1327,13 @@ def pids_matching_value(spark: SparkSession, enc_dir: str, column: str,
 
     from pyspark.sql.datasource import EqualTo
 
+    from parquet_toolkit_spark.sources.fs import DriverFS
     from parquet_toolkit_spark.sources.ptsc_datasource import _chunk_admits
 
-    man = read_manifest(spark, enc_dir)
-    if man is None:
+    mt = _manifest_arrow(DriverFS(spark), enc_dir,
+                         ["pid", "column", "status", "stats_json"])
+    if mt is None:
         raise FileNotFoundError(f"no manifest under {enc_dir}")
-    rows = (
-        man.where((F.col("column") == column)
-                  & (F.col("status") == "committed"))
-        .select("pid", "stats_json").collect()
-    )
     # shared admission (_chunk_admits): bloom probe + zone-map point
     # range, with the logical-unit handling (temporal units, decimal
     # mantissa scaling) applied consistently — a raw bloom probe with a
@@ -1292,9 +1341,13 @@ def pids_matching_value(spark: SparkSession, enc_dir: str, column: str,
     # prune (r5)
     flt = EqualTo((column,), value)
     keep: set[int] = set()
-    for r in rows:
-        if _chunk_admits(_json.loads(r.stats_json), flt):
-            keep.add(r.pid)
+    for p, c, s, sj in zip(
+            mt.column("pid").to_pylist(), mt.column("column").to_pylist(),
+            mt.column("status").to_pylist(),
+            mt.column("stats_json").to_pylist()):
+        if c == column and s == "committed" \
+                and _chunk_admits(_json.loads(sj), flt):
+            keep.add(p)
     return keep
 
 
@@ -1383,21 +1436,24 @@ def decode_where(spark: SparkSession, enc_dir: str,
         else:
             flts.append(EqualTo((col,), spec))
 
-    man = read_manifest(spark, enc_dir)
-    if man is None:
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    mt = _manifest_arrow(DriverFS(spark), enc_dir,
+                         ["pid", "column", "status", "stats_json"])
+    if mt is None:
         raise FileNotFoundError(f"no manifest under {enc_dir}")
     pred_col_set = set(predicates)
-    rows = (
-        man.where((F.col("status") == "committed")
-                  & F.col("column").isin(list(pred_col_set)))
-        .select("pid", "column", "stats_json").collect()
-    )
-    stats_by = {(r.pid, r.column): json.loads(r.stats_json) for r in rows}
-    pids = {
-        r.pid for r in
-        man.where(F.col("status") == "committed")
-        .select("pid").distinct().collect()
-    }
+    stats_by: dict[tuple, dict] = {}
+    pids: set[int] = set()
+    for p, c, s, sj in zip(
+            mt.column("pid").to_pylist(), mt.column("column").to_pylist(),
+            mt.column("status").to_pylist(),
+            mt.column("stats_json").to_pylist()):
+        if s != "committed":
+            continue
+        pids.add(p)
+        if c in pred_col_set:
+            stats_by[(p, c)] = json.loads(sj)
     for flt in flts:
         col = flt.attribute[0]
         for pid in list(pids):

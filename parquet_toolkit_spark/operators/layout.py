@@ -31,14 +31,8 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_BYTES = 128 << 20  # reference default chunk/row-group size
 
 
-def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 50_000) -> float:
-    """Sampled average serialized row width (uncompressed payload bytes).
-
-    Spark-native version of the reference's probe: it writes the first 50k
-    records to a temp file and divides (MultithreadedParquetSplitter.java:
-    152-170). We instead sum octet_length over a row sample — no temp file,
-    no driver materialization beyond one scalar.
-    """
+def _row_width_col(df: DataFrame):
+    """Serialized row-width expression (uncompressed payload bytes)."""
     width_cols = []
     for f in df.schema.fields:
         c = F.col(f.name)
@@ -55,10 +49,35 @@ def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 50_000) -> float:
             width_cols.append(F.lit(16))  # decimal128 storage width
         else:  # arrays/structs: approximate via json rendering width
             width_cols.append(F.coalesce(F.octet_length(F.to_json(c)), F.lit(8)))
-    row_w = sum(width_cols[1:], width_cols[0])
-    sample = df.select(row_w.alias("w")).limit(sample_rows)
+    return sum(width_cols[1:], width_cols[0])
+
+
+def estimate_bytes_per_row(df: DataFrame, sample_rows: int = 50_000) -> float:
+    """Sampled average serialized row width (uncompressed payload bytes).
+
+    Spark-native version of the reference's probe: it writes the first 50k
+    records to a temp file and divides (MultithreadedParquetSplitter.java:
+    152-170). We instead sum octet_length over a row sample — no temp file,
+    no driver materialization beyond one scalar.
+    """
+    sample = df.select(_row_width_col(df).alias("w")).limit(sample_rows)
     avg = sample.agg(F.avg("w")).first()[0]
     return float(avg or 1.0)
+
+
+def sampled_width_and_rows(df: DataFrame, sample_rows: int = 50_000
+                           ) -> tuple[float, int]:
+    """(bytes/row, exact row count) in the FEWEST jobs: one job computes
+    the sampled average width AND the sample size; only when the table is
+    larger than the sample does a second (metadata-driven) count run —
+    small tables pay one job instead of two."""
+    sample = df.select(_row_width_col(df).alias("w")).limit(sample_rows)
+    row = sample.agg(F.avg("w").alias("a"), F.count("*").alias("n")).first()
+    bpr = float(row.a or 1.0)
+    n = int(row.n or 0)
+    if n < sample_rows:
+        return bpr, n
+    return bpr, df.count()
 
 
 def _target_file_counts(df: DataFrame, target_bytes: int,
@@ -70,6 +89,33 @@ def _target_file_counts(df: DataFrame, target_bytes: int,
     n_parts = max(1, math.ceil(total / target_bytes))
     max_records = max(1, int(target_bytes / max(bpr, 1.0)))
     return n_parts, max_records
+
+
+def _footer_bytes_per_row(paths: list[str], sample_files: int = 8
+                          ) -> float | None:
+    """Serialized (encoded, pre-compression) bytes/row from parquet footer
+    metadata — the probe closest to the reference's "write 50k records to
+    a temp file and divide" (serialized record width), at zero scan cost:
+    only footers are read, driver-side, for up to `sample_files` files.
+    None when no footer is readable (caller falls back to the sampled
+    row-width Spark job, which costs one scan of the first 50k rows)."""
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources.fs import task_fs
+
+    tot_bytes = tot_rows = 0
+    for p in paths[:sample_files]:
+        try:
+            fs, plain = task_fs(p)
+            md = pq.ParquetFile(fs.open_input_file(plain)).metadata
+            tot_bytes += sum(md.row_group(i).total_byte_size
+                             for i in range(md.num_row_groups))
+            tot_rows += md.num_rows
+        except Exception:
+            return None
+    if tot_rows <= 0:
+        return None
+    return tot_bytes / tot_rows
 
 
 def compact(spark: SparkSession, in_path: str | list[str], out_path: str,
@@ -155,8 +201,29 @@ def sort_by_key(spark: SparkSession, in_path: str | list[str], out_path: str,
     null keys, DMCMemoryData.java:68-70; we use Catalyst ordering with
     NULLS FIRST).
     """
-    df = spark.read.parquet(*([in_path] if isinstance(in_path, str) else in_path))
-    n_parts, max_records = _target_file_counts(df, target_bytes)
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    paths = [in_path] if isinstance(in_path, str) else list(in_path)
+    df = spark.read.parquet(*paths)
+    # size the output from footer metadata when the input is parquet
+    # files/dirs we can stat (guide §1.2: don't scan to learn what the
+    # footers already say); fall back to the sampled row-width job
+    fs = DriverFS(spark)
+    files: list[str] = []
+    for p in paths:
+        if p.lower().endswith((".parq", ".parquet")) and not fs.exists(
+                os.path.join(p, "_SUCCESS")):
+            files.append(p)
+        else:
+            files.extend(f for f, _sz in fs.list_files(p)
+                         if f.lower().endswith((".parq", ".parquet")))
+    bpr = _footer_bytes_per_row(files) if files else None
+    if bpr is not None:
+        n_rows = df.count()  # metadata-driven vectorized count
+        n_parts = max(1, math.ceil(bpr * n_rows / target_bytes))
+        max_records = max(1, int(target_bytes / max(bpr, 1.0)))
+    else:
+        n_parts, max_records = _target_file_counts(df, target_bytes)
     cols = [F.col(k).desc() if descending else F.col(k).asc() for k in keys]
     (
         df.repartitionByRange(n_parts, *cols)

@@ -28,7 +28,6 @@ from parquet_toolkit_spark.operators.encode import (
     _encode_pdf,
     _schema_map,
     _write_encoded,
-    read_manifest,
 )
 
 
@@ -58,14 +57,20 @@ def incremental_encode(spark: SparkSession, landing_dir: str, enc_dir: str,
     )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        man = read_manifest(spark, enc_dir)
-        base_pid = 0
-        if man is not None:
-            base_pid = (man.agg(F.max("pid")).first()[0] or 0) + 1
-        schema_map = _schema_map(batch_df)
+        from parquet_toolkit_spark.operators.encode import _manifest_arrow
+        from parquet_toolkit_spark.sources.fs import DriverFS
+
+        # one count job doubles as the emptiness check (isEmpty was a
+        # second job per batch); base_pid comes from a driver-side arrow
+        # manifest read instead of a Spark agg job
         n = batch_df.count()
+        if n == 0:
+            return
+        mt = _manifest_arrow(DriverFS(spark), enc_dir, ["pid"])
+        base_pid = 0
+        if mt is not None and mt.num_rows:
+            base_pid = max(mt.column("pid").to_pylist()) + 1
+        schema_map = _schema_map(batch_df)
         n_parts = max(1, (n + rows_per_pid - 1) // rows_per_pid)
         laid = batch_df.repartition(n_parts)
 
@@ -128,15 +133,19 @@ def encode_iceberg_increment(spark: SparkSession, table_dir: str,
     exclude = frozenset({"bin_fsst"}) if codec_profile == "fast" \
         else frozenset()
 
-    man = read_manifest(spark, enc_dir)
+    from parquet_toolkit_spark.operators.encode import _manifest_arrow
+    from parquet_toolkit_spark.sources.fs import DriverFS
+
+    mt = _manifest_arrow(DriverFS(spark), enc_dir, ["run_id", "pid"])
     last = None
     base_pid = 0
-    if man is not None:
-        rows = man.select("run_id", "pid").distinct().collect()
-        done = [int(r.run_id.split("-", 1)[1]) for r in rows
-                if r.run_id.startswith("iceinc-")]
+    if mt is not None and mt.num_rows:
+        run_ids = mt.column("run_id").to_pylist()
+        pid_vals = mt.column("pid").to_pylist()
+        done = [int(r.split("-", 1)[1]) for r in run_ids
+                if r is not None and r.startswith("iceinc-")]
         last = max(done) if done else None
-        base_pid = max((r.pid for r in rows), default=-1) + 1
+        base_pid = max(pid_vals) + 1
 
     md = read_table_metadata(table_dir, spark)
     to_id = md["current_snapshot_id"]
