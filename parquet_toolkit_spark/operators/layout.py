@@ -91,6 +91,29 @@ def _target_file_counts(df: DataFrame, target_bytes: int,
     return n_parts, max_records
 
 
+def _footer_disk_bytes_per_row(sample: list[tuple[str, int]],
+                               sample_files: int = 8) -> float | None:
+    """ON-DISK (compressed) bytes/row from footer row counts of up to
+    `sample_files` largest files — lets compact() size maxRecordsPerFile
+    without a count job. None when no footer is readable."""
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources.fs import task_fs
+
+    tot_sz = tot_rows = 0
+    for p, sz in sorted(sample, key=lambda t: -t[1])[:sample_files]:
+        try:
+            fs, plain = task_fs(p)
+            md = pq.ParquetFile(fs.open_input_file(plain)).metadata
+        except Exception:
+            return None
+        tot_rows += md.num_rows
+        tot_sz += sz
+    if tot_rows <= 0:
+        return None
+    return tot_sz / tot_rows
+
+
 def _footer_bytes_per_row(paths: list[str], sample_files: int = 8
                           ) -> float | None:
     """Serialized (encoded, pre-compression) bytes/row from parquet footer
@@ -148,11 +171,18 @@ def compact(spark: SparkSession, in_path: str | list[str], out_path: str,
     # bytes from the flat listing, collapsing the whole dataset into one
     # coalesce(1) task with an unbounded maxRecordsPerFile
     disk_bytes = 0
+    sample: list[tuple[str, int]] = []
     for p in paths:
-        disk_bytes += (
-            fs.file_size(p) if p.lower().endswith((".parq", ".parquet"))
-            else fs.total_size_recursive(p)
-        )
+        if p.lower().endswith((".parq", ".parquet")) and not fs.exists(
+                os.path.join(p, "_SUCCESS")):
+            sz = fs.file_size(p)
+            disk_bytes += sz
+            sample.append((p, sz))
+        else:
+            disk_bytes += fs.total_size_recursive(p)
+            sample.extend(
+                (f, sz) for f, sz in fs.list_files(p)
+                if f.lower().endswith((".parq", ".parquet")))
     n_bins = max(1, math.ceil(disk_bytes / target_bytes))
 
     # isolated child session (shared SparkContext, private SQLConf): the
@@ -170,13 +200,20 @@ def compact(spark: SparkSession, in_path: str | list[str], out_path: str,
     # row group bigger than target) into multiple files WITHIN a task
     # — the reference splitter's roll-at-target behavior
     # (SimpleParquetSplitter.java:118-130); sized from ON-DISK bytes
-    # per row so compressed in ~= compressed out
-    n_rows = df.count()  # metadata-driven vectorized count, no decode
+    # per row so compressed in ~= compressed out. bytes/row comes from
+    # footer row counts of sampled files (guide §1.2: the footers
+    # already know), so the common path runs ZERO jobs before the write;
+    # a count job remains only as the fallback for unreadable footers
+    # or nested layouts the flat sample missed.
+    disk_bpr = _footer_disk_bytes_per_row(sample) if sample else None
     if disk_bytes <= 0:
         # zero-byte listing despite rows (exotic fs): fall back to the
         # sampled row-width estimate instead of an unbounded file size
         n_bins, max_records = _target_file_counts(df, target_bytes)
+    elif disk_bpr is not None:
+        max_records = max(1, math.ceil(target_bytes / disk_bpr))
     else:
+        n_rows = df.count()  # metadata-driven vectorized count, no decode
         disk_bpr = disk_bytes / max(1, n_rows)
         max_records = max(1, math.ceil(target_bytes / disk_bpr))
     (

@@ -112,12 +112,21 @@ def sessionize_stream(spark: SparkSession, landing_dir: str, out_dir: str,
                       gap_s: int = 1800, lateness_s: int = 1800,
                       ts_col: str = "ts", user_col: str = "user_id",
                       id_col: str = "event_id",
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      state_partitions: int | None = None):
     """Drain event files from landing_dir, appending per-user running
     session totals to out_dir (latest batch_seq per user = final).
     Disorder within `lateness_s` of each user's max timestamp is
-    buffered and resolved exactly; beyond it the stream fails loudly."""
-    stream = spark.readStream.schema(schema_ddl) \
+    buffered and resolved exactly; beyond it the stream fails loudly.
+    state_partitions: see dedup_stream._stateful_partitions; runs on a
+    child session so the override never leaks to the caller."""
+    from parquet_toolkit_spark.streaming.dedup_stream import (
+        _child_session,
+        _stateful_partitions,
+    )
+
+    sess = _child_session(spark, _stateful_partitions(spark, state_partitions))
+    stream = sess.readStream.schema(schema_ddl) \
         .option("maxFilesPerTrigger", 1).parquet(landing_dir)
     ev = stream.select(
         F.col(user_col).alias("user_id"),

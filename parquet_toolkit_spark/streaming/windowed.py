@@ -45,8 +45,9 @@ def windowed_event_counts(spark: SparkSession, landing_dir: str,
         bytes_in = DriverFS(spark).total_size_recursive(landing_dir)
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
         state_partitions = max(1, min(cur, math.ceil(bytes_in / (32 << 20))))
-    sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    from parquet_toolkit_spark.streaming.dedup_stream import _child_session
+
+    sess = _child_session(spark, state_partitions)
     stream = sess.readStream.schema(schema_ddl).parquet(landing_dir)
     agg = (
         stream.withColumn("_ts", F.col(ts_col).cast("timestamp"))
