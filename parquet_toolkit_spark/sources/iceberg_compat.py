@@ -684,7 +684,10 @@ def _scan_live_rows(spark: SparkSession, md: dict, sf: dict) -> DataFrame:
                       .drop(f"_pv_{c}"))
     if sf["position_deletes"]:
         dels = (
-            spark.read.parquet(*sf["position_deletes"])
+            # explicit spec schema (file_path string, pos long): skips the
+            # footer schema-inference job per read
+            spark.read.schema("file_path STRING, pos BIGINT")
+            .parquet(*sf["position_deletes"])
             .select(
                 F.regexp_replace(F.col("file_path"), _STRIP_FILE_SCHEME, "")
                 .alias("_del_fp"),
