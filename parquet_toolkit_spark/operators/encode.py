@@ -245,9 +245,28 @@ def plan_layout(df: DataFrame, target_bytes: int,
     """
     n_rows: int | None = None
     if n_partitions is None:
-        # one fused job for small tables (sampled width + exact count),
-        # two only past the sample size — see sampled_width_and_rows
-        bpr, n_rows = sampled_width_and_rows(df)
+        # bytes/row from the plan's input-file footers when the frame
+        # scans parquet (driver-side, no job — guide §1.2: the footers
+        # already know the serialized width); derived/filtered columns
+        # only shift this sizing heuristic, never results. Fallback: one
+        # fused job for small tables (sampled width + exact count), two
+        # only past the sample size — see sampled_width_and_rows.
+        from parquet_toolkit_spark.operators.layout import (
+            _footer_bytes_per_row,
+        )
+
+        bpr = None
+        try:
+            in_files = [f for f in df.inputFiles()
+                        if f.lower().endswith((".parq", ".parquet"))]
+        except Exception:
+            in_files = []
+        if in_files:
+            bpr = _footer_bytes_per_row(in_files)
+        if bpr is not None:
+            n_rows = df.count()  # metadata-driven vectorized count
+        else:
+            bpr, n_rows = sampled_width_and_rows(df)
         n_partitions = max(1, math.ceil(bpr * n_rows / target_bytes))
     if cluster_keys:
         from parquet_toolkit_spark.operators.zorder import (
