@@ -247,12 +247,18 @@ def plan_layout(df: DataFrame, target_bytes: int,
     if n_partitions is None:
         # bytes/row from the plan's input-file footers when the frame
         # scans parquet (driver-side, no job — guide §1.2: the footers
-        # already know the serialized width); derived/filtered columns
-        # only shift this sizing heuristic, never results. Fallback: one
-        # fused job for small tables (sampled width + exact count), two
-        # only past the sample size — see sampled_width_and_rows.
+        # already know the width); the DECODED-width estimator, because a
+        # layout partition here is an encode scope whose working set is
+        # decoded Arrow columns — the serialized (dictionary-encoded)
+        # width under-sizes scopes 4-5x on numeric tables, leaving the
+        # encode stage under-parallelized (measured: lineitem@4MB target
+        # 4 scopes/1.8s vs 13 scopes/1.55s, and the 4-scope first run
+        # pays a 2x straggler). Derived/filtered columns only shift this
+        # sizing heuristic, never results. Fallback: one fused job for
+        # small tables (sampled width + exact count), two only past the
+        # sample size — see sampled_width_and_rows.
         from parquet_toolkit_spark.operators.layout import (
-            _footer_bytes_per_row,
+            _footer_decoded_bytes_per_row,
         )
 
         bpr = None
@@ -262,7 +268,7 @@ def plan_layout(df: DataFrame, target_bytes: int,
         except Exception:
             in_files = []
         if in_files:
-            bpr = _footer_bytes_per_row(in_files)
+            bpr = _footer_decoded_bytes_per_row(in_files)
         if bpr is not None:
             n_rows = df.count()  # metadata-driven vectorized count
         else:

@@ -141,6 +141,64 @@ def _footer_bytes_per_row(paths: list[str], sample_files: int = 8
     return tot_bytes / tot_rows
 
 
+_PHYSICAL_WIDTH = {
+    # Arrow in-memory width per value for parquet fixed physical types
+    "BOOLEAN": 0.125, "INT32": 4.0, "FLOAT": 4.0,
+    "INT64": 8.0, "DOUBLE": 8.0, "INT96": 12.0,
+}
+
+
+def _footer_decoded_bytes_per_row(paths: list[str], sample_files: int = 8
+                                  ) -> float | None:
+    """DECODED (in-memory Arrow) bytes/row from parquet footer metadata.
+
+    The serialized probe (_footer_bytes_per_row) reports the dictionary/
+    RLE-encoded page bytes, which under-counts what an encode scope
+    actually holds in memory by the input's encoding ratio (4-5x on
+    dictionary-heavy numeric tables). Fixed-width columns decode to
+    exactly type-width x rows regardless of parquet encoding, so take
+    that from the schema; variable-width (BYTE_ARRAY) columns keep the
+    page-bytes estimate plus the 4-byte offset entry — text is normally
+    plain-encoded, so its page bytes ARE close to the decoded bytes.
+    Driver-side, footers only. None when no footer is readable."""
+    import pyarrow.parquet as pq
+
+    from parquet_toolkit_spark.sources.fs import task_fs
+
+    tot_bytes = 0.0
+    tot_rows = 0
+    for p in paths[:sample_files]:
+        try:
+            fs, plain = task_fs(p)
+            pf = pq.ParquetFile(fs.open_input_file(plain))
+            md, schema = pf.metadata, pf.schema
+            widths = []
+            for j in range(md.num_columns):
+                phys = schema.column(j).physical_type
+                if phys == "FIXED_LEN_BYTE_ARRAY":
+                    widths.append(float(schema.column(j).length or 16))
+                else:
+                    widths.append(_PHYSICAL_WIDTH.get(phys))
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j, w in enumerate(widths):
+                    # num_values counts LEAF values (list/map columns
+                    # repeat per element; rg.num_rows would undercount
+                    # a 128-dim float list 128x)
+                    col = rg.column(j)
+                    if w is not None:
+                        tot_bytes += w * col.num_values
+                    else:
+                        tot_bytes += (col.total_uncompressed_size
+                                      + 4 * col.num_values)
+            tot_rows += md.num_rows
+        except Exception:
+            return None
+    if tot_rows <= 0:
+        return None
+    return tot_bytes / tot_rows
+
+
 def compact(spark: SparkSession, in_path: str | list[str], out_path: str,
             target_bytes: int = DEFAULT_TARGET_BYTES,
             compression: str = "snappy") -> dict:
